@@ -1,0 +1,155 @@
+"""Configuration system for tiresias-tpu.
+
+Mirrors the reference's two-scope config model — a ``[global]`` section with match
+parameters plus one section per fingerprint context naming a ``directory`` —
+while replacing Asterisk's INI loader with :mod:`configparser`.
+
+Reference behavior this reproduces:
+  * ``/root/reference/src/app_tiresias.c:177-224`` (``init_config``): every
+    section becomes a context except ``global``; every ``name=value`` pair is
+    kept as a string.
+  * ``/root/reference/doc/configuration.rst`` documents the only known keys:
+    ``[global] tolerance`` and ``[<context>] directory``.
+  * Call-time overrides win over config values
+    (``/root/reference/src/application_handler.c:115-123``).
+
+DSP parameters are fixed constants in the reference
+(``/root/reference/src/fp_handler.c:33-41``); here they are an explicit,
+overridable dataclass so alternative analysis profiles can coexist.
+"""
+
+from __future__ import annotations
+
+import configparser
+import dataclasses
+import os
+from typing import Mapping
+
+# Reference constants: /root/reference/src/fp_handler.c:33-41
+DEF_HOP_SIZE = 256
+DEF_BUF_SIZE = 512
+DEF_SAMPLERATE = 0  # 0 = take the sample rate from the file
+DEF_N_FILTERS = 40
+DEF_N_COEFS = 2
+DEF_SEARCH_TOLERANCE = 0.001
+# Reference constant: /root/reference/src/application_handler.c:60
+DEF_DURATION_MS = 3000
+
+GLOBAL_SECTION = "global"
+
+
+@dataclasses.dataclass(frozen=True)
+class DspConfig:
+    """Analysis-chain parameters (aubio-equivalent names).
+
+    ``hop_size``/``buf_size``/``n_filters``/``n_coefs`` mirror
+    ``DEF_AUBIO_HOPSIZE``/``BUFSIZE``/``FILTER``/``COEFS``
+    (/root/reference/src/fp_handler.c:33-39).
+    """
+
+    hop_size: int = DEF_HOP_SIZE
+    buf_size: int = DEF_BUF_SIZE
+    samplerate: int = DEF_SAMPLERATE  # 0 = native rate of the file
+    n_filters: int = DEF_N_FILTERS
+    n_coefs: int = DEF_N_COEFS
+
+    def __post_init__(self) -> None:
+        if self.buf_size % self.hop_size != 0:
+            raise ValueError("buf_size must be a multiple of hop_size")
+        if self.n_coefs < 1 or self.n_coefs > self.n_filters:
+            raise ValueError("n_coefs must be in [1, n_filters]")
+
+    @property
+    def n_bins(self) -> int:
+        return self.buf_size // 2 + 1
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Search parameters (reference defaults cited per field)."""
+
+    # /root/reference/src/fp_handler.c:41
+    tolerance: float = DEF_SEARCH_TOLERANCE
+    # /root/reference/src/application_handler.c:180 — the dialplan always
+    # searches on one coefficient.
+    coefs: int = 1
+    # <=0 disables the band filter (/root/reference/src/fp_handler.c:293,300)
+    freq_ignore_low: int = -1
+    freq_ignore_high: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class ContextConfig:
+    name: str
+    directory: str
+
+
+@dataclasses.dataclass(frozen=True)
+class TiresiasConfig:
+    dsp: DspConfig = dataclasses.field(default_factory=DspConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    contexts: tuple[ContextConfig, ...] = ()
+    # Checkpoint home; reference analogue is
+    # /var/lib/asterisk/third-party/tiresias (/root/reference/src/app_tiresias.c:41)
+    data_dir: str = "~/.tiresias_tpu"
+
+    def context(self, name: str) -> ContextConfig | None:
+        for ctx in self.contexts:
+            if ctx.name == name:
+                return ctx
+        return None
+
+    @property
+    def expanded_data_dir(self) -> str:
+        return os.path.expanduser(self.data_dir)
+
+
+def load_config(path: str) -> TiresiasConfig:
+    """Parse a ``tiresias.conf``-style INI file.
+
+    Like the reference, unknown keys are preserved-but-ignored and a context
+    section without a ``directory`` key is skipped
+    (/root/reference/src/app_tiresias.c:299-304).
+    """
+    parser = configparser.ConfigParser()
+    read = parser.read(path)
+    if not read:
+        raise FileNotFoundError(path)
+    return config_from_mapping({s: dict(parser.items(s)) for s in parser.sections()})
+
+
+def config_from_mapping(sections: Mapping[str, Mapping[str, str]]) -> TiresiasConfig:
+    match_kwargs: dict = {}
+    data_dir = TiresiasConfig.data_dir
+    dsp_kwargs: dict = {}
+    contexts: list[ContextConfig] = []
+
+    for section, items in sections.items():
+        if section == GLOBAL_SECTION:
+            if "tolerance" in items:
+                match_kwargs["tolerance"] = float(items["tolerance"])
+            if "coefs" in items:
+                match_kwargs["coefs"] = int(items["coefs"])
+            if "freq_ignore_low" in items:
+                match_kwargs["freq_ignore_low"] = int(items["freq_ignore_low"])
+            if "freq_ignore_high" in items:
+                match_kwargs["freq_ignore_high"] = int(items["freq_ignore_high"])
+            if "data_dir" in items:
+                data_dir = items["data_dir"]
+            for key in ("hop_size", "buf_size", "samplerate", "n_filters", "n_coefs"):
+                if key in items:
+                    dsp_kwargs[key] = int(items[key])
+            continue
+        directory = items.get("directory")
+        if directory is None:
+            # Context without a directory is ignored, matching
+            # /root/reference/src/app_tiresias.c:299-304.
+            continue
+        contexts.append(ContextConfig(name=section, directory=directory))
+
+    return TiresiasConfig(
+        dsp=DspConfig(**dsp_kwargs),
+        match=MatchConfig(**match_kwargs),
+        contexts=tuple(contexts),
+        data_dir=data_dir,
+    )

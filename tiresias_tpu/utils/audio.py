@@ -1,0 +1,107 @@
+"""Host-side audio I/O and synthesis.
+
+The reference delegates decode to ``aubio_source`` (int16 WAV → float32 in
+[-1, 1), /root/reference/src/fp_handler.c:604,633). Here:
+
+  * WAV decode uses the stdlib ``wave`` module (int16/int32/uint8 PCM and
+    float32), with a C++ fast path in ``native/`` (see
+    :mod:`tiresias_tpu.utils.native`) used automatically when built.
+  * samples are scaled by 1/32768 for int16, matching aubio.
+  * multi-channel files are downmixed by averaging, matching aubio_source's
+    default mono downmix.
+"""
+
+from __future__ import annotations
+
+import os
+import wave
+
+import numpy as np
+
+
+def read_wav(path: str, *, prefer_native: bool = True) -> tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 mono PCM in [-1, 1), samplerate)."""
+    if prefer_native:
+        from tiresias_tpu.utils import native
+
+        decoded = native.decode_wav(path)
+        if decoded is not None:
+            return decoded
+    return read_wav_py(path)
+
+
+def read_wav_py(path: str) -> tuple[np.ndarray, int]:
+    with wave.open(path, "rb") as wf:
+        n_channels = wf.getnchannels()
+        sampwidth = wf.getsampwidth()
+        samplerate = wf.getframerate()
+        n_frames = wf.getnframes()
+        raw = wf.readframes(n_frames)
+
+    if sampwidth == 2:
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif sampwidth == 4:
+        data = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif sampwidth == 1:
+        data = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif sampwidth == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        as32 = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        as32 = np.where(as32 & 0x800000, as32 - 0x1000000, as32)
+        data = as32.astype(np.float32) / 8388608.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sampwidth} in {path}")
+
+    if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    return data, samplerate
+
+
+def write_wav(path: str, pcm: np.ndarray, samplerate: int) -> None:
+    """Write float PCM in [-1, 1] as 16-bit mono WAV."""
+    pcm = np.asarray(pcm)
+    ints = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype("<i2")
+    tmp = path + ".tmp"
+    with wave.open(tmp, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(samplerate)
+        wf.writeframes(ints.tobytes())
+    os.replace(tmp, path)
+
+
+def resample_poly(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Polyphase resample via scipy (host side; rare path — the reference
+    never resamples, it analyses at the file's native rate)."""
+    if sr_in == sr_out:
+        return np.asarray(pcm, dtype=np.float32)
+    from math import gcd
+
+    from scipy.signal import resample_poly as _rp
+
+    g = gcd(sr_in, sr_out)
+    out = _rp(np.asarray(pcm, dtype=np.float64), sr_out // g, sr_in // g)
+    return out.astype(np.float32)
+
+
+def synth_tone(freq: float, duration_s: float, samplerate: int, amplitude: float = 0.5) -> np.ndarray:
+    t = np.arange(int(round(duration_s * samplerate)), dtype=np.float64) / samplerate
+    return (amplitude * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def synth_chirp(f0: float, f1: float, duration_s: float, samplerate: int, amplitude: float = 0.5) -> np.ndarray:
+    n = int(round(duration_s * samplerate))
+    t = np.arange(n, dtype=np.float64) / samplerate
+    k = (f1 - f0) / duration_s
+    phase = 2 * np.pi * (f0 * t + 0.5 * k * t * t)
+    return (amplitude * np.sin(phase)).astype(np.float32)
+
+
+def synth_noise(duration_s: float, samplerate: int, amplitude: float = 0.3, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    n = int(round(duration_s * samplerate))
+    return (amplitude * rng.standard_normal(n)).astype(np.float32)
