@@ -1,0 +1,191 @@
+"""Batched JAX/XLA fingerprint chain (TPU compute path).
+
+TPU-first redesign of the reference's per-frame serial aubio loop
+(/root/reference/src/fp_handler.c:632-661): instead of one 256-sample hop at
+a time through C callbacks, whole batches of signals are fingerprinted in a
+single jitted computation:
+
+    pcm [B, S] → frames [B, F, 512] → |rFFT| [B, F, 257]
+        → mel (matmul, MXU) [B, F, 40] → log10 → DCT (matmul, MXU) [B, F, C]
+        → 10·log10(|c|)
+
+Design notes:
+  * Framing is a reshape + concat, not a gather: with win = 2·hop, frame *f*
+    is (chunk[f-1] ++ chunk[f]) of the hop-chunked signal, with a zero chunk
+    for f = −1 — exactly the pvoc sliding-buffer semantics of the golden
+    model (:mod:`tiresias_tpu.ops.reference_dsp`).
+  * Mel apply and DCT are matmuls → MXU; the FFT uses XLA's native TPU FFT.
+    A fully fused Pallas kernel (DFT-as-matmul) lives in
+    :mod:`tiresias_tpu.ops.mfcc_pallas`.
+  * All shapes static; variable-length audio is padded on the host to
+    bucketed frame counts (see :func:`pad_frames_bucket`) and carries an
+    explicit ``n_frames`` so downstream masking is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiresias_tpu.config import DspConfig
+from tiresias_tpu.ops.dct import dct_matrix
+from tiresias_tpu.ops.melbank import mel_filterbank
+from tiresias_tpu.ops.reference_dsp import VERY_SMALL_NUMBER, n_frames_for
+from tiresias_tpu.ops.windows import hanningz
+
+# Padding value for fingerprint frames that don't exist. 10*log10(2e-42) is
+# the floor of real values (PARITY.md D1); padding sits far below it so no
+# tolerance band can ever match padding.
+PAD_VALUE = -1e6
+
+# aubio's SAFE_LOG10 floor is 2e-42, a float32 *subnormal* — TPUs flush
+# subnormals to zero, so max(x, 2e-42) silently becomes max(x, 0) on device
+# and log10 of empty mel filters would be -inf. Instead: values below the
+# smallest safe normal threshold map to the exact aubio constant
+# log10(2e-42); values in [2e-42, 1e-37) would differ from aubio by <5 in the
+# log, a measure-zero band for real signals (PARITY.md §2 log stage).
+_FLOOR_THRESHOLD = 1e-37
+_LOG10_FLOOR = float(np.log10(VERY_SMALL_NUMBER))
+
+
+def safe_log10(x: jax.Array) -> jax.Array:
+    """aubio SAFE_LOG10, robust to TPU subnormal flushing."""
+    return jnp.where(
+        x >= _FLOOR_THRESHOLD,
+        jnp.log10(jnp.maximum(x, _FLOOR_THRESHOLD)),
+        _LOG10_FLOOR,
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def dsp_constants(dsp: DspConfig, samplerate: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(window [win], mel_T [n_bins, n_filters], dct_T [n_filters, n_coefs])."""
+    window = hanningz(dsp.buf_size, dtype=np.float32)
+    mel_t = mel_filterbank(dsp.n_filters, dsp.buf_size, samplerate).T.astype(np.float32)
+    dct_t = dct_matrix(dsp.n_filters, dsp.n_coefs).T.astype(np.float32)
+    return window, mel_t, dct_t
+
+
+def frames_from_pcm(pcm: jax.Array, hop_size: int, buf_size: int) -> jax.Array:
+    """pvoc-style framing on device.
+
+    Args:
+      pcm: ``[..., S]`` with S a multiple of ``hop_size`` (host pads).
+    Returns:
+      ``[..., F, buf_size]`` with F = S // hop_size; frame f covers input
+      samples ``[(f+1)*hop - win, (f+1)*hop)`` (zeros before t=0).
+    """
+    if buf_size % hop_size != 0:
+        raise ValueError("buf_size must be a multiple of hop_size")
+    k = buf_size // hop_size
+    *lead, s = pcm.shape
+    if s % hop_size != 0:
+        raise ValueError("signal length must be a multiple of hop_size")
+    f = s // hop_size
+    chunks = pcm.reshape(*lead, f, hop_size)
+    zero = jnp.zeros((*lead, 1, hop_size), dtype=pcm.dtype)
+    parts = []
+    for back in range(k - 1, -1, -1):
+        if back == 0:
+            parts.append(chunks)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.broadcast_to(zero, (*lead, back, hop_size)), chunks[..., :-back, :]],
+                axis=-2,
+            )
+            parts.append(shifted)
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("hop_size", "buf_size"))
+def _fingerprint_padded(
+    pcm: jax.Array,
+    window: jax.Array,
+    mel_t: jax.Array,
+    dct_t: jax.Array,
+    hop_size: int,
+    buf_size: int,
+) -> jax.Array:
+    """[B, S] float32 → [B, F, n_coefs] fingerprint values."""
+    frames = frames_from_pcm(pcm, hop_size, buf_size) * window
+    mags = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+    # HIGHEST precision: TPU matmuls otherwise truncate to bf16, which is
+    # visible (±0.03) in the log-log fingerprint domain and would break
+    # aubio parity. These matmuls are a negligible share of the chain's cost.
+    mels = jnp.matmul(
+        mags, mel_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    logm = safe_log10(mels)
+    coefs = jnp.matmul(
+        logm, dct_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 10.0 * safe_log10(jnp.abs(coefs))
+
+
+def fingerprint_padded_batch(
+    pcm: jax.Array | np.ndarray, samplerate: int, dsp: DspConfig | None = None
+) -> jax.Array:
+    """Fingerprint a pre-padded batch ``[B, S]`` (S multiple of hop)."""
+    dsp = dsp or DspConfig()
+    window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
+    pcm = jnp.asarray(pcm, dtype=jnp.float32)
+    return _fingerprint_padded(
+        pcm, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t),
+        dsp.hop_size, dsp.buf_size,
+    )
+
+
+def bucket_frames(n_frames: int, multiple: int = 128, minimum: int = 128) -> int:
+    """Round a frame count up to a bucket so jit recompiles stay bounded."""
+    if n_frames <= minimum:
+        return minimum
+    return -(-n_frames // multiple) * multiple
+
+
+def pad_frames_bucket(
+    pcms: list[np.ndarray], hop_size: int, multiple: int = 128
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pad a ragged list of 1-D signals to one bucketed [B, S] array.
+
+    Returns (padded float32 [B, F_bucket*hop], n_frames int32 [B]).
+    """
+    n_frames = np.array([n_frames_for(len(p), hop_size) for p in pcms], dtype=np.int32)
+    f_bucket = bucket_frames(int(n_frames.max(initial=1)), multiple)
+    out = np.zeros((len(pcms), f_bucket * hop_size), dtype=np.float32)
+    for i, p in enumerate(pcms):
+        out[i, : len(p)] = np.asarray(p, dtype=np.float32)
+    return out, n_frames
+
+
+def fingerprint_signals(
+    pcms: list[np.ndarray],
+    samplerate: int,
+    dsp: DspConfig | None = None,
+    bucket_multiple: int = 128,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fingerprint a ragged batch of signals.
+
+    Returns (fp [B, F_bucket, n_coefs] float32 with PAD_VALUE beyond each
+    signal's frames, n_frames [B] int32).
+    """
+    dsp = dsp or DspConfig()
+    padded, n_frames = pad_frames_bucket(pcms, dsp.hop_size, bucket_multiple)
+    fp = np.asarray(fingerprint_padded_batch(padded, samplerate, dsp))
+    f_bucket = fp.shape[1]
+    mask = np.arange(f_bucket)[None, :] < n_frames[:, None]
+    fp = np.where(mask[:, :, None], fp, PAD_VALUE).astype(np.float32)
+    return fp, n_frames
+
+
+def fingerprint_signal(
+    pcm: np.ndarray, samplerate: int, dsp: DspConfig | None = None
+) -> np.ndarray:
+    """Single signal → exact-length ``[n_frames, n_coefs]`` fingerprint."""
+    dsp = dsp or DspConfig()
+    fp, n_frames = fingerprint_signals([np.asarray(pcm)], samplerate, dsp)
+    return fp[0, : int(n_frames[0])]
