@@ -1,0 +1,172 @@
+"""Batched JAX/XLA tolerance-vote matcher (TPU compute path).
+
+TPU-first replacement for the reference's per-frame SQLite range-scan loop
+(/root/reference/src/fp_handler.c:287-373): the fingerprint DB lives in HBM
+as a padded matrix ``[n_audios, max_frames, n_coefs]`` with a validity mask,
+and a whole batch of queries is matched in one jitted computation:
+
+    hit[b, f, a]  = ∃t: valid[a,t] ∧ |q0[b,f] − db[a,t,0]| ≤ tol
+                         ∧ (use2[b,f] ⇒ |q1[b,f] − db[a,t,1]| ≤ tol)
+    votes[b, a]   = Σ_f active[b,f] ∧ hit[b,f,a]
+    best[b]       = argmax_a votes[b,a]   (first max = lowest index)
+
+Query-side preprocessing (int truncation of max1, band-filter frame drops,
+per-frame max2-condition drops) matches the reference exactly — see
+:func:`prepare_query` and PARITY.md §3.
+
+The audio axis is processed in blocks via ``lax.map`` so peak memory stays
+at ``B·F·A_block·T`` booleans regardless of DB size; XLA fuses the
+broadcast-compare-reduce so nothing of that size is materialised. The
+hand-fused Pallas kernel lives in :mod:`tiresias_tpu.ops.match_pallas`; the
+sharded multi-chip driver in :mod:`tiresias_tpu.parallel.sharded_match`.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiresias_tpu.config import DEF_SEARCH_TOLERANCE
+
+AUDIO_BLOCK = 128
+
+
+def band_thresholds(freq_ignore_low: int, freq_ignore_high: int) -> tuple[float, float]:
+    """Reference band filter thresholds in the fingerprint's log domain.
+
+    Disabled sides become ±inf so comparisons are trivially true.
+    (/root/reference/src/fp_handler.c:293-306)
+    """
+    lo = 10.0 * math.log10(freq_ignore_low) if freq_ignore_low > 0 else -np.inf
+    hi = 10.0 * math.log10(freq_ignore_high) if freq_ignore_high > 0 else np.inf
+    return lo, hi
+
+
+def prepare_query(
+    query: np.ndarray | jax.Array,
+    n_frames: np.ndarray | jax.Array | None,
+    freq_ignore_low: int = -1,
+    freq_ignore_high: int = -1,
+):
+    """Reference query-side preprocessing, batched.
+
+    Args:
+      query: ``[B, F, C]`` fingerprint values (C ≥ 1).
+      n_frames: ``[B]`` true frame counts (None → all F frames valid).
+    Returns:
+      (q [B, F, C] with q[...,0] int-truncated, active [B, F] bool,
+       use2 [B, F] bool).
+    """
+    q = jnp.asarray(query, dtype=jnp.float32)
+    b, f, c = q.shape
+    lo, hi = band_thresholds(freq_ignore_low, freq_ignore_high)
+    q0 = jnp.trunc(q[..., 0])  # C (int) cast truncates toward zero
+    q = q.at[..., 0].set(q0)
+    valid = (
+        jnp.ones((b, f), dtype=bool)
+        if n_frames is None
+        else jnp.arange(f)[None, :] < jnp.asarray(n_frames)[:, None]
+    )
+    active = valid & (q0 >= lo) & (q0 <= hi)
+    if c >= 2:
+        q1 = q[..., 1]
+        use2 = (q1 >= lo) & (q1 <= hi)
+    else:
+        use2 = jnp.zeros((b, f), dtype=bool)
+    return q, active, use2
+
+
+@functools.partial(jax.jit, static_argnames=("coefs", "audio_block"))
+def match_votes(
+    db: jax.Array,
+    db_mask: jax.Array,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: jax.Array | float,
+    coefs: int = 1,
+    audio_block: int = AUDIO_BLOCK,
+) -> jax.Array:
+    """Vote counts ``[B, A]`` (int32).
+
+    Args:
+      db: ``[A, T, C]`` stored fingerprints (PAD_VALUE in padding).
+      db_mask: ``[A, T]`` bool validity.
+      q, active, use2: from :func:`prepare_query`.
+      tolerance: scalar; inclusive band.
+      coefs: 1 or 2 (static).
+    """
+    a, t, c = db.shape
+    if coefs < 1 or coefs > c:
+        raise ValueError(f"coefs must be in [1, {c}]")
+    tol = jnp.asarray(tolerance, dtype=jnp.float32)
+
+    n_blocks = -(-a // audio_block)
+    pad = n_blocks * audio_block - a
+    db_p = jnp.pad(db, ((0, pad), (0, 0), (0, 0)))
+    mask_p = jnp.pad(db_mask, ((0, pad), (0, 0)))
+    db_blocks = db_p.reshape(n_blocks, audio_block, t, c)
+    mask_blocks = mask_p.reshape(n_blocks, audio_block, t)
+
+    q0 = q[..., 0]  # [B, F]
+    q1 = q[..., 1] if coefs >= 2 else None
+
+    def block_votes(blk):
+        db_blk, m_blk = blk  # [Ab, T, C], [Ab, T]
+        d0 = db_blk[..., 0]  # [Ab, T]
+        ok = jnp.abs(q0[:, :, None, None] - d0[None, None]) <= tol  # [B,F,Ab,T]
+        if q1 is not None:
+            d1 = db_blk[..., 1]
+            ok1 = jnp.abs(q1[:, :, None, None] - d1[None, None]) <= tol
+            # out-of-band max2 drops only the max2 condition (PARITY.md §3.3)
+            ok &= ok1 | ~use2[:, :, None, None]
+        ok &= m_blk[None, None]
+        hit = ok.any(axis=-1)  # [B, F, Ab]
+        return (hit & active[:, :, None]).sum(axis=1, dtype=jnp.int32)  # [B, Ab]
+
+    votes = jax.lax.map(block_votes, (db_blocks, mask_blocks))  # [nb, B, Ab]
+    votes = jnp.moveaxis(votes, 1, 0).reshape(q.shape[0], n_blocks * audio_block)
+    return votes[:, :a]
+
+
+def top1(votes: jax.Array, audio_filter: jax.Array | None = None):
+    """(best_index [B], match_count [B]) with lowest-index tiebreak.
+
+    ``audio_filter`` is an optional bool ``[A]`` (e.g. context membership —
+    the documented extension over the reference's global scan, PARITY.md D7).
+    best_index is -1 when no audio got a vote.
+    """
+    if audio_filter is not None:
+        votes = jnp.where(audio_filter[None, :], votes, 0)
+    best = jnp.argmax(votes, axis=1).astype(jnp.int32)
+    count = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
+    best = jnp.where(count > 0, best, -1)
+    return best, count
+
+
+def search_batch(
+    db: jax.Array,
+    db_mask: jax.Array,
+    query: np.ndarray | jax.Array,
+    n_frames: np.ndarray | jax.Array | None = None,
+    coefs: int = 1,
+    tolerance: float = DEF_SEARCH_TOLERANCE,
+    freq_ignore_low: int = -1,
+    freq_ignore_high: int = -1,
+    audio_filter: jax.Array | None = None,
+):
+    """Full reference-semantics search over a batch of queries.
+
+    Returns (best_index [B] int32 (-1 = not found), match_count [B] int32,
+    votes [B, A] int32).
+    """
+    if tolerance < 0:
+        tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
+    q, active, use2 = prepare_query(query, n_frames, freq_ignore_low, freq_ignore_high)
+    votes = match_votes(db, db_mask, q, active, use2, tolerance, coefs=coefs)
+    best, count = top1(votes, audio_filter)
+    return best, count, votes
