@@ -1,0 +1,221 @@
+"""End-to-end slice: directory ingest → search → TIR* result contract.
+
+The BASELINE config #1 scenario: a 10-clip context of synthetic WAVs ingested
+from a directory, queried through the full pipeline, with the reference's
+output contract (TIRSTATUS/TIRFRAMECOUNT/TIRMATCHCOUNT/...,
+/root/reference/src/application_handler.c:166-234) and the directory-sync
+behaviors of init_audio (/root/reference/src/app_tiresias.c:324-358).
+
+Two accuracy regimes (PARITY.md §5, D8):
+  * parity mode (trunc_coef1=True, the reference's (int) cast of max1): exact
+    copies reach full votes only at tolerance ≥ 1, where discrimination is
+    weak — asserted accordingly (winner has full votes; true clip is tied at
+    the top).
+  * extension mode (trunc_coef1=False, coefs=2, tolerance 0.01): exact copies
+    must win strictly — real recognition accuracy.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import STATUS_FOUND, STATUS_NOTFOUND, Tiresias
+from tiresias_tpu.config import (
+    ContextConfig,
+    DspConfig,
+    MatchConfig,
+    TiresiasConfig,
+)
+from tiresias_tpu.utils.audio import (
+    read_wav,
+    synth_chirp,
+    synth_noise,
+    synth_tone,
+    write_wav,
+)
+
+SR = 8000
+EXT = dict(coefs=2, tolerance=0.01, trunc_coef1=False)  # PARITY.md D8 mode
+
+
+def _make_corpus(directory: str, n: int = 10) -> list[str]:
+    """n distinct 1-s clips: tones, chirps, noises (all 8 kHz mono)."""
+    os.makedirs(directory, exist_ok=True)
+    names = []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            pcm = synth_tone(250 + 130 * i, 1.0, SR)
+        elif kind == 1:
+            pcm = synth_chirp(200 + 90 * i, 900 + 150 * i, 1.0, SR)
+        else:
+            pcm = synth_noise(1.0, SR, seed=i)
+        name = f"clip{i:02d}.wav"
+        write_wav(os.path.join(directory, name), pcm, SR)
+        names.append(name)
+    return names
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    names = _make_corpus(str(d))
+    return str(d), names
+
+
+@pytest.fixture(scope="module")
+def engine(corpus, tmp_path_factory):
+    directory, _ = corpus
+    data = tmp_path_factory.mktemp("data")
+    cfg = TiresiasConfig(
+        dsp=DspConfig(),
+        match=MatchConfig(),
+        contexts=(ContextConfig(name="media", directory=directory),),
+        data_dir=str(data),
+    )
+    eng = Tiresias(cfg)
+    report = eng.sync()
+    assert report.created == 10 and report.failed == 0
+    return eng
+
+
+class TestIngest:
+    def test_catalog_populated(self, engine, corpus):
+        _, names = corpus
+        audios = engine.get_audios("media")
+        assert sorted(a.name for a in audios) == sorted(names)
+        for a in audios:
+            assert a.n_frames > 0 and len(a.uuid) == 36 and len(a.hash) == 32
+
+    def test_resync_dedupes(self, engine):
+        report = engine.sync()
+        assert report.created == 0 and report.deduped == 10
+
+    def test_checkpoint_written(self, engine):
+        assert os.path.exists(os.path.join(engine.checkpoint_dir, "catalog.json"))
+
+
+class TestSearchExtensionMode:
+    """trunc_coef1=False, coefs=2, tol=0.01 — strict recognition (D8)."""
+
+    def test_self_match_strict_all_clips(self, engine, corpus):
+        directory, names = corpus
+        for name in names:
+            res = engine.search_file("media", os.path.join(directory, name), **EXT)
+            assert res.status == STATUS_FOUND, name
+            assert res.name == name, f"query {name} matched {res.name}"
+            assert res.match_count == res.frame_count  # exact copy: full votes
+            assert res.context == "media"
+
+    def test_batched_self_match(self, engine, corpus):
+        directory, names = corpus
+        pcms = [read_wav(os.path.join(directory, n))[0] for n in names]
+        results = engine.search_pcm_batch("media", pcms, SR, **EXT)
+        assert [r.name for r in results] == names
+
+    def test_truncated_query_still_matches(self, engine, corpus):
+        directory, names = corpus
+        pcm, sr = read_wav(os.path.join(directory, names[0]))
+        res = engine.search_pcm("media", pcm[: SR // 2], sr, **EXT)
+        assert res.found and res.name == names[0]
+
+
+class TestSearchParityMode:
+    """Default reference semantics: (int) cast on max1 (PARITY.md §3.1, §5)."""
+
+    def test_full_votes_at_tolerance_one(self, engine, corpus):
+        # |trunc(x) − x| < 1 always, so an exact copy reaches full votes at
+        # tol=1.0; discrimination is weak there — the true clip is only
+        # guaranteed to be *tied* at the top (PARITY.md §5).
+        directory, names = corpus
+        res = engine.search_file(
+            "media", os.path.join(directory, names[3]), tolerance=1.0
+        )
+        assert res.found and res.match_count == res.frame_count
+
+    def test_default_tolerance_rarely_self_matches(self, engine, corpus):
+        # At the default 0.001 tolerance the (int) cast makes votes sparse:
+        # winner votes must be well below full frame count.
+        directory, names = corpus
+        res = engine.search_file("media", os.path.join(directory, names[0]))
+        if res.found:
+            assert res.match_count < res.frame_count
+
+    def test_nomatch_returns_notfound(self, engine):
+        pcm = synth_tone(3456.7, 0.5, SR)
+        res = engine.search_pcm("media", pcm, SR, tolerance=1e-9, **{
+            **{k: v for k, v in EXT.items() if k != "tolerance"}
+        })
+        assert res.status in (STATUS_FOUND, STATUS_NOTFOUND)
+        vars_ = res.to_channel_vars()
+        assert "TIRSTATUS" in vars_ and "TIRFRAMECOUNT" in vars_
+
+    def test_empty_store_notfound(self, tmp_path):
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        res = eng.search_pcm(None, synth_tone(440, 0.5, SR), SR)
+        assert res.status == STATUS_NOTFOUND and res.frame_count > 0
+
+    def test_channel_vars_contract(self, engine, corpus):
+        directory, names = corpus
+        res = engine.search_file("media", os.path.join(directory, names[1]), **EXT)
+        vars_ = res.to_channel_vars()
+        # the seven TIR* variables (/root/reference/doc/dialplan_application.rst)
+        assert set(vars_) == {
+            "TIRSTATUS",
+            "TIRFRAMECOUNT",
+            "TIRMATCHCOUNT",
+            "TIRFILEUUID",
+            "TIRFILENAME",
+            "TIRCONTEXT",
+            "TIRFILEHASH",
+        }
+        assert vars_["TIRSTATUS"] == "FOUND"
+        assert int(vars_["TIRFRAMECOUNT"]) == res.frame_count
+        assert 0.0 < res.confidence <= 1.0
+
+    def test_invalid_coefs_rejected(self, engine):
+        # fp_handler.c:247-250
+        with pytest.raises(ValueError):
+            engine.search_pcm("media", synth_tone(440, 0.2, SR), SR, coefs=3)
+
+    def test_negative_tolerance_uses_default(self, engine, corpus):
+        # fp_handler.c:252-256: negative → default 0.001; search must run
+        directory, names = corpus
+        res = engine.search_file(
+            "media", os.path.join(directory, names[0]), tolerance=-5.0
+        )
+        assert res.frame_count > 0
+
+
+class TestDirectorySync:
+    def test_file_removal_deletes_entry(self, tmp_path):
+        directory = tmp_path / "ctx"
+        _make_corpus(str(directory), 3)
+        cfg = TiresiasConfig(
+            contexts=(ContextConfig(name="c", directory=str(directory)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        eng = Tiresias(cfg, restore=False)
+        assert eng.sync().created == 3
+        os.remove(directory / "clip00.wav")
+        report = eng.sync()
+        assert report.deleted == 1
+        assert sorted(a.name for a in eng.get_audios("c")) == [
+            "clip01.wav",
+            "clip02.wav",
+        ]
+
+    def test_persistence_round_trip(self, tmp_path):
+        directory = tmp_path / "ctx"
+        _make_corpus(str(directory), 2)
+        cfg = TiresiasConfig(
+            contexts=(ContextConfig(name="c", directory=str(directory)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        with Tiresias(cfg, restore=False) as eng:
+            eng.sync()
+            uuids = {a.uuid for a in eng.get_audios("c")}
+        # fresh engine restores from checkpoint (fp_init restore path)
+        eng2 = Tiresias(cfg)
+        assert {a.uuid for a in eng2.get_audios("c")} == uuids

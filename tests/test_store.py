@@ -1,0 +1,134 @@
+"""FingerprintStore: CRUD semantics, capacity growth, checkpoint round-trip.
+
+Behavioral model: the reference's audio_list/context_list/audio_fingerprint
+tables and their CRUD (/root/reference/src/fp_handler.c:115-197,479-575,
+912-1095) plus the backup/restore pair (/root/reference/src/db_ctx_handler.c:
+673-717,750-772).
+"""
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+from tiresias_tpu.store import FingerprintStore
+
+
+def _fp(n_frames: int, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-40, 25, size=(n_frames, 2)).astype(np.float32)
+
+
+@pytest.fixture()
+def store() -> FingerprintStore:
+    s = FingerprintStore(n_coefs=2)
+    s.create_context("ctx", "/tmp/ctx")
+    return s
+
+
+class TestContextCrud:
+    def test_create_and_list(self, store):
+        store.create_context("other", "/tmp/other")
+        names = {c["name"] for c in store.get_contexts_all()}
+        assert names == {"ctx", "other"}
+        assert store.get_context("ctx") == {"name": "ctx", "directory": "/tmp/ctx"}
+        assert store.get_context("nope") is None
+
+    def test_delete_context_removes_audios(self, store):
+        # fp_delete_context_list_info deletes each audio first
+        # (/root/reference/src/fp_handler.c:1039-1095)
+        store.add_audio("a.wav", "ctx", _fp(10), "h1")
+        store.add_audio("b.wav", "ctx", _fp(12), "h2")
+        assert store.delete_context("ctx")
+        assert len(store) == 0
+        assert store.get_context("ctx") is None
+        assert not store.delete_context("ctx")
+
+
+class TestAudioCrud:
+    def test_add_and_get(self, store):
+        fp = _fp(10)
+        entry = store.add_audio("a.wav", "ctx", fp, "hash-a")
+        assert entry is not None and entry.n_frames == 10
+        got = store.get_fingerprint(entry.uuid)
+        np.testing.assert_array_equal(got, fp)
+        assert store.get_audio(entry.uuid).name == "a.wav"
+
+    def test_dedupe_by_context_and_hash(self, store):
+        # create_audio_list_info dedupe (/root/reference/src/fp_handler.c:494-507)
+        store.create_context("ctx2")
+        assert store.add_audio("a.wav", "ctx", _fp(5), "same") is not None
+        assert store.add_audio("b.wav", "ctx", _fp(5), "same") is None
+        # same hash in a different context is a separate audio
+        assert store.add_audio("a.wav", "ctx2", _fp(5), "same") is not None
+
+    def test_unknown_context_rejected(self, store):
+        with pytest.raises(KeyError):
+            store.add_audio("a.wav", "nope", _fp(5), "h")
+
+    def test_delete_compacts_rows(self, store):
+        e1 = store.add_audio("a.wav", "ctx", _fp(5, 1), "h1")
+        e2 = store.add_audio("b.wav", "ctx", _fp(7, 2), "h2")
+        e3 = store.add_audio("c.wav", "ctx", _fp(9, 3), "h3")
+        assert store.delete_audio(e2.uuid)
+        assert not store.delete_audio(e2.uuid)
+        assert [e.uuid for e in store.iter_entries()] == [e1.uuid, e3.uuid]
+        db, mask = store.host_db()
+        assert db.shape[0] == 2
+        np.testing.assert_array_equal(db[1, :9], _fp(9, 3))
+        assert mask[1, :9].all() and not mask[1, 9:].any()
+
+    def test_padding_is_pad_value(self, store):
+        store.add_audio("a.wav", "ctx", _fp(5), "h1")
+        db, mask = store.host_db()
+        assert (db[0, 5:] == PAD_VALUE).all()
+
+
+class TestCapacityAndDeviceView:
+    def test_growth_preserves_data(self, store):
+        fps = [_fp(3 + 17 * i, seed=i) for i in range(10)]
+        entries = [
+            store.add_audio(f"{i}.wav", "ctx", fps[i], f"h{i}") for i in range(10)
+        ]
+        for i, e in enumerate(entries):
+            np.testing.assert_array_equal(store.get_fingerprint(e.uuid), fps[i])
+
+    def test_device_db_bucketed_and_cached(self, store):
+        store.add_audio("a.wav", "ctx", _fp(5), "h1")
+        db, mask, n = store.device_db()
+        assert n == 1 and db.shape[0] % 128 == 0 and db.shape[0] >= 128
+        db2, _, _ = store.device_db()
+        assert db2 is db  # cached
+        store.add_audio("b.wav", "ctx", _fp(5, 2), "h2")
+        db3, _, n3 = store.device_db()
+        assert db3 is not db and n3 == 2
+
+    def test_context_filter(self, store):
+        store.create_context("ctx2")
+        store.add_audio("a.wav", "ctx", _fp(5), "h1")
+        store.add_audio("b.wav", "ctx2", _fp(5), "h2")
+        flt = store.context_filter("ctx2")
+        assert flt.shape[0] >= 2 and not flt[0] and flt[1] and not flt[2:].any()
+        assert store.context_filter(None) is None
+
+
+class TestCheckpoint:
+    def test_round_trip(self, store, tmp_path):
+        fps = [_fp(10 + i, seed=i) for i in range(4)]
+        for i in range(4):
+            store.add_audio(f"{i}.wav", "ctx", fps[i], f"h{i}")
+        store.save(str(tmp_path))
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(loaded) == 4
+        assert loaded.contexts == {"ctx": "/tmp/ctx"}
+        for i, e in enumerate(loaded.iter_entries()):
+            np.testing.assert_array_equal(loaded.get_fingerprint(e.uuid), fps[i])
+
+    def test_load_missing_is_empty(self, tmp_path):
+        s = FingerprintStore.load(str(tmp_path / "nope"))
+        assert len(s) == 0 and s.get_contexts_all() == []
+
+    def test_coef_mismatch_rejected(self, store, tmp_path):
+        store.add_audio("a.wav", "ctx", _fp(5), "h")
+        store.save(str(tmp_path))
+        with pytest.raises(ValueError):
+            FingerprintStore.load(str(tmp_path), n_coefs=3)

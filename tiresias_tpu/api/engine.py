@@ -1,0 +1,342 @@
+"""Library API: the :class:`Tiresias` engine.
+
+Mirrors the reference's public surface — the 12 ``fp_*`` functions
+(/root/reference/src/fp_handler.h:13-38) plus the ``Tiresias()`` dialplan
+application's result contract (the seven ``TIR*`` channel variables,
+/root/reference/src/application_handler.c:166-234) — as one engine object:
+
+    eng = Tiresias(config)
+    eng.sync()                                   # init_context/init_audio
+    res = eng.search_file("ctx", "query.wav")    # Tiresias() dialplan app
+    res.status, res.name, res.match_count, ...   # TIR* variables
+
+Lifecycle mirrors load/unload (/root/reference/src/app_tiresias.c:66-149):
+construction restores the checkpoint (fp_init, fp_handler.c:80-87);
+:meth:`close` persists it (fp_term, :97-103) — plus crash-safe checkpoints
+after every ingest batch (PARITY.md D2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from tiresias_tpu.config import (
+    DEF_SEARCH_TOLERANCE,
+    DspConfig,
+    MatchConfig,
+    TiresiasConfig,
+)
+from tiresias_tpu.engine.sync import SyncReport, ingest_files, sync_all
+from tiresias_tpu.ops import match_jax
+from tiresias_tpu.ops.mfcc_jax import fingerprint_signal, fingerprint_signals
+from tiresias_tpu.store.fingerprint_store import AudioEntry, FingerprintStore
+from tiresias_tpu.utils.audio import read_wav
+from tiresias_tpu.utils.hashing import file_md5
+from tiresias_tpu.utils.logging import get_logger
+from tiresias_tpu.utils.tracing import metrics, phase
+
+log = get_logger(__name__)
+
+# TIRSTATUS values (/root/reference/src/application_handler.c:168,173,189,193)
+STATUS_FOUND = "FOUND"
+STATUS_NOTFOUND = "NOTFOUND"
+STATUS_HANGUP = "HANGUP"
+
+
+@dataclasses.dataclass(frozen=True)
+class SearchResult:
+    """The TIR* contract as a result object
+    (/root/reference/src/application_handler.c:193-234 and
+    /root/reference/doc/dialplan_application.rst:24-46)."""
+
+    status: str  # TIRSTATUS
+    frame_count: int  # TIRFRAMECOUNT — all query frames, incl. band-skipped
+    match_count: int  # TIRMATCHCOUNT — votes of the winner
+    uuid: str | None = None  # TIRFILEUUID
+    name: str | None = None  # TIRFILENAME
+    context: str | None = None  # TIRCONTEXT
+    hash: str | None = None  # TIRFILEHASH
+
+    @property
+    def found(self) -> bool:
+        return self.status == STATUS_FOUND
+
+    @property
+    def confidence(self) -> float:
+        """match_count / frame_count — the doc's suggested confidence measure
+        (/root/reference/doc/dialplan_application.rst:40-46)."""
+        return self.match_count / self.frame_count if self.frame_count else 0.0
+
+    def to_channel_vars(self) -> dict[str, str]:
+        """Render as the literal TIR* variable dict the dialplan app sets."""
+        out = {
+            "TIRSTATUS": self.status,
+            "TIRFRAMECOUNT": str(self.frame_count),
+            "TIRMATCHCOUNT": str(self.match_count),
+        }
+        if self.found:
+            out.update(
+                TIRFILEUUID=self.uuid or "",
+                TIRFILENAME=self.name or "",
+                TIRCONTEXT=self.context or "",
+                TIRFILEHASH=self.hash or "",
+            )
+        return out
+
+
+NOT_FOUND = SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
+
+
+class Tiresias:
+    """TPU-native audio fingerprinting engine (the framework's front door)."""
+
+    def __init__(
+        self,
+        config: TiresiasConfig | None = None,
+        restore: bool = True,
+    ) -> None:
+        self.config = config or TiresiasConfig()
+        self.checkpoint_dir = os.path.join(
+            self.config.expanded_data_dir, "checkpoint"
+        )
+        if restore:
+            self.store = FingerprintStore.load(
+                self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs
+            )
+        else:
+            self.store = FingerprintStore(n_coefs=self.config.dsp.n_coefs)
+        for ctx in self.config.contexts:
+            self.store.create_context(ctx.name, ctx.directory)
+
+    # ------------------------------------------------------------------ #
+    # lifecycle
+    # ------------------------------------------------------------------ #
+
+    def sync(self) -> SyncReport:
+        """Reconcile store with config + filesystem (init_context/init_audio,
+        /root/reference/src/app_tiresias.c:230-358)."""
+        with phase("engine.sync"):
+            return sync_all(self.store, self.config, self.checkpoint_dir)
+
+    def save(self) -> None:
+        self.store.save(self.checkpoint_dir)
+
+    def close(self) -> None:
+        """fp_term equivalent (/root/reference/src/fp_handler.c:92-108)."""
+        self.save()
+
+    def __enter__(self) -> "Tiresias":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # ------------------------------------------------------------------ #
+    # context / audio CRUD (fp_handler.h:15-26)
+    # ------------------------------------------------------------------ #
+
+    def create_context(self, name: str, directory: str = "") -> None:
+        self.store.create_context(name, directory)
+
+    def delete_context(self, name: str) -> bool:
+        return self.store.delete_context(name)
+
+    def get_contexts(self) -> list[dict]:
+        return self.store.get_contexts_all()
+
+    def get_audios(self, context: str) -> list[AudioEntry]:
+        return self.store.get_audios_by_context(context)
+
+    def get_audio(self, uuid: str) -> AudioEntry | None:
+        return self.store.get_audio(uuid)
+
+    def delete_audio(self, uuid: str) -> bool:
+        return self.store.delete_audio(uuid)
+
+    def add_audio_file(self, context: str, path: str) -> SyncReport:
+        """Fingerprint + store one file (fp_craete_audio_list_info [sic],
+        /root/reference/src/fp_handler.h:25, fp_handler.c:161-197)."""
+        return ingest_files(self.store, context, [path], self.config.dsp)
+
+    def add_audio_pcm(
+        self,
+        context: str,
+        name: str,
+        pcm: np.ndarray,
+        samplerate: int,
+        file_hash: str | None = None,
+    ) -> AudioEntry | None:
+        """Direct-PCM ingest (no temp files — the API the reference could not
+        offer because aubio reads from disk)."""
+        fp = fingerprint_signal(np.asarray(pcm), samplerate, self.config.dsp)
+        if file_hash is None:
+            import hashlib
+
+            file_hash = hashlib.md5(
+                np.ascontiguousarray(pcm, dtype=np.float32).tobytes()
+            ).hexdigest()
+        return self.store.add_audio(name, context, fp, file_hash)
+
+    # compat alias preserving the reference's misspelled symbol (PARITY.md D6)
+    fp_craete_audio_list_info = add_audio_file
+
+    # ------------------------------------------------------------------ #
+    # search (fp_search_fingerprint_info, /root/reference/src/fp_handler.c:207-408)
+    # ------------------------------------------------------------------ #
+
+    def search_pcm(
+        self,
+        context: str | None,
+        pcm: np.ndarray,
+        samplerate: int,
+        coefs: int | None = None,
+        tolerance: float | None = None,
+        freq_ignore_low: int = -1,
+        freq_ignore_high: int = -1,
+        filter_context: bool = False,
+        trunc_coef1: bool | None = None,
+    ) -> SearchResult:
+        """Search one PCM signal; returns the TIR* result.
+
+        Defaults mirror the dialplan app: ``coefs=1``
+        (/root/reference/src/application_handler.c:180), tolerance from
+        config ``[global]`` (:116-123). Like the reference, the scan covers
+        ALL contexts unless ``filter_context=True`` (PARITY.md D7).
+        ``trunc_coef1=False`` is the high-accuracy extension (PARITY.md D8).
+        """
+        res = self.search_pcm_batch(
+            context,
+            [np.asarray(pcm)],
+            samplerate,
+            coefs=coefs,
+            tolerance=tolerance,
+            freq_ignore_low=freq_ignore_low,
+            freq_ignore_high=freq_ignore_high,
+            filter_context=filter_context,
+            trunc_coef1=trunc_coef1,
+        )
+        return res[0]
+
+    def search_pcm_batch(
+        self,
+        context: str | None,
+        pcms: list[np.ndarray],
+        samplerate: int,
+        coefs: int | None = None,
+        tolerance: float | None = None,
+        freq_ignore_low: int = -1,
+        freq_ignore_high: int = -1,
+        filter_context: bool = False,
+        trunc_coef1: bool | None = None,
+    ) -> list[SearchResult]:
+        """Batched search — many queries against the store in one device pass."""
+        if not pcms:
+            return []
+        mc: MatchConfig = self.config.match
+        if coefs is None:
+            coefs = mc.coefs
+        if tolerance is None:
+            tolerance = mc.tolerance
+        if trunc_coef1 is None:
+            trunc_coef1 = mc.trunc_coef1
+        if tolerance < 0:
+            tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
+        if coefs < 1 or coefs > self.config.dsp.n_coefs:
+            raise ValueError(
+                f"coefs must be in [1, {self.config.dsp.n_coefs}] "
+                "(fp_handler.c:247-250)"
+            )
+        if len(self.store) == 0:
+            with phase("search.fingerprint"):
+                _, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
+            return [
+                SearchResult(STATUS_NOTFOUND, int(n), 0) for n in n_frames
+            ]
+
+        with phase("search.fingerprint"):
+            qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
+        with phase("search.match"):
+            db, db_mask, _ = self.store.device_db()
+            audio_filter = (
+                self.store.context_filter(context) if filter_context else None
+            )
+            best, count, _ = match_jax.search_batch(
+                db,
+                db_mask,
+                qfp,
+                n_frames,
+                coefs=coefs,
+                tolerance=tolerance,
+                freq_ignore_low=freq_ignore_low,
+                freq_ignore_high=freq_ignore_high,
+                audio_filter=None if audio_filter is None else np.asarray(audio_filter),
+                trunc_coef1=trunc_coef1,
+            )
+            best = np.asarray(best)
+            count = np.asarray(count)
+        metrics.add("search.queries", len(pcms))
+
+        results: list[SearchResult] = []
+        entries = self.store.iter_entries()
+        for i in range(len(pcms)):
+            fc = int(n_frames[i])
+            b = int(best[i])
+            if b < 0 or b >= len(entries):
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            e = entries[b]
+            results.append(
+                SearchResult(
+                    status=STATUS_FOUND,
+                    frame_count=fc,
+                    match_count=int(count[i]),
+                    uuid=e.uuid,
+                    name=e.name,
+                    context=e.context,
+                    hash=e.hash,
+                )
+            )
+        return results
+
+    def search_file(
+        self,
+        context: str | None,
+        path: str,
+        coefs: int | None = None,
+        tolerance: float | None = None,
+        freq_ignore_low: int = -1,
+        freq_ignore_high: int = -1,
+        filter_context: bool = False,
+        trunc_coef1: bool | None = None,
+    ) -> SearchResult:
+        """fp_search_fingerprint_info over a file on disk
+        (/root/reference/src/fp_handler.h:27-34)."""
+        pcm, samplerate = read_wav(path)
+        return self.search_pcm(
+            context,
+            pcm,
+            samplerate,
+            coefs=coefs,
+            tolerance=tolerance,
+            freq_ignore_low=freq_ignore_low,
+            freq_ignore_high=freq_ignore_high,
+            filter_context=filter_context,
+            trunc_coef1=trunc_coef1,
+        )
+
+    # ------------------------------------------------------------------ #
+    # hashing helpers (fp_generate_hash / fp_generate_uuid, fp_handler.h:36-38)
+    # ------------------------------------------------------------------ #
+
+    @staticmethod
+    def generate_hash(path: str) -> str:
+        return file_md5(path)
+
+    @staticmethod
+    def generate_uuid() -> str:
+        from tiresias_tpu.utils.hashing import generate_uuid
+
+        return generate_uuid()

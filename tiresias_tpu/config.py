@@ -76,6 +76,10 @@ class MatchConfig:
     # <=0 disables the band filter (/root/reference/src/fp_handler.c:293,300)
     freq_ignore_low: int = -1
     freq_ignore_high: int = -1
+    # Reference parity: C (int) cast of the query's max1
+    # (/root/reference/src/fp_handler.c:290). False = high-accuracy extension
+    # (PARITY.md D8) — no truncation, enabling small-tolerance recognition.
+    trunc_coef1: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,6 +138,13 @@ def config_from_mapping(sections: Mapping[str, Mapping[str, str]]) -> TiresiasCo
                 match_kwargs["freq_ignore_low"] = int(items["freq_ignore_low"])
             if "freq_ignore_high" in items:
                 match_kwargs["freq_ignore_high"] = int(items["freq_ignore_high"])
+            if "trunc_coef1" in items:
+                match_kwargs["trunc_coef1"] = items["trunc_coef1"].strip().lower() in (
+                    "1",
+                    "true",
+                    "yes",
+                    "on",
+                )
             if "data_dir" in items:
                 data_dir = items["data_dir"]
             for key in ("hop_size", "buf_size", "samplerate", "n_filters", "n_coefs"):

@@ -1,0 +1,194 @@
+"""Catalog ↔ config ↔ filesystem synchronisation and batched ingest.
+
+TPU-first rebuild of the reference's init-time reconciliation
+(/root/reference/src/app_tiresias.c:230-358 ``init_context``/``init_audio``,
+:365-424 ``create_new_audio_info``, :431-551 ``delete_removed_audio_info``):
+
+  * contexts present in the store but absent from config are deleted with all
+    their audios (:250-276); contexts in config are created (:279-315).
+  * per context: audios whose file MD5 is no longer present on disk are
+    deleted (:431-551); new files are fingerprinted and added with MD5 dedupe
+    (:365-424 → /root/reference/src/fp_handler.c:479-575).
+
+The per-file serial aubio loop + one-SQL-INSERT-per-frame of the reference
+(SURVEY.md hot loops A/B) becomes: decode all new files on host, group by
+native samplerate, fingerprint each group as one batched jitted computation
+(:func:`tiresias_tpu.ops.mfcc_jax.fingerprint_signals`), then block-write
+into the store matrix.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import numpy as np
+
+from tiresias_tpu.config import DspConfig, TiresiasConfig
+from tiresias_tpu.ops.mfcc_jax import fingerprint_signals
+from tiresias_tpu.store.fingerprint_store import FingerprintStore
+from tiresias_tpu.utils.audio import read_wav
+from tiresias_tpu.utils.hashing import file_md5
+from tiresias_tpu.utils.logging import get_logger
+from tiresias_tpu.utils.tracing import phase
+
+log = get_logger(__name__)
+
+# Max signals fingerprinted per device batch; bounds peak host+HBM memory
+# during ingest of huge directories.
+INGEST_BATCH = 64
+
+
+@dataclasses.dataclass
+class SyncReport:
+    created: int = 0
+    deduped: int = 0
+    deleted: int = 0
+    failed: int = 0
+
+    def __iadd__(self, other: "SyncReport") -> "SyncReport":
+        self.created += other.created
+        self.deduped += other.deduped
+        self.deleted += other.deleted
+        self.failed += other.failed
+        return self
+
+
+def scan_directory(directory: str) -> list[str]:
+    """Sorted file names, skipping only ``.``/``..`` like the reference's
+    ``file_select`` (/root/reference/src/app_tiresias.c:553-572)."""
+    try:
+        names = sorted(os.listdir(directory))
+    except OSError:
+        log.warning("could not scan directory %s", directory)
+        return []
+    return [n for n in names if os.path.isfile(os.path.join(directory, n))]
+
+
+def delete_removed_audio(store: FingerprintStore, context: str, directory: str) -> int:
+    """Delete store entries whose MD5 no longer matches any file on disk
+    (delete_removed_audio_info, /root/reference/src/app_tiresias.c:431-551)."""
+    disk_hashes = set()
+    for name in scan_directory(directory):
+        try:
+            disk_hashes.add(file_md5(os.path.join(directory, name)))
+        except OSError:
+            continue
+    deleted = 0
+    for entry in store.get_audios_by_context(context):
+        if entry.hash not in disk_hashes:
+            store.delete_audio(entry.uuid)
+            deleted += 1
+            log.info("deleted stale audio %s (%s)", entry.name, entry.uuid)
+    return deleted
+
+
+def ingest_files(
+    store: FingerprintStore,
+    context: str,
+    paths: list[str],
+    dsp: DspConfig | None = None,
+) -> SyncReport:
+    """Fingerprint new files in device batches and add them to the store.
+
+    Dedupe is by (context, file MD5) exactly like create_audio_list_info
+    (/root/reference/src/fp_handler.c:494-507). Files that fail to decode are
+    skipped with a log, mirroring the reference's per-file continue
+    (/root/reference/src/app_tiresias.c:415-419).
+    """
+    dsp = dsp or DspConfig()
+    report = SyncReport()
+
+    # 1. host pass: hash + dedupe + decode, grouped by native samplerate
+    #    (DEF_AUBIO_SAMPLERATE 0 = per-file rate, fp_handler.c:37,612)
+    groups: dict[int, list[tuple[str, str, np.ndarray]]] = {}
+    seen_hashes: set[tuple[str, str]] = set()
+    for path in paths:
+        try:
+            digest = file_md5(path)
+        except OSError:
+            log.warning("could not hash %s", path)
+            report.failed += 1
+            continue
+        if (context, digest) in seen_hashes or store.find_by_hash(context, digest):
+            report.deduped += 1
+            continue
+        try:
+            pcm, samplerate = read_wav(path)
+        except Exception:  # noqa: BLE001 - any undecodable file is skipped
+            log.warning("could not decode %s", path)
+            report.failed += 1
+            continue
+        if len(pcm) == 0:
+            log.warning("empty audio %s", path)
+            report.failed += 1
+            continue
+        seen_hashes.add((context, digest))
+        groups.setdefault(int(samplerate), []).append((path, digest, pcm))
+
+    # 2. device pass: batched fingerprint per samplerate group
+    for samplerate, items in groups.items():
+        for start in range(0, len(items), INGEST_BATCH):
+            batch = items[start : start + INGEST_BATCH]
+            with phase("ingest.fingerprint_batch"):
+                fps, n_frames = fingerprint_signals(
+                    [pcm for _, _, pcm in batch], samplerate, dsp
+                )
+            for i, (path, digest, _) in enumerate(batch):
+                entry = store.add_audio(
+                    name=os.path.basename(path),
+                    context=context,
+                    fingerprint=np.asarray(fps[i, : int(n_frames[i])]),
+                    file_hash=digest,
+                )
+                if entry is None:
+                    report.deduped += 1
+                else:
+                    report.created += 1
+                    log.info("ingested %s as %s", path, entry.uuid)
+    return report
+
+
+def sync_context_audio(
+    store: FingerprintStore,
+    context: str,
+    directory: str,
+    dsp: DspConfig | None = None,
+) -> SyncReport:
+    """delete-removed + create-new for one context
+    (init_audio per-context body, /root/reference/src/app_tiresias.c:324-358)."""
+    report = SyncReport()
+    report.deleted = delete_removed_audio(store, context, directory)
+    paths = [os.path.join(directory, n) for n in scan_directory(directory)]
+    report += ingest_files(store, context, paths, dsp)
+    return report
+
+
+def sync_contexts(store: FingerprintStore, config: TiresiasConfig) -> None:
+    """Reconcile the store's contexts with config
+    (init_context, /root/reference/src/app_tiresias.c:230-321)."""
+    configured = {c.name: c.directory for c in config.contexts}
+    for ctx in store.get_contexts_all():
+        if ctx["name"] not in configured:
+            store.delete_context(ctx["name"])
+            log.info("deleted context %s (absent from config)", ctx["name"])
+    for name, directory in configured.items():
+        store.create_context(name, directory)
+
+
+def sync_all(
+    store: FingerprintStore,
+    config: TiresiasConfig,
+    checkpoint_dir: str | None = None,
+) -> SyncReport:
+    """Full init-time sync: contexts, then per-context audio, checkpointing
+    after each context's ingest (crash-safe improvement, PARITY.md D2)."""
+    sync_contexts(store, config)
+    total = SyncReport()
+    for ctx in config.contexts:
+        with phase("sync.context"):
+            report = sync_context_audio(store, ctx.name, ctx.directory, config.dsp)
+        total += report
+        if checkpoint_dir and (report.created or report.deleted):
+            store.save(checkpoint_dir)
+    return total

@@ -51,20 +51,26 @@ def prepare_query(
     n_frames: np.ndarray | jax.Array | None,
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
+    trunc_coef1: bool = True,
 ):
     """Reference query-side preprocessing, batched.
 
     Args:
       query: ``[B, F, C]`` fingerprint values (C ≥ 1).
       n_frames: ``[B]`` true frame counts (None → all F frames valid).
+      trunc_coef1: replicate the reference's C ``(int)`` cast of the query's
+        max1 (/root/reference/src/fp_handler.c:290). ``False`` is the
+        documented high-accuracy extension (PARITY.md D8) — the cast loses
+        ~1 unit of precision in a domain where distinct audio differs by
+        ~0.1, making small-tolerance self-match impossible.
     Returns:
-      (q [B, F, C] with q[...,0] int-truncated, active [B, F] bool,
-       use2 [B, F] bool).
+      (q [B, F, C] with q[...,0] int-truncated when trunc_coef1,
+       active [B, F] bool, use2 [B, F] bool).
     """
     q = jnp.asarray(query, dtype=jnp.float32)
     b, f, c = q.shape
     lo, hi = band_thresholds(freq_ignore_low, freq_ignore_high)
-    q0 = jnp.trunc(q[..., 0])  # C (int) cast truncates toward zero
+    q0 = jnp.trunc(q[..., 0]) if trunc_coef1 else q[..., 0]
     q = q.at[..., 0].set(q0)
     valid = (
         jnp.ones((b, f), dtype=bool)
@@ -158,6 +164,7 @@ def search_batch(
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
+    trunc_coef1: bool = True,
 ):
     """Full reference-semantics search over a batch of queries.
 
@@ -166,7 +173,9 @@ def search_batch(
     """
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
-    q, active, use2 = prepare_query(query, n_frames, freq_ignore_low, freq_ignore_high)
+    q, active, use2 = prepare_query(
+        query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
+    )
     votes = match_votes(db, db_mask, q, active, use2, tolerance, coefs=coefs)
     best, count = top1(votes, audio_filter)
     return best, count, votes

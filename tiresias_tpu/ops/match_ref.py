@@ -51,6 +51,7 @@ def search_reference(
     tolerance: float = DEF_SEARCH_TOLERANCE,
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
+    trunc_coef1: bool = True,
 ) -> RefSearchResult:
     """Simulate the reference search.
 
@@ -58,6 +59,8 @@ def search_reference(
       db: per-audio ``[T_a, n_coefs]`` stored fingerprint arrays.
       query: ``[F, n_coefs]`` query fingerprint.
       coefs / tolerance / freq_ignore_*: as the reference arguments.
+      trunc_coef1: False disables the (int) cast — PARITY.md D8 extension
+        (the oracle supports it so both modes can be cross-validated).
     """
     if coefs < 1 or coefs > 2:
         raise ValueError("coefs must be 1 or 2 (fp_handler.c:247-250)")
@@ -71,7 +74,8 @@ def search_reference(
     votes = np.zeros(len(db), dtype=np.int64)
     frame_count = len(query)
     for f in range(frame_count):
-        q0 = float(int(query[f, 0]))  # (int) cast truncates toward zero
+        # (int) cast truncates toward zero (fp_handler.c:290)
+        q0 = float(int(query[f, 0])) if trunc_coef1 else float(query[f, 0])
         if lo_thr is not None and q0 < lo_thr:
             continue  # frame skipped entirely
         if hi_thr is not None and q0 > hi_thr:
