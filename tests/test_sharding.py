@@ -1,0 +1,106 @@
+"""Multi-device sharding tests on the CPU-simulated 8-device mesh.
+
+Validates that the shard_map DB-sharded search and batch-sharded
+fingerprinting produce bit-identical results to the single-device paths —
+the SURVEY.md §4.5 strategy for testing multi-chip logic without a cluster.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tiresias_tpu.ops import match_jax
+from tiresias_tpu.ops.mfcc_jax import (
+    PAD_VALUE,
+    fingerprint_padded_batch,
+    pad_frames_bucket,
+)
+from tiresias_tpu.parallel import (
+    make_mesh,
+    shard_db,
+    sharded_fingerprint,
+    sharded_search,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _random_db(rng, n_audios=37, t=96, c=2):
+    db = rng.uniform(-30, 25, size=(n_audios, t, c)).astype(np.float32)
+    n_frames = rng.integers(8, t, size=n_audios)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    return db, mask
+
+
+def _random_query(rng, b=5, f=48, c=2):
+    q = rng.uniform(-30, 25, size=(b, f, c)).astype(np.float32)
+    n_frames = rng.integers(4, f, size=b).astype(np.int32)
+    return q, n_frames
+
+
+class TestShardedSearch:
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+    def test_matches_single_device(self, rng, mesh_shape):
+        mesh = make_mesh(*mesh_shape)
+        db, mask = _random_db(rng)
+        q, n_frames = _random_query(rng, b=8)
+        db_s, mask_s, n_audios = shard_db(mesh, db, mask)
+
+        best_s, count_s, votes_s = sharded_search(
+            mesh, db_s, mask_s, q, n_frames,
+            coefs=2, tolerance=1.0, n_audios=n_audios,
+        )
+        best_1, count_1, votes_1 = match_jax.search_batch(
+            db, mask, q, n_frames, coefs=2, tolerance=1.0
+        )
+        np.testing.assert_array_equal(np.asarray(votes_s), np.asarray(votes_1))
+        np.testing.assert_array_equal(np.asarray(best_s), np.asarray(best_1))
+        np.testing.assert_array_equal(np.asarray(count_s), np.asarray(count_1))
+
+    def test_uneven_batch_padded(self, rng):
+        mesh = make_mesh(2, 4)
+        db, mask = _random_db(rng, n_audios=10)
+        q, n_frames = _random_query(rng, b=3)  # 3 not divisible by 4
+        db_s, mask_s, n_audios = shard_db(mesh, db, mask)
+        best_s, count_s, votes_s = sharded_search(
+            mesh, db_s, mask_s, q, n_frames, coefs=1, tolerance=0.5,
+            n_audios=n_audios,
+        )
+        best_1, count_1, votes_1 = match_jax.search_batch(
+            db, mask, q, n_frames, coefs=1, tolerance=0.5
+        )
+        np.testing.assert_array_equal(np.asarray(votes_s), np.asarray(votes_1))
+        np.testing.assert_array_equal(np.asarray(best_s), np.asarray(best_1))
+
+    def test_band_filter_and_trunc_modes(self, rng):
+        mesh = make_mesh(4, 2)
+        db, mask = _random_db(rng, n_audios=9)
+        q, n_frames = _random_query(rng, b=4)
+        db_s, mask_s, n_audios = shard_db(mesh, db, mask)
+        for trunc in (True, False):
+            kw = dict(
+                coefs=2, tolerance=0.8, freq_ignore_low=30,
+                freq_ignore_high=250, trunc_coef1=trunc,
+            )
+            _, _, votes_s = sharded_search(
+                mesh, db_s, mask_s, q, n_frames, n_audios=n_audios, **kw
+            )
+            _, _, votes_1 = match_jax.search_batch(db, mask, q, n_frames, **kw)
+            np.testing.assert_array_equal(np.asarray(votes_s), np.asarray(votes_1))
+
+
+class TestShardedFingerprint:
+    def test_matches_single_device(self, rng, dsp):
+        sr = 8000
+        pcms = [
+            (0.5 * rng.standard_normal(sr // 2 + 77 * i)).astype(np.float32)
+            for i in range(8)
+        ]
+        padded, n_frames = pad_frames_bucket(pcms, dsp.hop_size)
+        mesh = make_mesh(4, 2)
+        fp_sharded = np.asarray(sharded_fingerprint(mesh, padded, sr, dsp))
+        fp_single = np.asarray(fingerprint_padded_batch(padded, sr, dsp))
+        np.testing.assert_allclose(fp_sharded, fp_single, atol=1e-5)

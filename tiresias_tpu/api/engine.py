@@ -259,22 +259,38 @@ class Tiresias:
         with phase("search.fingerprint"):
             qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
         with phase("search.match"):
-            db, db_mask, _ = self.store.device_db()
             audio_filter = (
                 self.store.context_filter(context) if filter_context else None
             )
-            best, count, _ = match_jax.search_batch(
-                db,
-                db_mask,
-                qfp,
-                n_frames,
-                coefs=coefs,
-                tolerance=tolerance,
-                freq_ignore_low=freq_ignore_low,
-                freq_ignore_high=freq_ignore_high,
-                audio_filter=None if audio_filter is None else np.asarray(audio_filter),
-                trunc_coef1=trunc_coef1,
-            )
+            audio_filter = None if audio_filter is None else np.asarray(audio_filter)
+            if coefs == 1 and trunc_coef1:
+                # dialplan configuration → exact MXU lattice fast path
+                from tiresias_tpu.ops.match_lattice import search_lattice
+
+                value_map, _ = self.store.device_value_map()
+                best, count, _ = search_lattice(
+                    value_map,
+                    qfp,
+                    n_frames,
+                    tolerance=tolerance,
+                    freq_ignore_low=freq_ignore_low,
+                    freq_ignore_high=freq_ignore_high,
+                    audio_filter=audio_filter,
+                )
+            else:
+                db, db_mask, _ = self.store.device_db()
+                best, count, _ = match_jax.search_batch(
+                    db,
+                    db_mask,
+                    qfp,
+                    n_frames,
+                    coefs=coefs,
+                    tolerance=tolerance,
+                    freq_ignore_low=freq_ignore_low,
+                    freq_ignore_high=freq_ignore_high,
+                    audio_filter=audio_filter,
+                    trunc_coef1=trunc_coef1,
+                )
             best = np.asarray(best)
             count = np.asarray(count)
         metrics.add("search.queries", len(pcms))

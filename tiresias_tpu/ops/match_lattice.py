@@ -1,0 +1,154 @@
+"""Lattice matcher: MXU-native exact search for the dialplan path.
+
+The reference's dialplan always searches with ``coefs=1`` and truncates the
+query's max1 to an integer (/root/reference/src/application_handler.c:180,
+/root/reference/src/fp_handler.c:290). That truncation means every query
+frame's value lives on an integer lattice — so the whole vote computation
+factorizes exactly:
+
+    M[a, k]   = min_t |db[a, t, 0] − k|          (per-audio distance map,
+                                                  precomputed once per DB)
+    H[k, a]   = M[a, k] <= tol                   (hit map, per query tol)
+    C[b, k]   = #{active frames f : trunc(q[b,f,0]) == k}   (histogram)
+    votes[b,a] = sum_k C[b,k] * H[k,a]           (ONE [B,K]x[K,A] matmul)
+
+This is bit-exact w.r.t. the reference semantics (PARITY.md §3) because all
+query frames sharing an integer value have identical hit outcomes per audio,
+and the per-frame "one vote per audio" rule (GROUP BY) is exactly the
+∃t — i.e. min_t — test. The O(B·F·A·T) broadcast-compare of the general
+matcher becomes an O(A·T·K) one-off build plus an O(B·K·A) MXU matmul per
+query — at 10k tracks ~1.3 GFLOP of VPU compares collapse into a ~5 MFLOP
+matmul. Counts and 0/1 hits are small integers, exact in float32.
+
+Band-ignore (/root/reference/src/fp_handler.c:293-306) is a k-range mask on
+the histogram — also exact, since the filter tests the truncated value.
+
+Limits: coefs=2 needs the joint per-frame condition (min over t does not
+factorize across coefficients) and the D8 no-truncation mode has real-valued
+queries — both stay on :mod:`tiresias_tpu.ops.match_jax` /
+``match_pallas``. The engine dispatches automatically.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tiresias_tpu.ops import match_jax
+
+# Integer lattice covering every reachable truncated fingerprint value:
+# stored values are 10*log10|coef| floored at 10*log10(2e-42) ≈ -417
+# (PARITY.md D1) and realistically peak well under +49. K is a multiple of
+# 128 for clean MXU/VPU tiling.
+K_MIN = -462
+K_SIZE = 512  # covers [-462, 49]
+
+VALUE_BLOCK = 64  # lattice columns per build step (bounds peak memory)
+
+
+@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
+def build_value_map(
+    db0: jax.Array, db_mask: jax.Array, k_min: int = K_MIN, k_size: int = K_SIZE
+) -> jax.Array:
+    """``M [A, K]``: distance from each lattice integer to the nearest stored
+    max1 frame of each audio. Masked/padding frames are excluded (+inf).
+
+    Built once per DB mutation; O(A·T·K) elementwise, blocked over K.
+    """
+    a, t = db0.shape
+    d = jnp.where(db_mask, db0, jnp.inf)  # [A, T]
+    ks = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)
+
+    def block(k_block):  # [Kb] -> [A, Kb]
+        # [A, T, Kb] broadcast never materialises in HBM; XLA fuses the
+        # abs-sub-min chain within each block.
+        return jnp.min(
+            jnp.abs(d[:, :, None] - k_block[None, None, :]), axis=1
+        )
+
+    blocks = jax.lax.map(block, ks.reshape(-1, VALUE_BLOCK))
+    return jnp.moveaxis(blocks, 0, 1).reshape(a, k_size)  # [A, K]
+
+
+@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
+def lattice_votes(
+    value_map: jax.Array,
+    q0: jax.Array,
+    active: jax.Array,
+    tolerance: jax.Array | float,
+    band_lo: jax.Array | float,
+    band_hi: jax.Array | float,
+    k_min: int = K_MIN,
+    k_size: int = K_SIZE,
+) -> jax.Array:
+    """Votes ``[B, A]`` via histogram × hit-map matmul.
+
+    Args:
+      value_map: ``M [A, K]`` from :func:`build_value_map`.
+      q0: ``[B, F]`` query max1 values (pre-truncation is applied here).
+      active: ``[B, F]`` valid-frame mask (frame-count only; the band filter
+        is applied internally on the lattice).
+      tolerance: scalar, inclusive.
+      band_lo / band_hi: thresholds in the log domain (±inf = disabled),
+        from :func:`tiresias_tpu.ops.match_jax.band_thresholds`.
+    """
+    tol = jnp.asarray(tolerance, dtype=jnp.float32)
+    kq = jnp.trunc(q0)  # the reference (int) cast
+    idx = jnp.clip(kq.astype(jnp.int32) - k_min, 0, k_size - 1)
+    # histogram C[b, k] via scatter-add (exact counts). NOT a broadcast
+    # one-hot compare + sum: that lowering takes minutes to compile on the
+    # TPU toolchain (measured 177 s vs 0.5 s for the scatter at A=10k).
+    b = q0.shape[0]
+    c = jnp.zeros((b, k_size), jnp.float32)
+    c = c.at[jnp.arange(b)[:, None], idx].add(active.astype(jnp.float32))
+    # band filter zeroes whole lattice rows (it tests trunc(max1), which is
+    # constant per lattice bucket — fp_handler.c:293-306)
+    kvals = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)
+    in_band = (kvals >= band_lo) & (kvals <= band_hi)
+    c = c * in_band[None, :].astype(jnp.float32)
+    # hit map H[k, a] and the single MXU matmul
+    h = (value_map <= tol).astype(jnp.float32).T  # [K, A]
+    votes = jnp.matmul(
+        c, h, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return votes.astype(jnp.int32)
+
+
+def search_lattice(
+    value_map: jax.Array,
+    query: np.ndarray | jax.Array,
+    n_frames: np.ndarray | jax.Array | None = None,
+    tolerance: float = 0.001,
+    freq_ignore_low: int = -1,
+    freq_ignore_high: int = -1,
+    audio_filter: jax.Array | None = None,
+):
+    """Drop-in equivalent of ``match_jax.search_batch`` for the
+    ``coefs=1, trunc_coef1=True`` (dialplan) path.
+
+    Returns (best [B] int32, match_count [B] int32, votes [B, A] int32).
+    """
+    if tolerance < 0:
+        tolerance = 0.001  # fp_handler.c:252-256
+    q = jnp.asarray(query, dtype=jnp.float32)
+    b, f, _ = q.shape
+    valid = (
+        jnp.ones((b, f), dtype=bool)
+        if n_frames is None
+        else jnp.arange(f)[None, :] < jnp.asarray(n_frames)[:, None]
+    )
+    lo, hi = match_jax.band_thresholds(freq_ignore_low, freq_ignore_high)
+    votes = lattice_votes(
+        value_map,
+        q[..., 0],
+        valid,
+        jnp.float32(tolerance),
+        jnp.float32(lo),
+        jnp.float32(hi),
+    )
+    best, count = match_jax.top1(votes, audio_filter)
+    return best, count, votes

@@ -1,1 +1,19 @@
-"""parallel subpackage of tiresias-tpu."""
+"""parallel subpackage of tiresias-tpu: mesh + shard_map scale-out."""
+
+from tiresias_tpu.parallel.sharding import (
+    BATCH_AXIS,
+    DB_AXIS,
+    make_mesh,
+    shard_db,
+    sharded_fingerprint,
+    sharded_search,
+)
+
+__all__ = [
+    "BATCH_AXIS",
+    "DB_AXIS",
+    "make_mesh",
+    "shard_db",
+    "sharded_fingerprint",
+    "sharded_search",
+]

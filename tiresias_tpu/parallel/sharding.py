@@ -1,0 +1,204 @@
+"""Multi-chip sharding: device mesh, sharded fingerprinting and matching.
+
+The reference is single-process, single-node, shared-memory C (SURVEY.md §2
+"Parallelism strategies": none exist to translate). The TPU-native scale-out
+design maps the workload onto a 2-D device mesh:
+
+  * ``batch`` axis — data parallel: query signals / streams sharded across
+    devices (the dominant axis for ingest and streaming recognition).
+  * ``db`` axis — "tensor"-style parallel: the fingerprint database matrix
+    ``[A, T, C]`` sharded on its audio axis, so each chip holds and scans a
+    slice of a DB too large (or too latency-critical) for one chip; votes
+    are exchanged with one tiled ``all_gather`` over ICI (choosing gather
+    over psum: each shard produces *disjoint* audio columns, so
+    concatenation, not summation, is the reduction).
+
+Everything is ``shard_map`` over ``jax.sharding.Mesh`` + XLA collectives —
+the TPU-native equivalent of the NCCL/MPI layer a GPU framework would hand
+-roll. Tests run on a CPU-simulated 8-device mesh (tests/conftest.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tiresias_tpu.ops import match_jax
+from tiresias_tpu.ops.mfcc_jax import dsp_constants
+from tiresias_tpu.config import DspConfig
+
+DB_AXIS = "db"
+BATCH_AXIS = "batch"
+
+
+def make_mesh(
+    n_db: int | None = None,
+    n_batch: int | None = None,
+    devices=None,
+) -> Mesh:
+    """Build a ``(db, batch)`` mesh over the available devices.
+
+    Defaults: all devices on the ``db`` axis (matching the <10 ms p50 @ 10k
+    tracks target, where DB scan latency dominates), ``batch=1``.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_db is None and n_batch is None:
+        n_db, n_batch = n, 1
+    elif n_db is None:
+        n_db = n // n_batch
+    elif n_batch is None:
+        n_batch = n // n_db
+    if n_db * n_batch != n:
+        raise ValueError(f"mesh {n_db}x{n_batch} != {n} devices")
+    dev_array = np.array(devices).reshape(n_db, n_batch)
+    return Mesh(dev_array, (DB_AXIS, BATCH_AXIS))
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def shard_db(mesh: Mesh, db: np.ndarray, db_mask: np.ndarray):
+    """Pad the audio axis to the db-axis size and device_put with a
+    ``P('db')`` sharding. Padding rows are all-masked (never vote)."""
+    n_db = mesh.shape[DB_AXIS]
+    a = db.shape[0]
+    a_pad = pad_to_multiple(max(a, n_db), n_db)
+    if a_pad != a:
+        db = np.concatenate(
+            [db, np.full((a_pad - a, *db.shape[1:]), 0, dtype=db.dtype)], axis=0
+        )
+        db_mask = np.concatenate(
+            [db_mask, np.zeros((a_pad - a, db_mask.shape[1]), dtype=bool)], axis=0
+        )
+    db_sharding = NamedSharding(mesh, P(DB_AXIS, None, None))
+    mask_sharding = NamedSharding(mesh, P(DB_AXIS, None))
+    return (
+        jax.device_put(jnp.asarray(db), db_sharding),
+        jax.device_put(jnp.asarray(db_mask), mask_sharding),
+        a,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "coefs", "audio_block")
+)
+def _sharded_votes(
+    mesh: Mesh,
+    db: jax.Array,
+    db_mask: jax.Array,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: jax.Array,
+    coefs: int,
+    audio_block: int,
+) -> jax.Array:
+    """Votes ``[B, A_pad]`` computed shard-locally then gathered over ICI."""
+
+    def shard_fn(db_s, mask_s, q_s, active_s, use2_s, tol):
+        # [B_local, A_local] — each db shard scans its slice only; the
+        # output stays sharded on both axes (disjoint audio columns), so no
+        # collective is needed here — XLA inserts the gather lazily when the
+        # caller reduces over the audio axis (top-1).
+        return match_jax.match_votes(
+            db_s, mask_s, q_s, active_s, use2_s, tol,
+            coefs=coefs, audio_block=audio_block,
+        )
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DB_AXIS, None, None),
+            P(DB_AXIS, None),
+            P(BATCH_AXIS, None, None),
+            P(BATCH_AXIS, None),
+            P(BATCH_AXIS, None),
+            P(),
+        ),
+        out_specs=P(BATCH_AXIS, DB_AXIS),
+    )(db, db_mask, q, active, use2, tolerance)
+
+
+def sharded_search(
+    mesh: Mesh,
+    db: jax.Array,
+    db_mask: jax.Array,
+    query: np.ndarray | jax.Array,
+    n_frames: np.ndarray | None = None,
+    coefs: int = 1,
+    tolerance: float = 0.001,
+    freq_ignore_low: int = -1,
+    freq_ignore_high: int = -1,
+    trunc_coef1: bool = True,
+    n_audios: int | None = None,
+    audio_block: int = match_jax.AUDIO_BLOCK,
+):
+    """Reference-semantics search with the DB sharded across the mesh.
+
+    ``query [B, F, C]`` must have B divisible by the batch axis (pad with
+    zero-frame queries on host). Returns (best [B], match_count [B],
+    votes [B, A]).
+    """
+    q, active, use2 = match_jax.prepare_query(
+        query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
+    )
+    n_batch = mesh.shape[BATCH_AXIS]
+    b = q.shape[0]
+    b_pad = pad_to_multiple(max(b, n_batch), n_batch)
+    if b_pad != b:
+        pad = b_pad - b
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        active = jnp.pad(active, ((0, pad), (0, 0)))
+        use2 = jnp.pad(use2, ((0, pad), (0, 0)))
+    votes = _sharded_votes(
+        mesh, db, db_mask, q, active, use2,
+        jnp.asarray(tolerance, dtype=jnp.float32), coefs, audio_block,
+    )
+    votes = votes[:b]
+    if n_audios is not None:
+        votes = votes[:, :n_audios]
+    best, count = match_jax.top1(votes)
+    return best, count, votes
+
+
+def sharded_fingerprint(
+    mesh: Mesh,
+    pcm_padded: np.ndarray | jax.Array,
+    samplerate: int,
+    dsp: DspConfig | None = None,
+) -> jax.Array:
+    """Data-parallel fingerprinting: signals sharded on the batch axis.
+
+    The frame axis is embarrassingly parallel (SURVEY.md §5 long-context
+    note), so sharding whole signals across chips needs no halo exchange;
+    ``pcm_padded [B, S]`` with B divisible by the mesh's total device count
+    (the db axis is folded into batch for ingest — all chips fingerprint).
+    """
+    from tiresias_tpu.ops.mfcc_jax import _fingerprint_padded
+
+    dsp = dsp or DspConfig()
+    window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
+    n_total = mesh.devices.size
+    pcm = jnp.asarray(pcm_padded, dtype=jnp.float32)
+    if pcm.shape[0] % n_total != 0:
+        raise ValueError(f"batch {pcm.shape[0]} not divisible by {n_total} devices")
+
+    def shard_fn(pcm_s, w, m, d):
+        return _fingerprint_padded(pcm_s, w, m, d, dsp.hop_size, dsp.buf_size)
+
+    flat = P((DB_AXIS, BATCH_AXIS), None)
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(flat, P(), P(), P()),
+        out_specs=P((DB_AXIS, BATCH_AXIS), None, None),
+    )(pcm, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t))

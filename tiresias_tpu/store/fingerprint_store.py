@@ -98,6 +98,7 @@ class FingerprintStore:
         self.contexts: dict[str, str] = {}  # name -> directory
         self._matrix = np.full((0, 0, self.n_coefs), PAD_VALUE, dtype=np.float32)
         self._device_db = None  # cached (db, mask, n_audios) jax arrays
+        self._value_map = None  # cached lattice map [A_pad, K] (match_lattice)
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -278,8 +279,21 @@ class FingerprintStore:
             n_frames[:a] = [e.n_frames for e in self.entries]
             mask = np.arange(t)[None, :] < n_frames[:, None]
             self._device_db = (jnp.asarray(db), jnp.asarray(mask), a)
+            self._value_map = None  # rebuilt lazily from the new view
             self._dirty = False
             return self._device_db
+
+    def device_value_map(self):
+        """Cached lattice distance map ``M [A_pad, K]`` for the MXU search
+        fast path (:mod:`tiresias_tpu.ops.match_lattice`); rebuilt only when
+        the store mutates."""
+        from tiresias_tpu.ops.match_lattice import build_value_map
+
+        db, mask, n_audios = self.device_db()
+        with self._lock:
+            if self._value_map is None:
+                self._value_map = build_value_map(db[..., 0], mask)
+            return self._value_map, n_audios
 
     def context_filter(self, context: str | None) -> np.ndarray | None:
         """Bool ``[A_pad]`` selecting a context's audios in the device view,
