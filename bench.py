@@ -129,6 +129,9 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
 
 
 def main() -> None:
+    from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     throughput = bench_fingerprint_throughput()
     try:
         bench_search_latency()

@@ -1,0 +1,105 @@
+"""CLI surface: reference command/table parity + new create/search verbs.
+
+Table formats and messages mirror /root/reference/src/cli_handler.c:78,132,
+185,223 and the session transcripts in /root/reference/doc/cli_operation.rst.
+"""
+
+import os
+
+import pytest
+
+from tiresias_tpu import cli
+from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+SR = 8000
+
+
+@pytest.fixture()
+def env(tmp_path):
+    directory = tmp_path / "media"
+    directory.mkdir()
+    for i in range(3):
+        write_wav(str(directory / f"t{i}.wav"), synth_tone(300 + 150 * i, 0.8, SR), SR)
+    conf = tmp_path / "tiresias.conf"
+    conf.write_text(
+        "[global]\n"
+        "tolerance=0.01\n"
+        "coefs=2\n"
+        "trunc_coef1=no\n"
+        f"data_dir={tmp_path / 'data'}\n"
+        "\n"
+        "[media]\n"
+        f"directory={directory}\n"
+    )
+    return {"conf": str(conf), "dir": str(directory)}
+
+
+def run(capsys, *argv):
+    rc = cli.main(list(argv))
+    return rc, capsys.readouterr().out
+
+
+class TestCli:
+    def test_create_and_show(self, env, capsys):
+        rc, out = run(capsys, "-c", env["conf"], "create")
+        assert rc == 0 and "created[3]" in out
+
+        rc, out = run(capsys, "-c", env["conf"], "show", "contexts")
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0].startswith("Name")
+        assert any(line.startswith("media") for line in lines[1:])
+        # reference column width: name padded to 36 (cli_handler.c:78)
+        assert lines[1][:36].strip() == "media"
+
+        rc, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0].split() == ["Uuid", "Name", "Context", "Hash"]
+        assert len(lines) == 4  # header + 3 audios
+        # column offsets: 36+1, 45+1, 36+1 (cli_handler.c:132)
+        assert lines[1][37:82].strip() == "t0.wav"
+
+    def test_show_audios_unknown_context(self, env, capsys):
+        rc, out = run(capsys, "-c", env["conf"], "show", "audios", "nope")
+        assert rc == 1 and "Could not find context info. context[nope]" in out
+
+    def test_search_found(self, env, capsys):
+        run(capsys, "-c", env["conf"], "create")
+        rc, out = run(
+            capsys, "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t1.wav"),
+        )
+        assert rc == 0
+        vars_ = dict(line.split("=", 1) for line in out.strip().splitlines())
+        assert vars_["TIRSTATUS"] == "FOUND"
+        assert vars_["TIRFILENAME"] == "t1.wav"
+        assert float(vars_["CONFIDENCE"]) == 1.0
+
+    def test_remove_audio_and_context(self, env, capsys):
+        run(capsys, "-c", env["conf"], "create")
+        _, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
+        uuid = out.splitlines()[1].split()[0]
+
+        rc, out = run(capsys, "-c", env["conf"], "remove", "audio", uuid)
+        assert rc == 0 and out.strip() == f"Removed the audio info. uuid[{uuid}]"
+
+        rc, out = run(capsys, "-c", env["conf"], "remove", "audio", uuid)
+        assert rc == 1 and "Could not remove the audio info" in out
+
+        rc, out = run(capsys, "-c", env["conf"], "remove", "context", "media")
+        assert rc == 0 and out.strip() == "Removed the context info. context[media]"
+        # NOTE: a context named in the config is re-created on the next
+        # engine init (the reference does the same at module load,
+        # app_tiresias.c:279-315), so a repeat remove also succeeds — but
+        # its audios stay gone.
+        _, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
+        assert len(out.splitlines()) == 1  # header only
+
+    def test_remove_unknown_context(self, env, capsys):
+        rc, out = run(capsys, "-c", env["conf"], "remove", "context", "ghost")
+        assert rc == 1 and "Could not remove the context info" in out
+
+    def test_create_named_unknown_context(self, env, capsys):
+        rc, out = run(capsys, "-c", env["conf"], "create", "nope")
+        assert rc == 1 and "Could not find context info" in out

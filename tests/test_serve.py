@@ -1,0 +1,132 @@
+"""Streaming recognition: 128 concurrent channels, batched scoring.
+
+The BASELINE #3/#5 scenario without a PBX: synthetic 8 kHz streams pushed in
+20 ms frames (Asterisk's frame size), scored in batched device passes, with
+the reference's duration/hangup semantics
+(/root/reference/src/application_handler.c:60,165-176).
+"""
+
+import time
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import STATUS_FOUND, STATUS_HANGUP, Tiresias
+from tiresias_tpu.config import ContextConfig, MatchConfig, TiresiasConfig
+from tiresias_tpu.serve import StreamingRecognizer
+from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+SR = 8000
+FRAME = SR // 50  # 20 ms
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    directory = tmp_path_factory.mktemp("serve_corpus")
+    for i in range(8):
+        write_wav(
+            str(directory / f"tone{i}.wav"), synth_tone(300 + 200 * i, 1.0, SR), SR
+        )
+    cfg = TiresiasConfig(
+        match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),  # D8 mode
+        contexts=(ContextConfig(name="media", directory=str(directory)),),
+        data_dir=str(tmp_path_factory.mktemp("serve_data")),
+    )
+    eng = Tiresias(cfg, restore=False)
+    assert eng.sync().created == 8
+    return eng
+
+
+class TestSingleChannel:
+    def test_duration_gated_result(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("chan-1", context="media", duration_ms=1000)
+        pcm = synth_tone(300, 1.2, SR)
+        # push 0.5 s: not enough yet
+        rec.push("chan-1", pcm[: SR // 2])
+        assert rec.process_ready() == {}
+        # push the rest: one result, channel closed
+        rec.push("chan-1", pcm[SR // 2 :])
+        results = rec.process_ready()
+        assert set(results) == {"chan-1"}
+        res = results["chan-1"]
+        assert res.status == STATUS_FOUND and res.name == "tone0.wav"
+        assert rec.n_channels == 0
+
+    def test_hangup_before_duration(self, engine):
+        # mid-record hangup → HANGUP, no search (application_handler.c:165-176)
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("chan-2", context="media", duration_ms=3000)
+        rec.push("chan-2", synth_tone(500, 0.5, SR))
+        res = rec.hangup("chan-2")
+        assert res.status == STATUS_HANGUP
+        assert res.frame_count == 0 and res.match_count == 0
+        assert rec.process_ready() == {}
+
+    def test_zero_duration_uses_default(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("chan-3", context="media", duration_ms=0)
+        assert rec._channels["chan-3"].duration_ms == 3000
+
+    def test_callback_invoked(self, engine):
+        seen = {}
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open(
+            "chan-4", context="media", duration_ms=500,
+            on_result=lambda cid, r: seen.setdefault(cid, r),
+        )
+        rec.push("chan-4", synth_tone(700, 0.6, SR))
+        rec.process_ready()
+        assert "chan-4" in seen and seen["chan-4"].name == "tone2.wav"
+
+
+class TestManyChannels:
+    def test_128_streams_recognized(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        n = 128
+        tones = [300 + 200 * (i % 8) for i in range(n)]
+        streams = [synth_tone(f, 1.1, SR) for f in tones]
+        for i in range(n):
+            rec.open(f"ch{i}", context="media", duration_ms=1000)
+        # interleaved 20 ms frames, like a PBX would deliver
+        offset = 0
+        results = {}
+        t0 = time.perf_counter()
+        while offset < SR * 1.1:
+            for i in range(n):
+                rec.push(f"ch{i}", streams[i][offset : offset + FRAME])
+            offset += FRAME
+            results.update(rec.process_ready())
+        elapsed = time.perf_counter() - t0
+        assert len(results) == n
+        for i in range(n):
+            res = results[f"ch{i}"]
+            assert res.status == STATUS_FOUND
+            assert res.name == f"tone{i % 8}.wav", f"ch{i}: {res.name}"
+        # loose real-time sanity: 128 x 1 s of audio in one batched pass
+        # must beat 1x real time per channel even on CPU
+        assert elapsed < 60.0, f"took {elapsed:.1f}s"
+
+    def test_continuous_mode_slides(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("cont", context="media", duration_ms=250, continuous=True)
+        rec.push("cont", synth_tone(300, 1.0, SR))
+        first = rec.process_ready()
+        assert first["cont"].status == STATUS_FOUND
+        # channel stays open and a second window scores from the remainder
+        assert rec.n_channels == 1
+        second = rec.process_ready()
+        assert second["cont"].status == STATUS_FOUND
+        rec.close("cont")
+        assert rec.n_channels == 0
+
+    def test_mixed_parameters_grouped(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("a", context="media", duration_ms=500)
+        rec.open("b", context="media", duration_ms=500, tolerance=5.0, coefs=1)
+        pcm = synth_tone(300, 0.6, SR)
+        rec.push("a", pcm)
+        rec.push("b", pcm)
+        results = rec.process_ready()
+        assert set(results) == {"a", "b"}
+        assert results["a"].found

@@ -98,6 +98,9 @@ class Tiresias:
         config: TiresiasConfig | None = None,
         restore: bool = True,
     ) -> None:
+        from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config or TiresiasConfig()
         self.checkpoint_dir = os.path.join(
             self.config.expanded_data_dir, "checkpoint"

@@ -1,0 +1,192 @@
+"""``tiresias`` command-line admin surface.
+
+Mirrors the reference's four Asterisk CLI commands
+(/root/reference/src/cli_handler.c:26-31) with identical table layouts
+(``%-36.36s %-70.70s`` for contexts, ``%-36.36s %-45.45s %-36.36s %-36.36s``
+for audios — cli_handler.c:78,132) and result messages (:185,223), plus the
+operations the reference only exposes implicitly (directory ingest happens
+at module load; search only via dialplan):
+
+    tiresias show contexts
+    tiresias show audios <context>
+    tiresias remove audio <uuid>
+    tiresias remove context <name>
+    tiresias create [<context>]        # directory sync/ingest
+    tiresias search <context> <wav>    # one-shot recognition
+    tiresias bench                     # quick local throughput check
+
+Config comes from ``--config tiresias.conf`` (same INI schema as
+/root/reference/doc/configuration.rst) or defaults.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tiresias_tpu.config import TiresiasConfig, load_config
+
+
+def _engine(args) -> "Tiresias":
+    from tiresias_tpu.api import Tiresias
+
+    config = load_config(args.config) if args.config else TiresiasConfig()
+    return Tiresias(config)
+
+
+def cmd_show_contexts(args) -> int:
+    eng = _engine(args)
+    print("%-36.36s %-70.70s" % ("Name", "Directory"))
+    for ctx in eng.get_contexts():
+        print("%-36.36s %-70.70s" % (ctx["name"], ctx["directory"]))
+    return 0
+
+
+def cmd_show_audios(args) -> int:
+    eng = _engine(args)
+    if eng.store.get_context(args.context) is None:
+        # cli_handler.c:128
+        print(f"Could not find context info. context[{args.context}]")
+        return 1
+    print(
+        "%-36.36s %-45.45s %-36.36s %-36.36s" % ("Uuid", "Name", "Context", "Hash")
+    )
+    for a in eng.get_audios(args.context):
+        print(
+            "%-36.36s %-45.45s %-36.36s %-36.36s"
+            % (a.uuid, a.name, a.context, a.hash)
+        )
+    return 0
+
+
+def cmd_remove_audio(args) -> int:
+    eng = _engine(args)
+    if not eng.delete_audio(args.uuid):
+        print(f"Could not remove the audio info. uuid[{args.uuid}]")
+        return 1
+    eng.save()
+    print(f"Removed the audio info. uuid[{args.uuid}]")  # cli_handler.c:185
+    return 0
+
+
+def cmd_remove_context(args) -> int:
+    eng = _engine(args)
+    if not eng.delete_context(args.name):
+        print(f"Could not remove the context info. context[{args.name}]")
+        return 1
+    eng.save()
+    print(f"Removed the context info. context[{args.name}]")  # cli_handler.c:223
+    return 0
+
+
+def cmd_create(args) -> int:
+    """Directory sync — the init_audio path the reference runs at module
+    load (/root/reference/src/app_tiresias.c:324-358)."""
+    from tiresias_tpu.engine.sync import sync_context_audio
+
+    eng = _engine(args)
+    if args.context:
+        ctx = eng.store.get_context(args.context)
+        if ctx is None or not ctx["directory"]:
+            print(f"Could not find context info. context[{args.context}]")
+            return 1
+        report = sync_context_audio(
+            eng.store, args.context, ctx["directory"], eng.config.dsp
+        )
+        eng.save()
+    else:
+        report = eng.sync()
+    print(
+        f"Sync complete. created[{report.created}] deduped[{report.deduped}] "
+        f"deleted[{report.deleted}] failed[{report.failed}]"
+    )
+    return 0
+
+
+def cmd_search(args) -> int:
+    eng = _engine(args)
+    res = eng.search_file(
+        args.context,
+        args.file,
+        coefs=args.coefs,
+        tolerance=args.tolerance,
+        freq_ignore_low=args.freq_ignore_low,
+        freq_ignore_high=args.freq_ignore_high,
+        filter_context=args.filter_context,
+        trunc_coef1=None if args.exact is None else not args.exact,
+    )
+    for key, value in res.to_channel_vars().items():
+        print(f"{key}={value}")
+    print(f"CONFIDENCE={res.confidence:.4f}")
+    return 0 if res.found else 2
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root harness
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tiresias",
+        description="TPU-native audio fingerprinting and recognition",
+    )
+    p.add_argument("-c", "--config", help="tiresias.conf-style INI file")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    show = sub.add_parser("show", help="list contexts or audios")
+    show_sub = show.add_subparsers(dest="what", required=True)
+    show_sub.add_parser("contexts").set_defaults(func=cmd_show_contexts)
+    sa = show_sub.add_parser("audios")
+    sa.add_argument("context")
+    sa.set_defaults(func=cmd_show_audios)
+
+    rm = sub.add_parser("remove", help="remove an audio or context")
+    rm_sub = rm.add_subparsers(dest="what", required=True)
+    ra = rm_sub.add_parser("audio")
+    ra.add_argument("uuid")
+    ra.set_defaults(func=cmd_remove_audio)
+    rc = rm_sub.add_parser("context")
+    rc.add_argument("name")
+    rc.set_defaults(func=cmd_remove_context)
+
+    cr = sub.add_parser("create", help="ingest configured directories")
+    cr.add_argument("context", nargs="?")
+    cr.set_defaults(func=cmd_create)
+
+    se = sub.add_parser("search", help="recognize a WAV file")
+    se.add_argument("context")
+    se.add_argument("file")
+    se.add_argument("--coefs", type=int, default=None)
+    se.add_argument("--tolerance", type=float, default=None)
+    se.add_argument("--freq-ignore-low", type=int, default=-1)
+    se.add_argument("--freq-ignore-high", type=int, default=-1)
+    se.add_argument(
+        "--filter-context",
+        action="store_true",
+        help="restrict the scan to the named context (the reference scans "
+        "all contexts — PARITY.md D7)",
+    )
+    se.add_argument(
+        "--exact",
+        action="store_true",
+        default=None,
+        help="disable the reference's integer truncation of max1 for "
+        "small-tolerance recognition (PARITY.md D8)",
+    )
+    se.set_defaults(func=cmd_search)
+
+    be = sub.add_parser("bench", help="run the benchmark harness")
+    be.set_defaults(func=cmd_bench)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

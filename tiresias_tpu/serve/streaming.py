@@ -1,0 +1,220 @@
+"""Streaming recognition: many concurrent channels, batched scoring.
+
+TPU-first rebuild of the ``Tiresias()`` dialplan application's runtime
+(/root/reference/src/application_handler.c:66-312): where the reference
+records each channel to a temp WAV on its own Asterisk thread and then runs
+one per-call SQL search (``record_voice`` loop :248-312, search :180), here
+each channel pushes PCM into an in-memory buffer and all channels that have
+reached their recognition duration are scored **together** in one batched
+device pass — the design that sustains 128+ concurrent 8 kHz streams
+(BASELINE configs #3/#5). No temp-file round trip (a reference artifact,
+SURVEY.md §3.2).
+
+Reference semantics kept:
+  * default duration 3000 ms (/root/reference/src/application_handler.c:60);
+  * per-call overrides of tolerance/coefs/band args (:81-137);
+  * hangup before the duration elapses → ``TIRSTATUS=HANGUP``, **no search**
+    (:165-176, record_voice returns 0 on NULL frame :281-287);
+  * the search runs with the engine's match defaults (dialplan: coefs=1).
+
+Extension (documented): ``continuous=True`` keeps a sliding window per
+channel and re-scores every ``duration_ms`` hop instead of closing after
+the first result.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable
+
+import numpy as np
+
+from tiresias_tpu.api.engine import (
+    STATUS_HANGUP,
+    SearchResult,
+    Tiresias,
+)
+from tiresias_tpu.config import DEF_DURATION_MS
+from tiresias_tpu.utils.logging import get_logger
+from tiresias_tpu.utils.tracing import metrics, phase
+
+log = get_logger(__name__)
+
+
+@dataclasses.dataclass
+class ChannelState:
+    """One live stream (the per-call state the reference keeps on its
+    channel thread's stack)."""
+
+    channel_id: str
+    context: str | None
+    duration_ms: int
+    samplerate: int
+    tolerance: float | None
+    coefs: int | None
+    freq_ignore_low: int
+    freq_ignore_high: int
+    trunc_coef1: bool | None
+    filter_context: bool
+    continuous: bool
+    on_result: Callable[[str, SearchResult], None] | None
+    chunks: list[np.ndarray] = dataclasses.field(default_factory=list)
+    buffered: int = 0  # samples currently buffered
+    closed: bool = False
+
+    @property
+    def needed_samples(self) -> int:
+        return int(self.samplerate * self.duration_ms / 1000)
+
+
+class StreamingRecognizer:
+    """Batched sliding-window scorer over many concurrent channels."""
+
+    def __init__(self, engine: Tiresias, samplerate: int = 8000) -> None:
+        self.engine = engine
+        self.samplerate = samplerate
+        self._lock = threading.Lock()
+        self._channels: dict[str, ChannelState] = {}
+
+    # ------------------------------------------------------------------ #
+    # channel lifecycle (≈ dialplan app invocation / hangup)
+    # ------------------------------------------------------------------ #
+
+    def open(
+        self,
+        channel_id: str,
+        context: str | None = None,
+        duration_ms: int = DEF_DURATION_MS,
+        tolerance: float | None = None,
+        coefs: int | None = None,
+        freq_ignore_low: int = -1,
+        freq_ignore_high: int = -1,
+        trunc_coef1: bool | None = None,
+        filter_context: bool = False,
+        continuous: bool = False,
+        on_result: Callable[[str, SearchResult], None] | None = None,
+    ) -> None:
+        """Start recognizing a channel — the ``Tiresias(context,duration,
+        tolerance,low,high)`` argument contract
+        (/root/reference/src/application_handler.c:81-137)."""
+        if duration_ms <= 0:
+            duration_ms = DEF_DURATION_MS
+        state = ChannelState(
+            channel_id=channel_id,
+            context=context,
+            duration_ms=duration_ms,
+            samplerate=self.samplerate,
+            tolerance=tolerance,
+            coefs=coefs,
+            freq_ignore_low=freq_ignore_low,
+            freq_ignore_high=freq_ignore_high,
+            trunc_coef1=trunc_coef1,
+            filter_context=filter_context,
+            continuous=continuous,
+            on_result=on_result,
+        )
+        with self._lock:
+            self._channels[channel_id] = state
+
+    def push(self, channel_id: str, pcm: np.ndarray) -> None:
+        """Feed PCM (float32 [-1,1]) — the ast_read frame loop
+        (/root/reference/src/application_handler.c:264-302, voice frames)."""
+        with self._lock:
+            state = self._channels.get(channel_id)
+            if state is None or state.closed:
+                return
+            pcm = np.asarray(pcm, dtype=np.float32).ravel()
+            state.chunks.append(pcm)
+            state.buffered += len(pcm)
+
+    def hangup(self, channel_id: str) -> SearchResult | None:
+        """Channel died. Mid-recording → HANGUP status, no search
+        (/root/reference/src/application_handler.c:165-176)."""
+        with self._lock:
+            state = self._channels.pop(channel_id, None)
+        if state is None or state.closed:
+            return None
+        result = SearchResult(
+            status=STATUS_HANGUP,
+            frame_count=0,
+            match_count=0,
+        )
+        if state.on_result:
+            state.on_result(channel_id, result)
+        return result
+
+    def close(self, channel_id: str) -> None:
+        with self._lock:
+            self._channels.pop(channel_id, None)
+
+    @property
+    def n_channels(self) -> int:
+        with self._lock:
+            return len(self._channels)
+
+    # ------------------------------------------------------------------ #
+    # batched scoring
+    # ------------------------------------------------------------------ #
+
+    def _take_ready(self) -> list[tuple[ChannelState, np.ndarray]]:
+        ready: list[tuple[ChannelState, np.ndarray]] = []
+        with self._lock:
+            for state in list(self._channels.values()):
+                need = state.needed_samples
+                if state.buffered < need or state.closed:
+                    continue
+                pcm = np.concatenate(state.chunks) if state.chunks else np.zeros(0)
+                window = pcm[:need]
+                if state.continuous:
+                    # slide: keep the remainder for the next window
+                    rest = pcm[need:]
+                    state.chunks = [rest] if len(rest) else []
+                    state.buffered = len(rest)
+                else:
+                    state.closed = True
+                    del self._channels[state.channel_id]
+                ready.append((state, window))
+        return ready
+
+    def process_ready(self) -> dict[str, SearchResult]:
+        """Score every channel that has a full window — ONE batched device
+        pass for all of them (grouped by identical search parameters so each
+        group is a single ``search_pcm_batch`` call)."""
+        ready = self._take_ready()
+        if not ready:
+            return {}
+        groups: dict[tuple, list[tuple[ChannelState, np.ndarray]]] = {}
+        for state, pcm in ready:
+            key = (
+                state.context,
+                state.tolerance,
+                state.coefs,
+                state.freq_ignore_low,
+                state.freq_ignore_high,
+                state.trunc_coef1,
+                state.filter_context,
+            )
+            groups.setdefault(key, []).append((state, pcm))
+
+        results: dict[str, SearchResult] = {}
+        for key, items in groups.items():
+            (context, tolerance, coefs, lo, hi, trunc, filt) = key
+            with phase("serve.batch_search"):
+                batch_results = self.engine.search_pcm_batch(
+                    context,
+                    [pcm for _, pcm in items],
+                    self.samplerate,
+                    coefs=coefs,
+                    tolerance=tolerance,
+                    freq_ignore_low=lo,
+                    freq_ignore_high=hi,
+                    filter_context=filt,
+                    trunc_coef1=trunc,
+                )
+            for (state, _), result in zip(items, batch_results):
+                results[state.channel_id] = result
+                if state.on_result:
+                    state.on_result(state.channel_id, result)
+        metrics.add("serve.windows_scored", len(ready))
+        return results
