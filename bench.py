@@ -23,7 +23,7 @@ def bench_fingerprint_throughput() -> float:
     import jax.numpy as jnp
 
     from tiresias_tpu.config import DspConfig
-    from tiresias_tpu.ops.mfcc_jax import _fingerprint_padded, dsp_constants
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
 
     dsp = DspConfig()
     sr = 8000
@@ -31,14 +31,13 @@ def bench_fingerprint_throughput() -> float:
     n_samples = int(sr * clip_s)
     n_samples -= n_samples % dsp.hop_size
     rng = np.random.default_rng(0)
-    window, mel_t, dct_t = dsp_constants(dsp, sr)
-    w, m, d = jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
     pcm = jnp.asarray(
         (0.3 * rng.standard_normal((batch, n_samples))).astype(np.float32)
     )
 
     def run():
-        return _fingerprint_padded(pcm, w, m, d, dsp.hop_size, dsp.buf_size)
+        # dispatches to the fused Pallas kernel on TPU (mfcc_pallas)
+        return fingerprint_padded_batch(pcm, sr, dsp)
 
     # warmup / compile, with a readback to force full sync over the tunnel
     float(np.asarray(run()[0, 0, 0]))

@@ -1,0 +1,76 @@
+"""Fused Pallas matcher vs the XLA matcher and the Python oracle.
+
+Interpret mode on CPU; the kernel must reproduce the reference semantics
+exactly (integer vote counts — comparisons are equalities, not tolerances).
+"""
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.ops import match_jax
+from tiresias_tpu.ops.match_pallas import search_batch_pallas
+from tiresias_tpu.ops.match_ref import search_reference
+from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+
+def _random_db(rng, n_audios=37, t=128, c=2):
+    db = rng.uniform(-40, 30, size=(n_audios, t, c)).astype(np.float32)
+    n_frames = rng.integers(1, t + 1, size=n_audios)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    return db, mask, n_frames
+
+
+@pytest.mark.parametrize("coefs", [1, 2])
+@pytest.mark.parametrize("tolerance", [0.001, 0.9, 2.5])
+def test_matches_xla(rng, coefs, tolerance):
+    db, mask, n_frames = _random_db(rng)
+    q = rng.uniform(-40, 30, size=(3, 32, 2)).astype(np.float32)
+    qf = rng.integers(1, 32, size=3).astype(np.int32)
+    _, _, votes_p = search_batch_pallas(
+        db, q, qf, coefs=coefs, tolerance=tolerance, interpret=True
+    )
+    _, _, votes_x = match_jax.search_batch(
+        db, mask, q, qf, coefs=coefs, tolerance=tolerance
+    )
+    np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+
+
+@pytest.mark.parametrize("trunc", [True, False])
+def test_matches_oracle_with_band(rng, trunc):
+    db, mask, n_frames = _random_db(rng, n_audios=9)
+    q = rng.uniform(-40, 30, size=(2, 24, 2)).astype(np.float32)
+    best, count, votes = search_batch_pallas(
+        db, q, None, coefs=2, tolerance=0.8,
+        freq_ignore_low=25, freq_ignore_high=400,
+        trunc_coef1=trunc, interpret=True,
+    )
+    db_list = [db[i, : n_frames[i]] for i in range(db.shape[0])]
+    for b in range(2):
+        ref = search_reference(
+            db_list, q[b], coefs=2, tolerance=0.8,
+            freq_ignore_low=25, freq_ignore_high=400, trunc_coef1=trunc,
+        )
+        np.testing.assert_array_equal(np.asarray(votes[b]), ref.votes)
+        assert int(count[b]) == ref.match_count
+
+
+def test_audio_padding_gets_no_votes(rng):
+    # 37 audios → padded to 128 inside the kernel; votes sliced back
+    db, mask, _ = _random_db(rng, n_audios=37)
+    q = rng.uniform(-40, 30, size=(1, 16, 2)).astype(np.float32)
+    _, _, votes = search_batch_pallas(
+        db, q, None, coefs=1, tolerance=5.0, interpret=True
+    )
+    assert np.asarray(votes).shape == (1, 37)
+
+
+def test_empty_frames_inactive(rng):
+    db, mask, _ = _random_db(rng, n_audios=5)
+    q = rng.uniform(-40, 30, size=(2, 16, 2)).astype(np.float32)
+    qf = np.array([0, 16], dtype=np.int32)  # first query has no valid frames
+    _, count, votes = search_batch_pallas(
+        db, q, qf, coefs=1, tolerance=5.0, interpret=True
+    )
+    assert (np.asarray(votes)[0] == 0).all()
+    assert int(count[0]) == 0

@@ -90,6 +90,19 @@ class SearchResult:
 NOT_FOUND = SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
 
 
+def _on_tpu() -> bool:
+    """True when the default backend is a TPU (incl. tunneled plugins) and
+    Pallas kernels are not disabled via TIRESIAS_NO_PALLAS."""
+    if os.environ.get("TIRESIAS_NO_PALLAS"):
+        return False
+    import jax
+
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:  # noqa: BLE001 - no backend at all
+        return False
+
+
 class Tiresias:
     """TPU-native audio fingerprinting engine (the framework's front door)."""
 
@@ -279,6 +292,22 @@ class Tiresias:
                     freq_ignore_low=freq_ignore_low,
                     freq_ignore_high=freq_ignore_high,
                     audio_filter=audio_filter,
+                )
+            elif _on_tpu():
+                # generic semantics, fused Pallas kernel (match_pallas)
+                from tiresias_tpu.ops.match_pallas import search_batch_pallas
+
+                db, _, _ = self.store.device_db()
+                best, count, _ = search_batch_pallas(
+                    db,
+                    qfp,
+                    n_frames,
+                    coefs=coefs,
+                    tolerance=tolerance,
+                    freq_ignore_low=freq_ignore_low,
+                    freq_ignore_high=freq_ignore_high,
+                    audio_filter=audio_filter,
+                    trunc_coef1=trunc_coef1,
                 )
             else:
                 db, db_mask, _ = self.store.device_db()

@@ -1,0 +1,181 @@
+"""Fused Pallas tolerance-vote matcher (generic search path).
+
+Hand-fused kernel for the configurations the MXU lattice path
+(:mod:`tiresias_tpu.ops.match_lattice`) cannot serve — ``coefs=2`` (the
+joint per-frame condition does not factorize over the value lattice) and the
+D8 no-truncation mode. Replaces :func:`tiresias_tpu.ops.match_jax.match_votes`'
+blocked XLA broadcast with one kernel that keeps a DB tile resident in VMEM
+while sweeping every query frame over it:
+
+    grid (audio_tiles, batch):
+      for f in range(F):
+        ok = |d0 − q0[b,f]| ≤ tol  [∧ (|d1 − q1[b,f]| ≤ tol ∨ ¬use2[b,f])]
+        votes[b, tile] += active[b,f] ∧ any_T(ok)
+
+Masking is value-encoded, mirroring the store's layout: padding/invalid DB
+frames hold ``PAD_VALUE`` (−1e6) so no tolerance band can reach them, and
+inactive query frames are pre-set to ``+1e6`` on the host side — the kernel
+itself needs no boolean operands (TPU lanes prefer f32 compares).
+
+Semantics are identical to match_jax / the SQL oracle (PARITY.md §3):
+one vote per frame per audio, inclusive band, out-of-band max2 drops only
+the max2 condition.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiresias_tpu.ops import match_jax
+
+AUDIO_TILE = 128
+INACTIVE_Q = 1.0e6  # pushed out of every tolerance band (PAD_VALUE is -1e6)
+
+
+def _kernel_c2(q0_ref, q1_ref, use2_ref, d0_ref, d1_ref, tol_ref, out_ref):
+    d0 = d0_ref[...]  # [AT, T]
+    d1 = d1_ref[...]
+    tol = tol_ref[0]
+    f_total = q0_ref.shape[1]
+
+    def body(f, votes):
+        q0 = q0_ref[0, f]
+        q1 = q1_ref[0, f]
+        ok = jnp.abs(d0 - q0) <= tol
+        ok1 = jnp.abs(d1 - q1) <= tol
+        # use2 <= 0 → max2 condition dropped (PARITY.md §3.3)
+        ok &= ok1 | (use2_ref[0, f] <= 0.0)
+        # Mosaic has no bool reductions: any-over-T as an f32 max
+        return votes + ok.astype(jnp.float32).max(axis=1)
+
+    votes = jax.lax.fori_loop(
+        0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
+    )
+    out_ref[0, :] = votes
+
+
+def _kernel_c1(q0_ref, d0_ref, tol_ref, out_ref):
+    d0 = d0_ref[...]
+    tol = tol_ref[0]
+    f_total = q0_ref.shape[1]
+
+    def body(f, votes):
+        ok = jnp.abs(d0 - q0_ref[0, f]) <= tol
+        return votes + ok.astype(jnp.float32).max(axis=1)
+
+    votes = jax.lax.fori_loop(
+        0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
+    )
+    out_ref[0, :] = votes
+
+
+@functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
+def match_votes_pallas(
+    db: jax.Array,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: jax.Array | float,
+    coefs: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Votes ``[B, A]`` (int32) — fused-kernel ``match_votes``.
+
+    Args:
+      db: ``[A, T, C]`` with PAD_VALUE in padding (store layout); T must be
+        a multiple of 128 (the store's FRAME_BUCKET guarantees it).
+      q / active / use2: from :func:`match_jax.prepare_query`.
+    """
+    a, t, c = db.shape
+    b, f, _ = q.shape
+    if coefs < 1 or coefs > min(2, c):
+        raise ValueError(f"coefs must be in [1, {min(2, c)}]")
+    tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
+
+    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
+    if a_pad != a:
+        # padding audios hold PAD_VALUE → zero votes
+        db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
+                     constant_values=match_jax_pad_value())
+    # value-encode the active mask: inactive query frames leave every band
+    q0 = jnp.where(active, q[..., 0], INACTIVE_Q)
+    grid = (a_pad // AUDIO_TILE, b)
+    d0 = db[..., 0]
+
+    common = dict(
+        out_shape=jax.ShapeDtypeStruct((b, a_pad), jnp.float32),
+        out_specs=pl.BlockSpec(
+            (1, AUDIO_TILE), lambda i, j: (j, i), memory_space=pltpu.VMEM
+        ),
+        grid=grid,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * f * a_pad * t * coefs,
+            bytes_accessed=4 * (a_pad * t * coefs + b * f * 3 + b * a_pad),
+            transcendentals=0,
+        ),
+    )
+    qspec = pl.BlockSpec((1, f), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec(
+        (AUDIO_TILE, t), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    tspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    if coefs == 1:
+        votes = pl.pallas_call(
+            _kernel_c1,
+            in_specs=[qspec, dspec, tspec],
+            **common,
+        )(q0, d0, tol)
+    else:
+        d1 = db[..., 1]
+        q1 = q[..., 1]
+        use2_f = use2.astype(jnp.float32)
+        votes = pl.pallas_call(
+            _kernel_c2,
+            in_specs=[qspec, qspec, qspec, dspec, dspec, tspec],
+            **common,
+        )(q0, q1, use2_f, d0, d1, tol)
+    return votes[:, :a].astype(jnp.int32)
+
+
+def match_jax_pad_value() -> float:
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    return PAD_VALUE
+
+
+def search_batch_pallas(
+    db: jax.Array,
+    query: np.ndarray | jax.Array,
+    n_frames: np.ndarray | jax.Array | None = None,
+    coefs: int = 1,
+    tolerance: float = 0.001,
+    freq_ignore_low: int = -1,
+    freq_ignore_high: int = -1,
+    audio_filter: jax.Array | None = None,
+    trunc_coef1: bool = True,
+    interpret: bool = False,
+):
+    """Drop-in fused-kernel equivalent of ``match_jax.search_batch``.
+
+    Takes the store-layout ``db`` (PAD_VALUE padding) directly — no mask
+    operand. Returns (best [B], match_count [B], votes [B, A]).
+    """
+    if tolerance < 0:
+        tolerance = 0.001  # fp_handler.c:252-256
+    q, active, use2 = match_jax.prepare_query(
+        query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
+    )
+    votes = match_votes_pallas(
+        db, q, active, use2, jnp.float32(tolerance), coefs=coefs,
+        interpret=interpret,
+    )
+    best, count = match_jax.top1(votes, audio_filter)
+    return best, count, votes

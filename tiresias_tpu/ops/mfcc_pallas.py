@@ -1,0 +1,178 @@
+"""Fused Pallas MFCC fingerprint kernel (TPU hot path).
+
+One kernel computes the whole per-frame chain of the reference's aubio loop
+(/root/reference/src/fp_handler.c:632-661) without touching HBM between
+stages:
+
+    frames [R, 512] ─ window ─ DFT-as-matmul (MXU) ─ |·| ─ mel (MXU)
+        ─ safe_log10 ─ DCT (MXU) ─ 10·log10|·| → [R, n_coefs]
+
+Design notes:
+  * The 512-point rFFT becomes two f32 matmuls against precomputed cosine /
+    sine matrices — the MXU eats 512×384 GEMMs; XLA's TPU FFT path does not
+    pipeline as well and forces an HBM round-trip before the mel matmul.
+    Only magnitudes are needed downstream, so phase loss is irrelevant.
+  * All operand minor dims are padded to lane multiples (257 bins → 384,
+    40 filters → 128, n_coefs → 128) with **zero columns/rows**, which keeps
+    results exact: zero DFT columns produce zero magnitudes, zero mel rows
+    ignore them, zero DCT rows ignore the padded log-mel columns.
+  * Grid is 1-D over row tiles of 256 frames; each tile's working set
+    (frames 512 KB + matrices ~1.9 MB) fits VMEM comfortably.
+  * Framing (overlapping windows) stays outside the kernel — it is a cheap
+    reshape/concat XLA fuses into the frame materialisation; overlapping
+    reads are not expressible with one BlockSpec.
+
+Numerics match :mod:`tiresias_tpu.ops.mfcc_jax` (same safe_log10 handling of
+TPU subnormal flushing, PARITY.md §2) and are golden-tested against the
+float64 aubio re-derivation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tiresias_tpu.config import DspConfig
+from tiresias_tpu.ops.dct import dct_matrix
+from tiresias_tpu.ops.melbank import mel_filterbank
+from tiresias_tpu.ops.mfcc_jax import _FLOOR_THRESHOLD, _LOG10_FLOOR, frames_from_pcm
+from tiresias_tpu.ops.windows import hanningz
+
+ROW_TILE = 256
+LANE = 128
+
+
+def _pad_to(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.lru_cache(maxsize=16)
+def pallas_constants(
+    dsp: DspConfig, samplerate: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(dft_re [win, Kp], dft_im [win, Kp], mel_T [Kp, Fp], dct_T [Fp, Cp]).
+
+    The window is folded into the DFT matrices (w[n]·e^{-2πikn/N} — one
+    matmul fewer in the kernel). Padding columns/rows are exact zeros.
+    """
+    win = dsp.buf_size
+    n_bins = dsp.n_bins
+    kp = _pad_to(n_bins, LANE)
+    fp = _pad_to(dsp.n_filters, LANE)
+    cp = _pad_to(dsp.n_coefs, LANE)
+
+    n = np.arange(win)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = -2.0 * np.pi * n * k / win
+    w = hanningz(win, dtype=np.float64)[:, None]
+    dft_re = np.zeros((win, kp), np.float32)
+    dft_im = np.zeros((win, kp), np.float32)
+    dft_re[:, :n_bins] = (w * np.cos(ang)).astype(np.float32)
+    dft_im[:, :n_bins] = (w * np.sin(ang)).astype(np.float32)
+
+    mel = mel_filterbank(dsp.n_filters, win, samplerate)  # [F, n_bins]
+    mel_t = np.zeros((kp, fp), np.float32)
+    mel_t[:n_bins, : dsp.n_filters] = mel.T.astype(np.float32)
+
+    dct = dct_matrix(dsp.n_filters, dsp.n_coefs)  # [C, F]
+    dct_t = np.zeros((fp, cp), np.float32)
+    dct_t[: dsp.n_filters, : dsp.n_coefs] = dct.T.astype(np.float32)
+    return dft_re, dft_im, mel_t, dct_t
+
+
+def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
+    f = frames_ref[...]
+    re = jnp.dot(f, dft_re_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, dft_im_ref[...], preferred_element_type=jnp.float32)
+    mag = jnp.sqrt(re * re + im * im)
+    mel = jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32)
+    # safe_log10 robust to TPU subnormal flushing (mfcc_jax / PARITY.md §2)
+    logm = jnp.where(
+        mel >= _FLOOR_THRESHOLD,
+        jnp.log10(jnp.maximum(mel, _FLOOR_THRESHOLD)),
+        _LOG10_FLOOR,
+    )
+    coefs = jnp.dot(logm, dct_ref[...], preferred_element_type=jnp.float32)
+    ac = jnp.abs(coefs)
+    out_ref[...] = 10.0 * jnp.where(
+        ac >= _FLOOR_THRESHOLD,
+        jnp.log10(jnp.maximum(ac, _FLOOR_THRESHOLD)),
+        _LOG10_FLOOR,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _mfcc_rows(
+    frames: jax.Array,
+    dft_re: jax.Array,
+    dft_im: jax.Array,
+    mel_t: jax.Array,
+    dct_t: jax.Array,
+    interpret: bool = False,
+) -> jax.Array:
+    """[R, win] windowless frames → [R, Cp] fingerprint values (R % 256 == 0)."""
+    r, win = frames.shape
+    kp = dft_re.shape[1]
+    fp = mel_t.shape[1]
+    cp = dct_t.shape[1]
+    grid = (r // ROW_TILE,)
+    return pl.pallas_call(
+        _mfcc_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((win, kp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, fp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((fp, cp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ROW_TILE, cp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((r, cp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * win * (2 * kp) + 2 * r * kp * fp + 2 * r * fp * cp,
+            bytes_accessed=4 * (r * win + 2 * win * kp + kp * fp + fp * cp + r * cp),
+            transcendentals=2 * r * (fp + cp),
+        ),
+        interpret=interpret,
+    )(frames, dft_re, dft_im, mel_t, dct_t)
+
+
+def fingerprint_padded_batch_pallas(
+    pcm: jax.Array | np.ndarray,
+    samplerate: int,
+    dsp: DspConfig | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused-kernel equivalent of
+    :func:`tiresias_tpu.ops.mfcc_jax.fingerprint_padded_batch`.
+
+    ``pcm [B, S]`` (S a multiple of hop) → ``[B, F, n_coefs]``.
+    """
+    dsp = dsp or DspConfig()
+    dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, int(samplerate))
+    pcm = jnp.asarray(pcm, dtype=jnp.float32)
+    b, s = pcm.shape
+    f = s // dsp.hop_size
+    frames = frames_from_pcm(pcm, dsp.hop_size, dsp.buf_size).reshape(
+        b * f, dsp.buf_size
+    )
+    rows = frames.shape[0]
+    rows_pad = _pad_to(max(rows, ROW_TILE), ROW_TILE)
+    if rows_pad != rows:
+        frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
+    out = _mfcc_rows(
+        frames,
+        jnp.asarray(dft_re),
+        jnp.asarray(dft_im),
+        jnp.asarray(mel_t),
+        jnp.asarray(dct_t),
+        interpret=interpret,
+    )
+    return out[:rows, : dsp.n_coefs].reshape(b, f, dsp.n_coefs)
