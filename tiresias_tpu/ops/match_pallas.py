@@ -121,7 +121,9 @@ def match_votes_pallas(
             transcendentals=0,
         ),
     )
-    qspec = pl.BlockSpec((1, f), lambda i, j: (j, 0), memory_space=pltpu.VMEM)
+    # per-frame scalars are read at dynamic indices inside the fori loop —
+    # that must be SMEM (Mosaic cannot prove dynamic VMEM lane alignment)
+    qspec = pl.BlockSpec((1, f), lambda i, j: (j, 0), memory_space=pltpu.SMEM)
     dspec = pl.BlockSpec(
         (AUDIO_TILE, t), lambda i, j: (i, 0), memory_space=pltpu.VMEM
     )
