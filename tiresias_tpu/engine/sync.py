@@ -27,7 +27,7 @@ import numpy as np
 from tiresias_tpu.config import DspConfig, TiresiasConfig
 from tiresias_tpu.ops.mfcc_jax import fingerprint_signals
 from tiresias_tpu.store.fingerprint_store import FingerprintStore
-from tiresias_tpu.utils.audio import read_wav
+from tiresias_tpu.utils.audio import read_wav, read_wav_i16
 from tiresias_tpu.utils.hashing import file_md5
 from tiresias_tpu.utils.logging import get_logger
 from tiresias_tpu.utils.tracing import phase
@@ -114,7 +114,10 @@ def ingest_files(
             report.deduped += 1
             continue
         try:
-            pcm, samplerate = read_wav(path)
+            # 16-bit mono PCM ships to device as raw int16 (half the bytes,
+            # bit-identical after the device-side /32768)
+            decoded = read_wav_i16(path)
+            pcm, samplerate = decoded if decoded is not None else read_wav(path)
         except Exception:  # noqa: BLE001 - any undecodable file is skipped
             log.warning("could not decode %s", path)
             report.failed += 1

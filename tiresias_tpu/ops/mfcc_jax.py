@@ -100,6 +100,18 @@ def frames_from_pcm(pcm: jax.Array, hop_size: int, buf_size: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
+def to_float_pcm(pcm: jax.Array) -> jax.Array:
+    """Device-side int16 → float32 (s/32768, aubio's source scaling).
+
+    Shipping int16 halves H2D traffic; the conversion is bit-exact with
+    decoding to float on host for 16-bit PCM (the dominant telephony
+    format), since aubio's own source does the same division.
+    """
+    if pcm.dtype == jnp.int16:
+        return pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
+    return pcm.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("hop_size", "buf_size"))
 def _fingerprint_padded(
     pcm: jax.Array,
@@ -109,8 +121,8 @@ def _fingerprint_padded(
     hop_size: int,
     buf_size: int,
 ) -> jax.Array:
-    """[B, S] float32 → [B, F, n_coefs] fingerprint values."""
-    frames = frames_from_pcm(pcm, hop_size, buf_size) * window
+    """[B, S] float32 or int16 → [B, F, n_coefs] fingerprint values."""
+    frames = frames_from_pcm(to_float_pcm(pcm), hop_size, buf_size) * window
     mags = jnp.abs(jnp.fft.rfft(frames, axis=-1))
     # HIGHEST precision: TPU matmuls otherwise truncate to bf16, which is
     # visible (±0.03) in the log-log fingerprint domain and would break
@@ -150,7 +162,7 @@ def fingerprint_padded_batch(
 
         return fingerprint_padded_batch_pallas(pcm, samplerate, dsp)
     window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
-    pcm = jnp.asarray(pcm, dtype=jnp.float32)
+    pcm = jnp.asarray(pcm)  # int16 stays int16 (converted on device)
     return _fingerprint_padded(
         pcm, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t),
         dsp.hop_size, dsp.buf_size,
@@ -169,13 +181,20 @@ def pad_frames_bucket(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad a ragged list of 1-D signals to one bucketed [B, S] array.
 
-    Returns (padded float32 [B, F_bucket*hop], n_frames int32 [B]).
+    Returns (padded [B, F_bucket*hop], n_frames int32 [B]). The batch stays
+    int16 when every input is int16 (half the H2D bytes; converted on
+    device by :func:`to_float_pcm`), float32 otherwise.
     """
     n_frames = np.array([n_frames_for(len(p), hop_size) for p in pcms], dtype=np.int32)
     f_bucket = bucket_frames(int(n_frames.max(initial=1)), multiple)
-    out = np.zeros((len(pcms), f_bucket * hop_size), dtype=np.float32)
+    dtype = (
+        np.int16
+        if pcms and all(np.asarray(p).dtype == np.int16 for p in pcms)
+        else np.float32
+    )
+    out = np.zeros((len(pcms), f_bucket * hop_size), dtype=dtype)
     for i, p in enumerate(pcms):
-        out[i, : len(p)] = np.asarray(p, dtype=np.float32)
+        out[i, : len(p)] = np.asarray(p, dtype=dtype)
     return out, n_frames
 
 

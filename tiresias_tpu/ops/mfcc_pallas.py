@@ -156,8 +156,10 @@ def fingerprint_padded_batch_pallas(
     ``pcm [B, S]`` (S a multiple of hop) → ``[B, F, n_coefs]``.
     """
     dsp = dsp or DspConfig()
+    from tiresias_tpu.ops.mfcc_jax import to_float_pcm
+
     dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, int(samplerate))
-    pcm = jnp.asarray(pcm, dtype=jnp.float32)
+    pcm = to_float_pcm(jnp.asarray(pcm))
     b, s = pcm.shape
     f = s // dsp.hop_size
     frames = frames_from_pcm(pcm, dsp.hop_size, dsp.buf_size).reshape(

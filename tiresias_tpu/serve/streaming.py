@@ -32,6 +32,7 @@ import numpy as np
 
 from tiresias_tpu.api.engine import (
     STATUS_HANGUP,
+    STATUS_NOTFOUND,
     SearchResult,
     Tiresias,
 )
@@ -200,18 +201,29 @@ class StreamingRecognizer:
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
             (context, tolerance, coefs, lo, hi, trunc, filt) = key
-            with phase("serve.batch_search"):
-                batch_results = self.engine.search_pcm_batch(
-                    context,
-                    [pcm for _, pcm in items],
-                    self.samplerate,
-                    coefs=coefs,
-                    tolerance=tolerance,
-                    freq_ignore_low=lo,
-                    freq_ignore_high=hi,
-                    filter_context=filt,
-                    trunc_coef1=trunc,
-                )
+            try:
+                with phase("serve.batch_search"):
+                    batch_results = self.engine.search_pcm_batch(
+                        context,
+                        [pcm for _, pcm in items],
+                        self.samplerate,
+                        coefs=coefs,
+                        tolerance=tolerance,
+                        freq_ignore_low=lo,
+                        freq_ignore_high=hi,
+                        filter_context=filt,
+                        trunc_coef1=trunc,
+                    )
+            except Exception:  # noqa: BLE001
+                # per-group error isolation: a failing search degrades those
+                # channels to NOTFOUND, like the reference's failure path
+                # (/root/reference/src/application_handler.c:171-176) —
+                # other groups and future windows are unaffected.
+                log.exception("batch search failed for %d channels", len(items))
+                metrics.add("serve.search_errors", len(items))
+                batch_results = [
+                    SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
+                ] * len(items)
             for (state, _), result in zip(items, batch_results):
                 results[state.channel_id] = result
                 if state.on_result:

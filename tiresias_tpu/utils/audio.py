@@ -61,6 +61,24 @@ def read_wav_py(path: str) -> tuple[np.ndarray, int]:
     return data, samplerate
 
 
+def read_wav_i16(path: str) -> tuple[np.ndarray, int] | None:
+    """Read a 16-bit mono PCM WAV as raw int16 (no float conversion).
+
+    Returns None for any other format — callers fall back to
+    :func:`read_wav`. Raw int16 batches halve host→device traffic; the
+    device converts with the exact aubio scaling (ops.mfcc_jax.to_float_pcm).
+    """
+    try:
+        with wave.open(path, "rb") as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                return None
+            samplerate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except (wave.Error, OSError, EOFError):
+        return None
+    return np.frombuffer(raw, dtype="<i2"), samplerate
+
+
 def write_wav(path: str, pcm: np.ndarray, samplerate: int) -> None:
     """Write float PCM in [-1, 1] as 16-bit mono WAV."""
     pcm = np.asarray(pcm)
