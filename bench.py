@@ -127,15 +127,108 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
     return results[64]
 
 
+def bench_db_build(n_clips: int = 1000) -> None:
+    """BASELINE config #2: wall-clock to build a DB from n_clips files
+    (includes host decode, hashing, batching, device fingerprint, store)."""
+    import shutil
+    import tempfile
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import ContextConfig, TiresiasConfig
+    from tiresias_tpu.utils.audio import synth_chirp, write_wav
+
+    sr = 8000
+    directory = tempfile.mkdtemp(prefix="tir_bench_corpus")
+    data = tempfile.mkdtemp(prefix="tir_bench_data")
+    try:
+        rng = np.random.default_rng(2)
+        for i in range(n_clips):
+            pcm = synth_chirp(
+                150 + (i % 211) * 9.7, 800 + (i % 113) * 21.3, 3.0, sr
+            ) + 0.01 * rng.standard_normal(3 * sr).astype(np.float32)
+            write_wav(f"{directory}/clip{i:05d}.wav", pcm, sr)
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("bench", directory),), data_dir=data
+            ),
+            restore=False,
+        )
+        t0 = time.perf_counter()
+        report = eng.sync()
+        elapsed = time.perf_counter() - t0
+        print(
+            f"[bench] db build: {report.created} clips x 3 s ingested in "
+            f"{elapsed:.1f}s -> {report.created / elapsed:.0f} clips/s "
+            f"({report.created * 3.0 / elapsed:.0f} audio-hrs/hr end-to-end "
+            "incl. host decode+hash)",
+            file=sys.stderr,
+        )
+    finally:
+        shutil.rmtree(directory, ignore_errors=True)
+        shutil.rmtree(data, ignore_errors=True)
+
+
+def bench_streams(n_streams: int = 128) -> None:
+    """BASELINE configs #3/#5: concurrent 8 kHz streams through the
+    streaming scorer; must beat 1x real time per channel."""
+    import tempfile
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import ContextConfig, TiresiasConfig
+    from tiresias_tpu.serve import StreamingRecognizer
+    from tiresias_tpu.utils.audio import synth_tone
+
+    sr = 8000
+    data = tempfile.mkdtemp(prefix="tir_bench_streams")
+    eng = Tiresias(
+        TiresiasConfig(contexts=(ContextConfig("s", "/nonexistent"),),
+                       data_dir=data),
+        restore=False,
+    )
+    for i in range(64):
+        eng.add_audio_pcm("s", f"tone{i}", synth_tone(200 + 30 * i, 3.0, sr), sr)
+    rec = StreamingRecognizer(eng, samplerate=sr)
+    streams = [synth_tone(200 + 30 * (i % 64), 3.2, sr) for i in range(n_streams)]
+    # warm the compile for the full window batch shape before timing
+    for i in range(n_streams):
+        rec.open(f"warm{i}", context="s", duration_ms=3000)
+        rec.push(f"warm{i}", streams[i][: 3 * sr])
+    rec.process_ready()
+    for i in range(n_streams):
+        rec.open(f"ch{i}", context="s", duration_ms=3000)
+    frame = sr // 50  # 20 ms
+    results = {}
+    t0 = time.perf_counter()
+    offset = 0
+    while offset < int(3.2 * sr) and len(results) < n_streams:
+        for i in range(n_streams):
+            rec.push(f"ch{i}", streams[i][offset : offset + frame])
+        offset += frame
+        results.update(rec.process_ready())
+    elapsed = time.perf_counter() - t0
+    audio_s = n_streams * 3.0
+    print(
+        f"[bench] streams: {len(results)}/{n_streams} channels x 3 s scored in "
+        f"{elapsed:.2f}s -> {audio_s / elapsed:.1f}x real-time aggregate "
+        f"({audio_s / elapsed / n_streams:.2f}x per channel)",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     from tiresias_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
     throughput = bench_fingerprint_throughput()
-    try:
-        bench_search_latency()
-    except Exception as exc:  # noqa: BLE001 - secondary metric must not kill bench
-        print(f"[bench] search bench failed: {exc}", file=sys.stderr)
+    for name, fn in (
+        ("search", bench_search_latency),
+        ("db build", bench_db_build),
+        ("streams", bench_streams),
+    ):
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 - secondary metrics must not kill bench
+            print(f"[bench] {name} bench failed: {exc}", file=sys.stderr)
     baseline = 1000.0  # audio-hours/hour north star (BASELINE.md)
     print(
         json.dumps(

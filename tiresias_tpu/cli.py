@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native audio fingerprinting and recognition",
     )
     p.add_argument("-c", "--config", help="tiresias.conf-style INI file")
+    p.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a jax.profiler device trace of the command into DIR",
+    )
     sub = p.add_subparsers(dest="command", required=True)
 
     show = sub.add_parser("show", help="list contexts or audios")
@@ -185,6 +190,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.profile:
+        # device trace for the whole command — SURVEY.md §5 tracing plan
+        import jax.profiler
+
+        jax.profiler.start_trace(args.profile)
+        try:
+            return args.func(args)
+        finally:
+            jax.profiler.stop_trace()
+            print(f"Profile trace written to {args.profile}", file=sys.stderr)
     return args.func(args)
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -37,6 +38,8 @@ log = get_logger(__name__)
 # Max signals fingerprinted per device batch; bounds peak host+HBM memory
 # during ingest of huge directories.
 INGEST_BATCH = 64
+# Host decode/hash pool width (I/O + GIL-releasing work).
+HOST_DECODE_THREADS = 8
 
 
 @dataclasses.dataclass
@@ -65,15 +68,29 @@ def scan_directory(directory: str) -> list[str]:
     return [n for n in names if os.path.isfile(os.path.join(directory, n))]
 
 
-def delete_removed_audio(store: FingerprintStore, context: str, directory: str) -> int:
+def hash_directory(directory: str) -> dict[str, str]:
+    """{path: md5} for every readable file (thread-pooled)."""
+    paths = [os.path.join(directory, n) for n in scan_directory(directory)]
+    out: dict[str, str] = {}
+    with ThreadPoolExecutor(max_workers=HOST_DECODE_THREADS) as pool:
+        for path, future in [(p, pool.submit(file_md5, p)) for p in paths]:
+            try:
+                out[path] = future.result()
+            except OSError:
+                continue
+    return out
+
+
+def delete_removed_audio(
+    store: FingerprintStore,
+    context: str,
+    directory: str,
+    disk_hashes: set[str] | None = None,
+) -> int:
     """Delete store entries whose MD5 no longer matches any file on disk
     (delete_removed_audio_info, /root/reference/src/app_tiresias.c:431-551)."""
-    disk_hashes = set()
-    for name in scan_directory(directory):
-        try:
-            disk_hashes.add(file_md5(os.path.join(directory, name)))
-        except OSError:
-            continue
+    if disk_hashes is None:
+        disk_hashes = set(hash_directory(directory).values())
     deleted = 0
     for entry in store.get_audios_by_context(context):
         if entry.hash not in disk_hashes:
@@ -88,6 +105,7 @@ def ingest_files(
     context: str,
     paths: list[str],
     dsp: DspConfig | None = None,
+    known_hashes: dict[str, str] | None = None,
 ) -> SyncReport:
     """Fingerprint new files in device batches and add them to the store.
 
@@ -100,34 +118,38 @@ def ingest_files(
     report = SyncReport()
 
     # 1. host pass: hash + dedupe + decode, grouped by native samplerate
-    #    (DEF_AUBIO_SAMPLERATE 0 = per-file rate, fp_handler.c:37,612)
+    #    (DEF_AUBIO_SAMPLERATE 0 = per-file rate, fp_handler.c:37,612).
+    #    Hashing and decode run on a thread pool — file I/O, hashlib and the
+    #    native ctypes decoder all release the GIL, and the host pass is the
+    #    end-to-end ingest bottleneck (SURVEY.md §7 hard part e).
+    def load_one(path: str):
+        digest = (known_hashes or {}).get(path) or file_md5(path)
+        decoded = read_wav_i16(path)
+        # 16-bit mono PCM ships to device as raw int16 (half the bytes,
+        # bit-identical after the device-side /32768)
+        pcm, samplerate = decoded if decoded is not None else read_wav(path)
+        return path, digest, pcm, samplerate
+
     groups: dict[int, list[tuple[str, str, np.ndarray]]] = {}
     seen_hashes: set[tuple[str, str]] = set()
-    for path in paths:
-        try:
-            digest = file_md5(path)
-        except OSError:
-            log.warning("could not hash %s", path)
-            report.failed += 1
-            continue
-        if (context, digest) in seen_hashes or store.find_by_hash(context, digest):
-            report.deduped += 1
-            continue
-        try:
-            # 16-bit mono PCM ships to device as raw int16 (half the bytes,
-            # bit-identical after the device-side /32768)
-            decoded = read_wav_i16(path)
-            pcm, samplerate = decoded if decoded is not None else read_wav(path)
-        except Exception:  # noqa: BLE001 - any undecodable file is skipped
-            log.warning("could not decode %s", path)
-            report.failed += 1
-            continue
-        if len(pcm) == 0:
-            log.warning("empty audio %s", path)
-            report.failed += 1
-            continue
-        seen_hashes.add((context, digest))
-        groups.setdefault(int(samplerate), []).append((path, digest, pcm))
+    with ThreadPoolExecutor(max_workers=HOST_DECODE_THREADS) as pool:
+        for future in [pool.submit(load_one, p) for p in paths]:
+            try:
+                path, digest, pcm, samplerate = future.result()
+            except Exception:  # noqa: BLE001 - any unreadable file is skipped
+                report.failed += 1
+                continue
+            if (context, digest) in seen_hashes or store.find_by_hash(
+                context, digest
+            ):
+                report.deduped += 1
+                continue
+            if len(pcm) == 0:
+                log.warning("empty audio %s", path)
+                report.failed += 1
+                continue
+            seen_hashes.add((context, digest))
+            groups.setdefault(int(samplerate), []).append((path, digest, pcm))
 
     # 2. device pass: batched fingerprint per samplerate group
     for samplerate, items in groups.items():
@@ -161,9 +183,11 @@ def sync_context_audio(
     """delete-removed + create-new for one context
     (init_audio per-context body, /root/reference/src/app_tiresias.c:324-358)."""
     report = SyncReport()
-    report.deleted = delete_removed_audio(store, context, directory)
-    paths = [os.path.join(directory, n) for n in scan_directory(directory)]
-    report += ingest_files(store, context, paths, dsp)
+    hashes = hash_directory(directory)  # one MD5 pass serves both phases
+    report.deleted = delete_removed_audio(
+        store, context, directory, set(hashes.values())
+    )
+    report += ingest_files(store, context, list(hashes), dsp, hashes)
     return report
 
 

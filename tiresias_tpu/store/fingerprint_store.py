@@ -99,6 +99,7 @@ class FingerprintStore:
         self._matrix = np.full((0, 0, self.n_coefs), PAD_VALUE, dtype=np.float32)
         self._device_db = None  # cached (db, mask, n_audios) jax arrays
         self._value_map = None  # cached lattice map [A_pad, K] (match_lattice)
+        self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -140,12 +141,12 @@ class FingerprintStore:
     # ------------------------------------------------------------------ #
 
     def find_by_hash(self, context: str, file_hash: str) -> AudioEntry | None:
-        """MD5 dedupe lookup (/root/reference/src/fp_handler.c:494-507,758-805)."""
+        """MD5 dedupe lookup (/root/reference/src/fp_handler.c:494-507,758-805).
+
+        O(1) via a (context, hash) index — the analogue of the reference's
+        audio_list indexes (fp_handler.c:736-753)."""
         with self._lock:
-            for e in self.entries:
-                if e.context == context and e.hash == file_hash:
-                    return e
-            return None
+            return self._hash_index.get((context, file_hash))
 
     def add_audio(
         self,
@@ -186,6 +187,7 @@ class FingerprintStore:
             self._matrix[row] = PAD_VALUE
             self._matrix[row, : entry.n_frames] = fingerprint[:, : self.n_coefs]
             self.entries.append(entry)
+            self._hash_index[(context, file_hash)] = entry
             self._dirty = True
             return entry
 
@@ -222,6 +224,7 @@ class FingerprintStore:
                 if len(self._matrix):
                     self._matrix[-1] = PAD_VALUE
                 del self.entries[i]
+                self._hash_index.pop((e.context, e.hash), None)
                 self._dirty = True
                 return True
         return False
@@ -354,6 +357,7 @@ class FingerprintStore:
             matrix = data["matrix"].astype(np.float32)
         store.contexts = dict(catalog["contexts"])
         store.entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
+        store._hash_index = {(e.context, e.hash): e for e in store.entries}
         if matrix.shape[0] != len(store.entries):
             raise ValueError("checkpoint catalog/matrix row count mismatch")
         if len(store.entries):
