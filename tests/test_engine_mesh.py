@@ -1,0 +1,59 @@
+"""Engine with a sharded store: multi-chip search via GSPMD.
+
+An engine constructed with a ``(db, batch)`` mesh shards the fingerprint DB
+across the 8 virtual devices; searches must return exactly what the
+single-device engine returns.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import TiresiasConfig
+from tiresias_tpu.parallel import make_mesh
+from tiresias_tpu.utils.audio import synth_chirp, synth_tone
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+SR = 8000
+
+
+def _build(tmp_path, mesh):
+    eng = Tiresias(
+        TiresiasConfig(data_dir=str(tmp_path)), restore=False, mesh=mesh
+    )
+    eng.create_context("m")
+    for i in range(10):
+        pcm = (
+            synth_tone(250 + 140 * i, 1.0, SR)
+            if i % 2
+            else synth_chirp(200 + 90 * i, 900 + 150 * i, 1.0, SR)
+        )
+        eng.add_audio_pcm("m", f"clip{i}", pcm, SR)
+    return eng
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+def test_sharded_engine_matches_single(tmp_path, mesh_shape):
+    mesh = make_mesh(*mesh_shape)
+    sharded = _build(tmp_path / "a", mesh)
+    single = _build(tmp_path / "b", None)
+
+    db, _, n = sharded.store.device_db()
+    assert db.sharding.is_fully_replicated is False  # actually sharded
+
+    queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (1, 3, 5)]
+    for kwargs in (
+        dict(tolerance=1.0),  # lattice path
+        dict(coefs=2, tolerance=0.01, trunc_coef1=False),  # generic path
+        dict(tolerance=1.0, filter_context=True),  # context filter
+    ):
+        rs = sharded.search_pcm_batch("m", queries, SR, **kwargs)
+        r1 = single.search_pcm_batch("m", queries, SR, **kwargs)
+        assert [(r.name, r.match_count, r.frame_count) for r in rs] == [
+            (r.name, r.match_count, r.frame_count) for r in r1
+        ], kwargs

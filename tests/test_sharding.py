@@ -92,6 +92,36 @@ class TestShardedSearch:
             np.testing.assert_array_equal(np.asarray(votes_s), np.asarray(votes_1))
 
 
+class TestSequenceParallel:
+    def test_long_signal_matches_single_device(self, rng, dsp):
+        """One long signal sharded on the frame axis with a 256-sample
+        ppermute halo must reproduce the single-device fingerprint exactly
+        (the halo replaces frames_from_pcm's zero initial buffer at shard
+        boundaries)."""
+        from tiresias_tpu.ops.mfcc_jax import fingerprint_signal
+        from tiresias_tpu.parallel.sharding import sharded_fingerprint_long
+
+        sr = 8000
+        n_dev = 8
+        # 2 minutes of audio, divisible by hop*devices
+        s = (2 * 60 * sr) // (dsp.hop_size * n_dev) * (dsp.hop_size * n_dev)
+        pcm = (0.3 * rng.standard_normal(s)).astype(np.float32)
+        mesh = make_mesh(4, 2)
+        got = np.asarray(sharded_fingerprint_long(mesh, pcm, sr, dsp))
+        ref = fingerprint_signal(pcm, sr, dsp)
+        assert got.shape[0] == s // dsp.hop_size
+        np.testing.assert_allclose(got, ref[: got.shape[0]], atol=1e-4)
+
+    def test_rejects_undivisible_length(self, dsp):
+        from tiresias_tpu.parallel.sharding import sharded_fingerprint_long
+
+        mesh = make_mesh(8, 1)
+        with pytest.raises(ValueError):
+            sharded_fingerprint_long(
+                mesh, np.zeros(dsp.hop_size * 8 + 1, np.float32), 8000, dsp
+            )
+
+
 class TestShardedFingerprint:
     def test_matches_single_device(self, rng, dsp):
         sr = 8000

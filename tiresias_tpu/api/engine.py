@@ -110,20 +110,27 @@ class Tiresias:
         self,
         config: TiresiasConfig | None = None,
         restore: bool = True,
+        mesh=None,
     ) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; the
+        fingerprint DB is then sharded across its devices and every search
+        auto-partitions via GSPMD (see store.device_db)."""
         from tiresias_tpu.utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.config = config or TiresiasConfig()
+        self.mesh = mesh
         self.checkpoint_dir = os.path.join(
             self.config.expanded_data_dir, "checkpoint"
         )
         if restore:
             self.store = FingerprintStore.load(
-                self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs
+                self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs, mesh=mesh
             )
         else:
-            self.store = FingerprintStore(n_coefs=self.config.dsp.n_coefs)
+            self.store = FingerprintStore(
+                n_coefs=self.config.dsp.n_coefs, mesh=mesh
+            )
         for ctx in self.config.contexts:
             self.store.create_context(ctx.name, ctx.directory)
 
@@ -293,8 +300,10 @@ class Tiresias:
                     freq_ignore_high=freq_ignore_high,
                     audio_filter=audio_filter,
                 )
-            elif _on_tpu():
-                # generic semantics, fused Pallas kernel (match_pallas)
+            elif _on_tpu() and self.mesh is None:
+                # generic semantics, fused Pallas kernel (match_pallas);
+                # sharded stores stay on the XLA matcher — a Pallas custom
+                # call does not auto-partition under GSPMD
                 from tiresias_tpu.ops.match_pallas import search_batch_pallas
 
                 db, _, _ = self.store.device_db()

@@ -170,6 +170,96 @@ def sharded_search(
     return best, count, votes
 
 
+def sharded_fingerprint_long(
+    mesh: Mesh,
+    pcm: np.ndarray | jax.Array,
+    samplerate: int,
+    dsp: DspConfig | None = None,
+) -> jax.Array:
+    """Sequence-parallel fingerprint of ONE long signal: the frame axis is
+    sharded across every device with a halo exchange of the window overlap.
+
+    MFCC frames are independent given ``buf_size`` samples of context
+    (SURVEY.md §5 long-context note), so the only communication is one
+    ``ppermute`` shipping each shard's last ``buf_size − hop_size`` samples
+    (256 at the reference's parameters) to its right neighbor — the
+    sequence-parallel analogue of a ring halo exchange.
+
+    Args:
+      pcm: ``[S]`` with S a multiple of ``hop_size × n_devices``.
+    Returns:
+      ``[F, n_coefs]`` with F = S // hop_size, identical to the
+      single-device result.
+    """
+    dsp = dsp or DspConfig()
+    window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
+    n = mesh.devices.size
+    pcm = jnp.asarray(pcm, dtype=jnp.float32)
+    (s,) = pcm.shape
+    if s % (dsp.hop_size * n) != 0:
+        raise ValueError(
+            f"signal length {s} must be a multiple of hop*devices "
+            f"({dsp.hop_size}*{n})"
+        )
+    overlap = dsp.buf_size - dsp.hop_size
+    axes = (DB_AXIS, BATCH_AXIS)
+
+    def shard_fn(chunk, w, m, d):
+        # chunk: [1, S_local]. Ship our tail right; shard 0 gets zeros
+        # (the pvoc zero-initialised buffer, reference_dsp framing).
+        tail = chunk[:, -overlap:]
+        idx = jax.lax.axis_index(axes)
+        halo = jax.lax.ppermute(
+            tail, axes, [(i, (i + 1) % n) for i in range(n)]
+        )
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+        ext = jnp.concatenate([halo, chunk], axis=1)  # [1, overlap+S_local]
+        # frame i covers ext[i*hop : i*hop + win) — same sliding window as
+        # frames_from_pcm but with real left context instead of zeros
+        f_loc = chunk.shape[1] // dsp.hop_size
+        k = dsp.buf_size // dsp.hop_size
+        chunks = ext[:, overlap:].reshape(1, f_loc, dsp.hop_size)
+        parts = []
+        for back in range(k - 1, -1, -1):
+            if back == 0:
+                parts.append(chunks)
+            else:
+                lead = ext[
+                    :, overlap - back * dsp.hop_size : overlap
+                ].reshape(1, back, dsp.hop_size)
+                shifted = jnp.concatenate(
+                    [lead, chunks[:, :-back, :]], axis=1
+                )
+                parts.append(shifted)
+        frames = jnp.concatenate(parts, axis=-1)  # [1, F_loc, win]
+        frames = frames * w
+        mags = jnp.abs(jnp.fft.rfft(frames, axis=-1))
+        mels = jnp.matmul(
+            mags, m, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        from tiresias_tpu.ops.mfcc_jax import safe_log10
+
+        coefs = jnp.matmul(
+            safe_log10(mels), d, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return 10.0 * safe_log10(jnp.abs(coefs))
+
+    out = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, axes), P(), P(), P()),
+        out_specs=P(None, axes, None),
+    )(
+        pcm[None, :],
+        jnp.asarray(window),
+        jnp.asarray(mel_t),
+        jnp.asarray(dct_t),
+    )
+    return out[0]
+
+
 def sharded_fingerprint(
     mesh: Mesh,
     pcm_padded: np.ndarray | jax.Array,

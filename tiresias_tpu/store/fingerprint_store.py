@@ -91,8 +91,13 @@ class FingerprintStore:
     (/root/reference/src/db_ctx_handler.c:122-140) without the retry loop.
     """
 
-    def __init__(self, n_coefs: int = DEF_N_COEFS) -> None:
+    def __init__(self, n_coefs: int = DEF_N_COEFS, mesh=None) -> None:
+        """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; when
+        set, the device view is placed with a ``P('db')`` NamedSharding so
+        every jitted consumer (lattice matmul, matcher) auto-partitions the
+        audio axis across chips via GSPMD — no code changes downstream."""
         self.n_coefs = int(n_coefs)
+        self.mesh = mesh
         self._lock = threading.RLock()
         self.entries: list[AudioEntry] = []
         self.contexts: dict[str, str] = {}  # name -> directory
@@ -274,6 +279,9 @@ class FingerprintStore:
                 return self._device_db
             a = len(self.entries)
             a_pad = _bucket(a, AUDIO_BUCKET)
+            if self.mesh is not None:
+                n_db = self.mesh.shape.get("db", 1)
+                a_pad = _bucket(a_pad, AUDIO_BUCKET * n_db)
             t = max(self.frame_cap, FRAME_BUCKET)
             db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, dtype=np.float32)
             if a:
@@ -281,7 +289,19 @@ class FingerprintStore:
             n_frames = np.zeros(a_pad, dtype=np.int32)
             n_frames[:a] = [e.n_frames for e in self.entries]
             mask = np.arange(t)[None, :] < n_frames[:, None]
-            self._device_db = (jnp.asarray(db), jnp.asarray(mask), a)
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                db_j = jax.device_put(
+                    db, NamedSharding(self.mesh, PartitionSpec("db", None, None))
+                )
+                mask_j = jax.device_put(
+                    mask, NamedSharding(self.mesh, PartitionSpec("db", None))
+                )
+            else:
+                db_j, mask_j = jnp.asarray(db), jnp.asarray(mask)
+            self._device_db = (db_j, mask_j, a)
             self._value_map = None  # rebuilt lazily from the new view
             self._dirty = False
             return self._device_db
@@ -305,6 +325,9 @@ class FingerprintStore:
             return None
         with self._lock:
             a_pad = _bucket(len(self.entries), AUDIO_BUCKET)
+            if self.mesh is not None:
+                n_db = self.mesh.shape.get("db", 1)
+                a_pad = _bucket(a_pad, AUDIO_BUCKET * n_db)
             flt = np.zeros(a_pad, dtype=bool)
             for i, e in enumerate(self.entries):
                 flt[i] = e.context == context
@@ -337,10 +360,12 @@ class FingerprintStore:
             log.debug("checkpointed %d audios to %s", a, directory)
 
     @staticmethod
-    def load(directory: str, n_coefs: int = DEF_N_COEFS) -> "FingerprintStore":
+    def load(
+        directory: str, n_coefs: int = DEF_N_COEFS, mesh=None
+    ) -> "FingerprintStore":
         """Restore from a checkpoint; empty store when none exists — the
         restore-on-load path (/root/reference/src/fp_handler.c:80-87)."""
-        store = FingerprintStore(n_coefs=n_coefs)
+        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
         cat_path = os.path.join(directory, CATALOG_FILE)
         mat_path = os.path.join(directory, MATRIX_FILE)
         if not (os.path.exists(cat_path) and os.path.exists(mat_path)):
