@@ -132,3 +132,20 @@ class TestCheckpoint:
         store.save(str(tmp_path))
         with pytest.raises(ValueError):
             FingerprintStore.load(str(tmp_path), n_coefs=3)
+
+    def test_generation_rotation_and_fallback(self, store, tmp_path):
+        # gen 1: one audio; gen 2: two audios
+        store.add_audio("a.wav", "ctx", _fp(5), "h1")
+        store.save(str(tmp_path))
+        store.add_audio("b.wav", "ctx", _fp(6), "h2")
+        store.save(str(tmp_path))
+        assert (tmp_path / "catalog.json.bak").exists()
+        # current loads gen 2
+        assert len(FingerprintStore.load(str(tmp_path), n_coefs=2)) == 2
+        # corrupt the current generation → falls back to gen 1
+        (tmp_path / "catalog.json").write_text("{ not json")
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(loaded) == 1 and loaded.entries[0].name == "a.wav"
+        # corrupt both → empty store, no crash
+        (tmp_path / "catalog.json.bak").write_text("junk")
+        assert len(FingerprintStore.load(str(tmp_path), n_coefs=2)) == 0

@@ -79,6 +79,12 @@ class AudioEntry:
         )
 
 
+class CheckpointIncompatible(ValueError):
+    """A checkpoint that is structurally valid but cannot be loaded into
+    this store (version or n_coefs mismatch) — fails loudly instead of
+    silently falling back a generation."""
+
+
 def _bucket(n: int, multiple: int) -> int:
     return max(multiple, -(-n // multiple) * multiple)
 
@@ -338,7 +344,10 @@ class FingerprintStore:
     # ------------------------------------------------------------------ #
 
     def save(self, directory: str) -> None:
-        """Atomic checkpoint: {catalog.json, fingerprints.npz} via tmp+rename."""
+        """Atomic, versioned checkpoint: {catalog.json, fingerprints.npz}
+        via tmp+rename, with the previous generation kept as ``*.bak`` —
+        a corrupted write can always fall back one generation (PARITY.md
+        D2; the reference loses everything on any mid-write crash)."""
         with self._lock:
             os.makedirs(directory, exist_ok=True)
             a = len(self.entries)
@@ -348,15 +357,21 @@ class FingerprintStore:
                 "contexts": self.contexts,
                 "entries": [e.to_dict() for e in self.entries],
             }
-            mat_tmp = os.path.join(directory, MATRIX_FILE + ".tmp")
-            cat_tmp = os.path.join(directory, CATALOG_FILE + ".tmp")
+            mat_path = os.path.join(directory, MATRIX_FILE)
+            cat_path = os.path.join(directory, CATALOG_FILE)
+            mat_tmp = mat_path + ".tmp"
+            cat_tmp = cat_path + ".tmp"
             with open(mat_tmp, "wb") as f:
                 np.savez_compressed(f, matrix=self._matrix[:a])
             with open(cat_tmp, "w") as f:
                 json.dump(catalog, f, indent=1)
-            # matrix first, catalog last: a catalog always has its matrix
-            os.replace(mat_tmp, os.path.join(directory, MATRIX_FILE))
-            os.replace(cat_tmp, os.path.join(directory, CATALOG_FILE))
+            # rotate the previous generation, then matrix first / catalog
+            # last so a live catalog always has its matrix
+            for path in (mat_path, cat_path):
+                if os.path.exists(path):
+                    os.replace(path, path + ".bak")
+            os.replace(mat_tmp, mat_path)
+            os.replace(cat_tmp, cat_path)
             log.debug("checkpointed %d audios to %s", a, directory)
 
     @staticmethod
@@ -364,18 +379,38 @@ class FingerprintStore:
         directory: str, n_coefs: int = DEF_N_COEFS, mesh=None
     ) -> "FingerprintStore":
         """Restore from a checkpoint; empty store when none exists — the
-        restore-on-load path (/root/reference/src/fp_handler.c:80-87)."""
+        restore-on-load path (/root/reference/src/fp_handler.c:80-87).
+        A corrupted current generation falls back to ``*.bak``."""
         store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
-        cat_path = os.path.join(directory, CATALOG_FILE)
-        mat_path = os.path.join(directory, MATRIX_FILE)
-        if not (os.path.exists(cat_path) and os.path.exists(mat_path)):
-            return store
+        for suffix in ("", ".bak"):
+            cat_path = os.path.join(directory, CATALOG_FILE + suffix)
+            mat_path = os.path.join(directory, MATRIX_FILE + suffix)
+            if not (os.path.exists(cat_path) and os.path.exists(mat_path)):
+                continue
+            try:
+                return FingerprintStore._load_files(
+                    cat_path, mat_path, n_coefs, mesh
+                )
+            except CheckpointIncompatible:
+                raise  # incompatible checkpoint: fail loudly, don't mask
+            except Exception:  # noqa: BLE001 - corrupt generation
+                log.warning(
+                    "checkpoint generation %r unreadable, trying previous",
+                    suffix or "current",
+                )
+        return store
+
+    @staticmethod
+    def _load_files(cat_path, mat_path, n_coefs, mesh) -> "FingerprintStore":
+        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
         with open(cat_path) as f:
             catalog = json.load(f)
         if catalog.get("version") != CHECKPOINT_VERSION:
-            raise ValueError(f"unsupported checkpoint version {catalog.get('version')}")
+            raise CheckpointIncompatible(
+                f"unsupported checkpoint version {catalog.get('version')}"
+            )
         if int(catalog["n_coefs"]) != store.n_coefs:
-            raise ValueError(
+            raise CheckpointIncompatible(
                 f"checkpoint has n_coefs={catalog['n_coefs']}, store wants {n_coefs}"
             )
         with np.load(mat_path) as data:
@@ -384,12 +419,12 @@ class FingerprintStore:
         store.entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store._hash_index = {(e.context, e.hash): e for e in store.entries}
         if matrix.shape[0] != len(store.entries):
-            raise ValueError("checkpoint catalog/matrix row count mismatch")
+            raise CheckpointIncompatible("checkpoint catalog/matrix row count mismatch")
         if len(store.entries):
             store._ensure_capacity(len(store.entries), matrix.shape[1])
             store._matrix[: matrix.shape[0], : matrix.shape[1]] = matrix
         store._dirty = True
-        log.debug("restored %d audios from %s", len(store.entries), directory)
+        log.debug("restored %d audios from %s", len(store.entries), cat_path)
         return store
 
     # convenience for tests / tools
