@@ -1,0 +1,152 @@
+"""TCP recognition service: protocol round trip over a real socket."""
+
+import asyncio
+import base64
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import MatchConfig, TiresiasConfig
+from tiresias_tpu.serve.server import RecognitionServer
+from tiresias_tpu.utils.audio import synth_tone
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def engine(tmp_path_factory):
+    eng = Tiresias(
+        TiresiasConfig(
+            match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+            data_dir=str(tmp_path_factory.mktemp("srv")),
+        ),
+        restore=False,
+    )
+    eng.create_context("m")
+    for i in range(4):
+        # store the int16-quantized signal: DB audio and live queries pass
+        # through the same 16-bit PCM path in production, and for sparse
+        # spectra (pure tones) quantization noise dominates the empty mel
+        # bands (PARITY.md §2 noise-floor note) — both sides must quantize
+        pcm = synth_tone(300 + 200 * i, 2.0, SR)
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        eng.add_audio_pcm("m", f"tone{i}", i16.astype(np.float32) / 32768.0, SR)
+    return eng
+
+
+@pytest.fixture()
+def server(engine):
+    """RecognitionServer on an ephemeral port, its loop on a daemon thread."""
+    started = threading.Event()
+    holder = {}
+
+    def runner():
+        async def main():
+            srv = RecognitionServer(engine, port=0, samplerate=SR)
+            await srv.start()
+            holder["server"] = srv
+            holder["loop"] = asyncio.get_running_loop()
+            started.set()
+            try:
+                await srv.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(main())
+
+    thread = threading.Thread(target=runner, daemon=True)
+    thread.start()
+    assert started.wait(10)
+    yield holder["server"]
+    loop = holder["loop"]
+    asyncio.run_coroutine_threadsafe(holder["server"].stop(), loop)
+
+
+def _pcm_b64(pcm: np.ndarray) -> str:
+    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    return base64.b64encode(i16.tobytes()).decode()
+
+
+def _talk(port, messages, expect_lines, timeout=30.0):
+    import socket
+
+    out = []
+    with socket.create_connection(("127.0.0.1", port), timeout=timeout) as s:
+        f = s.makefile("rw")
+        for m in messages:
+            f.write(json.dumps(m) + "\n")
+        f.flush()
+        for _ in range(expect_lines):
+            out.append(json.loads(f.readline()))
+    return out
+
+
+class TestProtocol:
+    def test_open_push_result(self, server):
+        pcm = synth_tone(700, 1.2, SR)  # tone2
+        msgs = [
+            {"op": "open", "channel": "c1", "context": "m", "duration_ms": 1000},
+            {"op": "pcm", "channel": "c1", "pcm": _pcm_b64(pcm)},
+        ]
+        replies = _talk(server.port, msgs, expect_lines=2)
+        assert replies[0] == {"channel": "c1", "opened": True}
+        result = replies[1]
+        assert result["channel"] == "c1"
+        assert result["result"]["TIRSTATUS"] == "FOUND"
+        assert result["result"]["TIRFILENAME"] == "tone2"
+        assert float(result["result"]["CONFIDENCE"]) > 0.9
+
+    def test_hangup_before_duration(self, server):
+        msgs = [
+            {"op": "open", "channel": "x", "context": "m", "duration_ms": 3000},
+            {"op": "pcm", "channel": "x", "pcm": _pcm_b64(synth_tone(300, 0.2, SR))},
+            {"op": "hangup", "channel": "x"},
+        ]
+        replies = _talk(server.port, msgs, expect_lines=2)
+        assert replies[1]["result"]["TIRSTATUS"] == "HANGUP"
+
+    def test_bad_request_isolated(self, server):
+        import socket
+
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write("this is not json\n")
+            f.write(json.dumps({"op": "frobnicate", "channel": "y"}) + "\n")
+            f.write(
+                json.dumps(
+                    {"op": "open", "channel": "y", "context": "m",
+                     "duration_ms": 500}
+                ) + "\n"
+            )
+            f.flush()
+            r1 = json.loads(f.readline())
+            r2 = json.loads(f.readline())
+            r3 = json.loads(f.readline())
+        assert "error" in r1 and "error" in r2
+        assert r3 == {"channel": "y", "opened": True}
+
+    def test_two_clients_same_channel_name(self, server):
+        pcm_a = synth_tone(300, 0.7, SR)  # tone0
+        pcm_b = synth_tone(900, 0.7, SR)  # tone3
+        import socket
+
+        conns = []
+        for pcm in (pcm_a, pcm_b):
+            s = socket.create_connection(("127.0.0.1", server.port), timeout=30)
+            f = s.makefile("rw")
+            f.write(json.dumps(
+                {"op": "open", "channel": "dup", "context": "m",
+                 "duration_ms": 500}) + "\n")
+            f.write(json.dumps(
+                {"op": "pcm", "channel": "dup", "pcm": _pcm_b64(pcm)}) + "\n")
+            f.flush()
+            conns.append((s, f))
+        names = []
+        for s, f in conns:
+            assert json.loads(f.readline())["opened"]
+            names.append(json.loads(f.readline())["result"]["TIRFILENAME"])
+            s.close()
+        assert names == ["tone0", "tone3"]  # connection-scoped channels

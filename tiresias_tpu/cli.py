@@ -121,6 +121,15 @@ def cmd_search(args) -> int:
     return 0 if res.found else 2
 
 
+def cmd_serve(args) -> int:
+    from tiresias_tpu.serve.server import run_server
+
+    eng = _engine(args)
+    eng.sync()
+    run_server(eng, host=args.host, port=args.port, samplerate=args.samplerate)
+    return 0
+
+
 def cmd_bench(args) -> int:
     import bench  # repo-root harness
 
@@ -185,6 +194,12 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark harness")
     be.set_defaults(func=cmd_bench)
+
+    sv = sub.add_parser("serve", help="run the TCP recognition service")
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8517)
+    sv.add_argument("--samplerate", type=int, default=8000)
+    sv.set_defaults(func=cmd_serve)
     return p
 
 

@@ -1,0 +1,213 @@
+"""TCP recognition service: JSON-lines protocol over a socket.
+
+The reference's only runtime entry point is the Asterisk dialplan — a caller
+must be bridged through a PBX to use it. This server exposes the same
+recognition semantics to any client that can open a socket, one JSON object
+per line:
+
+    → {"op": "open",   "channel": "c1", "context": "media",
+       "duration_ms": 3000, "tolerance": 0.01, ...}
+    → {"op": "pcm",    "channel": "c1", "pcm": "<base64 int16 LE mono>"}
+    → {"op": "hangup", "channel": "c1"}
+    ← {"channel": "c1", "result": {"TIRSTATUS": "FOUND", ...,
+       "CONFIDENCE": "0.96"}}
+
+Scoring stays batched: a single scorer task drains every connection's full
+windows together through :class:`StreamingRecognizer.process_ready` — many
+sockets, one device pass per tick. Errors on one connection never affect
+another (reference failure-isolation spirit, application_handler.c:171-176).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import contextlib
+import json
+
+import numpy as np
+
+from tiresias_tpu.api.engine import SearchResult, Tiresias
+from tiresias_tpu.serve.streaming import StreamingRecognizer
+from tiresias_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+SCORE_INTERVAL_S = 0.02  # one batched device pass per tick at most
+
+
+class RecognitionServer:
+    def __init__(
+        self,
+        engine: Tiresias,
+        host: str = "127.0.0.1",
+        port: int = 8517,
+        samplerate: int = 8000,
+    ) -> None:
+        self.engine = engine
+        self.host = host
+        self.port = port
+        self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
+        self._writers: dict[str, asyncio.StreamWriter] = {}
+        self._server: asyncio.AbstractServer | None = None
+        self._conn_seq = 0
+
+    async def start(self) -> None:
+        self._server = await asyncio.start_server(
+            self._handle_client, self.host, self.port
+        )
+        sock = self._server.sockets[0]
+        self.port = sock.getsockname()[1]  # resolve port 0
+        self._scorer = asyncio.create_task(self._score_loop())
+        log.info("recognition server listening on %s:%d", self.host, self.port)
+
+    async def serve_forever(self) -> None:
+        assert self._server is not None
+        async with self._server:
+            await self._server.serve_forever()
+
+    async def stop(self) -> None:
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+        self._scorer.cancel()
+        with contextlib.suppress(asyncio.CancelledError):
+            await self._scorer
+
+    # ------------------------------------------------------------------ #
+
+    async def _score_loop(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            await asyncio.sleep(SCORE_INTERVAL_S)
+            if self.recognizer.n_channels == 0:
+                continue
+            # device work off the event loop so slow searches don't stall IO
+            results = await loop.run_in_executor(
+                None, self.recognizer.process_ready
+            )
+            for channel_id, result in results.items():
+                await self._send_result(channel_id, result)
+
+    async def _send_result(self, channel_id: str, result: SearchResult) -> None:
+        writer = self._writers.pop(channel_id, None)
+        if writer is None or writer.is_closing():
+            return
+        payload = result.to_channel_vars()
+        payload["CONFIDENCE"] = f"{result.confidence:.4f}"
+        try:
+            writer.write(
+                (json.dumps({"channel": self._public_id(channel_id),
+                             "result": payload}) + "\n").encode()
+            )
+            await writer.drain()
+        except ConnectionError:
+            pass
+
+    @staticmethod
+    def _public_id(internal_id: str) -> str:
+        return internal_id.split("|", 1)[1]
+
+    async def _handle_client(
+        self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
+    ) -> None:
+        self._conn_seq += 1
+        conn = self._conn_seq
+        opened: set[str] = set()
+
+        def cid(channel: str) -> str:
+            # connection-scoped channel ids: two clients may both say "c1"
+            return f"{conn}|{channel}"
+
+        try:
+            while True:
+                line = await reader.readline()
+                if not line:
+                    break
+                try:
+                    msg = json.loads(line)
+                    op = msg["op"]
+                    channel = str(msg.get("channel", ""))
+                except (json.JSONDecodeError, KeyError) as exc:
+                    writer.write(
+                        (json.dumps({"error": f"bad request: {exc}"}) + "\n").encode()
+                    )
+                    await writer.drain()
+                    continue
+                if op == "open":
+                    kwargs = {
+                        k: msg[k]
+                        for k in (
+                            "context",
+                            "duration_ms",
+                            "tolerance",
+                            "coefs",
+                            "freq_ignore_low",
+                            "freq_ignore_high",
+                            "trunc_coef1",
+                            "filter_context",
+                            "continuous",
+                        )
+                        if k in msg
+                    }
+                    self.recognizer.open(cid(channel), **kwargs)
+                    self._writers[cid(channel)] = writer
+                    opened.add(cid(channel))
+                    writer.write(
+                        (json.dumps({"channel": channel, "opened": True}) + "\n").encode()
+                    )
+                    await writer.drain()
+                elif op == "pcm":
+                    raw = base64.b64decode(msg["pcm"])
+                    self.recognizer.push(
+                        cid(channel), np.frombuffer(raw, dtype="<i2")
+                    )
+                elif op == "hangup":
+                    result = self.recognizer.hangup(cid(channel))
+                    if result is not None:
+                        await self._send_result_direct(writer, channel, result)
+                    opened.discard(cid(channel))
+                    self._writers.pop(cid(channel), None)
+                else:
+                    writer.write(
+                        (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()
+                    )
+                    await writer.drain()
+        except ConnectionError:
+            pass
+        finally:
+            # a dropped socket mid-recognition is a hangup (reference
+            # semantics: channel death before duration → HANGUP, no search)
+            for channel_id in opened:
+                if channel_id in self._writers:
+                    self._writers.pop(channel_id, None)
+                    self.recognizer.hangup(channel_id)
+            writer.close()
+
+    async def _send_result_direct(
+        self, writer: asyncio.StreamWriter, channel: str, result: SearchResult
+    ) -> None:
+        payload = result.to_channel_vars()
+        payload["CONFIDENCE"] = f"{result.confidence:.4f}"
+        try:
+            writer.write(
+                (json.dumps({"channel": channel, "result": payload}) + "\n").encode()
+            )
+            await writer.drain()
+        except ConnectionError:
+            pass
+
+
+def run_server(
+    engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
+    samplerate: int = 8000,
+) -> None:
+    """Blocking entry point (the `tiresias serve` CLI command)."""
+
+    async def main():
+        server = RecognitionServer(engine, host, port, samplerate)
+        await server.start()
+        print(f"tiresias serving on {server.host}:{server.port}")
+        await server.serve_forever()
+
+    asyncio.run(main())

@@ -125,7 +125,12 @@ class StreamingRecognizer:
             state = self._channels.get(channel_id)
             if state is None or state.closed:
                 return
-            pcm = np.asarray(pcm, dtype=np.float32).ravel()
+            pcm = np.asarray(pcm).ravel()
+            if pcm.dtype == np.int16:
+                # raw telephony samples: aubio's source scaling
+                pcm = pcm.astype(np.float32) / 32768.0
+            else:
+                pcm = pcm.astype(np.float32)
             state.chunks.append(pcm)
             state.buffered += len(pcm)
 
