@@ -128,6 +128,12 @@ class TestProtocol:
         assert "error" in r1 and "error" in r2
         assert r3 == {"channel": "y", "opened": True}
 
+    def test_stats_op(self, server):
+        replies = _talk(server.port, [{"op": "stats", "channel": ""}], 1)
+        stats = replies[0]["stats"]
+        assert stats["audios"] == 4
+        assert "counters" in stats and "channels" in stats
+
     def test_two_clients_same_channel_name(self, server):
         pcm_a = synth_tone(300, 0.7, SR)  # tone0
         pcm_b = synth_tone(900, 0.7, SR)  # tone3

@@ -36,6 +36,13 @@ log = get_logger(__name__)
 SCORE_INTERVAL_S = 0.02  # one batched device pass per tick at most
 
 
+def _p50_ms(snapshot: dict, name: str) -> float | None:
+    vals = sorted(snapshot["timings"].get(name, ()))
+    if not vals:
+        return None
+    return round(vals[len(vals) // 2] * 1e3, 3)
+
+
 class RecognitionServer:
     def __init__(
         self,
@@ -162,6 +169,21 @@ class RecognitionServer:
                     self.recognizer.push(
                         cid(channel), np.frombuffer(raw, dtype="<i2")
                     )
+                elif op == "stats":
+                    from tiresias_tpu.utils.tracing import metrics
+
+                    snap = metrics.snapshot()
+                    writer.write(
+                        (json.dumps({
+                            "stats": {
+                                "channels": self.recognizer.n_channels,
+                                "audios": len(self.engine.store),
+                                "counters": snap["counters"],
+                                "search_p50_ms": _p50_ms(snap, "search.match"),
+                            }
+                        }) + "\n").encode()
+                    )
+                    await writer.drain()
                 elif op == "hangup":
                     result = self.recognizer.hangup(cid(channel))
                     if result is not None:
