@@ -1,11 +1,12 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Headline metric: fingerprint throughput in audio-hours processed per
-wall-clock hour on one chip (BASELINE.md north star: >= 1000), measured with
-device-resident input (this dev environment reaches the TPU through a
-network tunnel whose ~140 MB/s H2D bandwidth is an artifact; production
-feeds chips over local DMA). The H2D-inclusive number and the recognition
-p50 latency vs a 10k-track DB are printed to stderr as secondary metrics.
+Headline metric (the single JSON line): fingerprint throughput in
+audio-hours processed per wall-clock hour on one chip (BASELINE.md north
+star: >= 1000), measured with device-resident input (this dev environment
+reaches the TPU through a network tunnel whose ~140 MB/s H2D bandwidth and
+~30 ms dispatch RTT are artifacts; production feeds chips over local DMA).
+Secondary metrics go to stderr: recognition p50 vs a 10k-track DB, 1k-clip
+DB build, and 128-stream serving.
 
 Run: python bench.py  (uses the default JAX platform — TPU when present).
 """

@@ -4,22 +4,26 @@ Hand-fused kernel for the configurations the MXU lattice path
 (:mod:`tiresias_tpu.ops.match_lattice`) cannot serve — ``coefs=2`` (the
 joint per-frame condition does not factorize over the value lattice) and the
 D8 no-truncation mode. Replaces :func:`tiresias_tpu.ops.match_jax.match_votes`'
-blocked XLA broadcast with one kernel that keeps a DB tile resident in VMEM
+blocked XLA broadcast with a kernel that keeps a DB tile resident in VMEM
 while sweeping every query frame over it:
 
-    grid (audio_tiles, batch):
-      for f in range(F):
-        ok = |d0 − q0[b,f]| ≤ tol  [∧ (|d1 − q1[b,f]| ≤ tol ∨ ¬use2[b,f])]
-        votes[b, tile] += active[b,f] ∧ any_T(ok)
+    per audio tile i (grid), per query frame f (fori):
+      ok = |d0 − q0[f]| ≤ tol  [∧ (|d1 − q1[f]| ≤ tol ∨ ¬use2[f])]
+      votes[i·T .. i·T+T) += any_T(ok)
+
+One kernel invocation scores ONE query against the whole DB; the batch axis
+is ``lax.map``-ed over inside the same jit (device-side launches, no host
+round trips). Mosaic block-shape rules drive this design: an output block
+must either tile (8k, 128k) or equal the array's trailing dims, so the
+kernel owns the full ``[1, A_pad]`` output and each grid step writes its
+disjoint 128-lane slice.
 
 Masking is value-encoded, mirroring the store's layout: padding/invalid DB
 frames hold ``PAD_VALUE`` (−1e6) so no tolerance band can reach them, and
 inactive query frames are pre-set to ``+1e6`` on the host side — the kernel
-itself needs no boolean operands (TPU lanes prefer f32 compares).
-
-Semantics are identical to match_jax / the SQL oracle (PARITY.md §3):
-one vote per frame per audio, inclusive band, out-of-band max2 drops only
-the max2 condition.
+needs no boolean operands. Semantics are identical to match_jax / the SQL
+oracle (PARITY.md §3): one vote per frame per audio, inclusive band,
+out-of-band max2 drops only the max2 condition.
 """
 
 from __future__ import annotations
@@ -45,10 +49,8 @@ def _kernel_c2(q0_ref, q1_ref, use2_ref, d0_ref, d1_ref, tol_ref, out_ref):
     f_total = q0_ref.shape[1]
 
     def body(f, votes):
-        q0 = q0_ref[0, f]
-        q1 = q1_ref[0, f]
-        ok = jnp.abs(d0 - q0) <= tol
-        ok1 = jnp.abs(d1 - q1) <= tol
+        ok = jnp.abs(d0 - q0_ref[0, f]) <= tol
+        ok1 = jnp.abs(d1 - q1_ref[0, f]) <= tol
         # use2 <= 0 → max2 condition dropped (PARITY.md §3.3)
         ok &= ok1 | (use2_ref[0, f] <= 0.0)
         # Mosaic has no bool reductions: any-over-T as an f32 max
@@ -57,7 +59,8 @@ def _kernel_c2(q0_ref, q1_ref, use2_ref, d0_ref, d1_ref, tol_ref, out_ref):
     votes = jax.lax.fori_loop(
         0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
     )
-    out_ref[0, :] = votes
+    i = pl.program_id(0)
+    out_ref[0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)] = votes
 
 
 def _kernel_c1(q0_ref, d0_ref, tol_ref, out_ref):
@@ -72,7 +75,8 @@ def _kernel_c1(q0_ref, d0_ref, tol_ref, out_ref):
     votes = jax.lax.fori_loop(
         0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
     )
-    out_ref[0, :] = votes
+    i = pl.program_id(0)
+    out_ref[0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)] = votes
 
 
 @functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
@@ -105,45 +109,54 @@ def match_votes_pallas(
                      constant_values=match_jax_pad_value())
     # value-encode the active mask: inactive query frames leave every band
     q0 = jnp.where(active, q[..., 0], INACTIVE_Q)
-    grid = (a_pad // AUDIO_TILE, b)
+    n_tiles = a_pad // AUDIO_TILE
     d0 = db[..., 0]
 
     common = dict(
-        out_shape=jax.ShapeDtypeStruct((b, a_pad), jnp.float32),
-        out_specs=pl.BlockSpec(
-            (1, AUDIO_TILE), lambda i, j: (j, i), memory_space=pltpu.VMEM
-        ),
-        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+        # the full [1, A_pad] output is the block; grid steps write
+        # disjoint 128-lane slices (Mosaic block-shape constraint)
+        out_specs=pl.BlockSpec((1, a_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        grid=(n_tiles,),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * f * a_pad * t * coefs,
-            bytes_accessed=4 * (a_pad * t * coefs + b * f * 3 + b * a_pad),
+            flops=4 * f * a_pad * t * coefs,
+            bytes_accessed=4 * (a_pad * t * coefs + f * 3 + a_pad),
             transcendentals=0,
         ),
     )
     # per-frame scalars are read at dynamic indices inside the fori loop —
     # that must be SMEM (Mosaic cannot prove dynamic VMEM lane alignment)
-    qspec = pl.BlockSpec((1, f), lambda i, j: (j, 0), memory_space=pltpu.SMEM)
+    qspec = pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dspec = pl.BlockSpec(
-        (AUDIO_TILE, t), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        (AUDIO_TILE, t), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     tspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     if coefs == 1:
-        votes = pl.pallas_call(
-            _kernel_c1,
-            in_specs=[qspec, dspec, tspec],
-            **common,
-        )(q0, d0, tol)
+        call = pl.pallas_call(_kernel_c1, in_specs=[qspec, dspec, tspec], **common)
+
+        def one(q0_b):
+            return call(q0_b[None, :], d0, tol)[0]
+
+        votes = jax.lax.map(one, q0)
     else:
         d1 = db[..., 1]
-        q1 = q[..., 1]
-        use2_f = use2.astype(jnp.float32)
-        votes = pl.pallas_call(
+        call = pl.pallas_call(
             _kernel_c2,
             in_specs=[qspec, qspec, qspec, dspec, dspec, tspec],
             **common,
-        )(q0, q1, use2_f, d0, d1, tol)
+        )
+        use2_f = use2.astype(jnp.float32)
+
+        def one(args):
+            q0_b, q1_b, u2_b = args
+            return call(
+                q0_b[None, :], q1_b[None, :], u2_b[None, :], d0, d1, tol
+            )[0]
+
+        votes = jax.lax.map(one, (q0, q[..., 1], use2_f))
     return votes[:, :a].astype(jnp.int32)
 
 
