@@ -206,6 +206,24 @@ class TestDirectorySync:
             "clip02.wav",
         ]
 
+    def test_mixed_samplerates_one_directory(self, tmp_path):
+        # the reference analyses at each file's native rate (fp_handler.c:37);
+        # ingest groups by samplerate and fingerprints each group separately
+        directory = tmp_path / "mixed"
+        directory.mkdir()
+        write_wav(str(directory / "a8k.wav"), synth_tone(440, 0.5, 8000), 8000)
+        write_wav(str(directory / "b16k.wav"), synth_tone(440, 0.5, 16000), 16000)
+        cfg = TiresiasConfig(
+            contexts=(ContextConfig(name="mx", directory=str(directory)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        eng = Tiresias(cfg, restore=False)
+        report = eng.sync()
+        assert report.created == 2 and report.failed == 0
+        frames = {a.name: a.n_frames for a in eng.get_audios("mx")}
+        # same duration, double the rate → double the frames
+        assert frames["b16k.wav"] == 2 * frames["a8k.wav"]
+
     def test_persistence_round_trip(self, tmp_path):
         directory = tmp_path / "ctx"
         _make_corpus(str(directory), 2)
