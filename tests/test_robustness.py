@@ -58,6 +58,44 @@ class TestInt16Staging:
         np.testing.assert_array_equal(np.asarray(to_float_pcm(y)), [0.25])
 
 
+class TestIngestResilience:
+    def test_corrupt_file_skipped_others_ingested(self, tmp_path):
+        """Per-file continue on decode failure
+        (/root/reference/src/app_tiresias.c:415-419)."""
+        from tiresias_tpu.config import ContextConfig, TiresiasConfig
+
+        directory = tmp_path / "c"
+        directory.mkdir()
+        write_wav(str(directory / "good.wav"), synth_tone(440, 0.5, SR), SR)
+        (directory / "junk.wav").write_bytes(b"definitely not a wav" * 100)
+        (directory / "empty.wav").write_bytes(b"")
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("c", str(directory)),),
+                data_dir=str(tmp_path / "d"),
+            ),
+            restore=False,
+        )
+        report = eng.sync()
+        assert report.created == 1 and report.failed == 2
+        assert [a.name for a in eng.get_audios("c")] == ["good.wav"]
+
+
+class TestResample:
+    def test_round_trip_tone(self):
+        from tiresias_tpu.utils.audio import resample_poly
+
+        tone16 = synth_tone(440, 0.25, 16000)
+        down = resample_poly(tone16, 16000, 8000)
+        assert len(down) == len(tone16) // 2
+        # energy preserved within a few percent
+        e_in = np.mean(tone16.astype(np.float64) ** 2)
+        e_out = np.mean(down.astype(np.float64) ** 2)
+        assert abs(e_out - e_in) / e_in < 0.05
+        same = resample_poly(tone16, 16000, 16000)
+        np.testing.assert_array_equal(same, tone16)
+
+
 class TestStoreConcurrency:
     def test_parallel_mutation_and_read(self, rng):
         """The reference absorbs cross-thread contention with SQLite's busy
