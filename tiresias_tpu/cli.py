@@ -27,10 +27,29 @@ import sys
 from tiresias_tpu.config import TiresiasConfig, load_config
 
 
+DEFAULT_CONFIG_PATHS = (
+    "./tiresias.conf",
+    "~/.tiresias_tpu/tiresias.conf",
+    # the reference's own location (/root/reference/doc/configuration.rst)
+    "/etc/asterisk/tiresias.conf",
+)
+
+
+def _find_config() -> str | None:
+    import os
+
+    for path in DEFAULT_CONFIG_PATHS:
+        expanded = os.path.expanduser(path)
+        if os.path.exists(expanded):
+            return expanded
+    return None
+
+
 def _engine(args) -> "Tiresias":
     from tiresias_tpu.api import Tiresias
 
-    config = load_config(args.config) if args.config else TiresiasConfig()
+    path = args.config or _find_config()
+    config = load_config(path) if path else TiresiasConfig()
     return Tiresias(config)
 
 
@@ -142,7 +161,11 @@ def build_parser() -> argparse.ArgumentParser:
         prog="tiresias",
         description="TPU-native audio fingerprinting and recognition",
     )
-    p.add_argument("-c", "--config", help="tiresias.conf-style INI file")
+    from tiresias_tpu import __version__
+
+    p.add_argument("-c", "--config", help="tiresias.conf-style INI file "
+                   f"(default: first of {', '.join(DEFAULT_CONFIG_PATHS)})")
+    p.add_argument("--version", action="version", version=f"tiresias-tpu {__version__}")
     p.add_argument(
         "--profile",
         metavar="DIR",
