@@ -150,8 +150,18 @@ def cmd_serve(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import bench  # repo-root harness
+    import importlib.util
+    import os
 
+    # the harness lives at the repo root, next to the package directory
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "bench.py")
+    if not os.path.exists(path):
+        print("bench.py not found (source checkout required)", file=sys.stderr)
+        return 1
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
     return 0
 
