@@ -1,0 +1,119 @@
+"""Regression tests for the code-review findings (round-1 review pass).
+
+Each test pins one fixed defect; see the commit message for the full list.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import ContextConfig, TiresiasConfig
+from tiresias_tpu.ops.mfcc_jax import fingerprint_signals
+from tiresias_tpu.store import FingerprintStore
+from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+SR = 8000
+
+
+class TestMixedDtypeScaling:
+    def test_int16_in_mixed_batch_is_scaled(self, dsp):
+        """Finding 1: int16 signals in a float-fallback batch must get the
+        /32768 scaling, bit-identical to a pure-int16 batch."""
+        tone = synth_tone(440, 0.5, SR)
+        i16 = np.clip(np.round(tone * 32768.0), -32768, 32767).astype(np.int16)
+        fp_pure, _ = fingerprint_signals([i16], SR, dsp)
+        # mixed batch: same int16 signal + one float signal forces float32
+        fp_mixed, _ = fingerprint_signals([i16, tone], SR, dsp)
+        np.testing.assert_array_equal(fp_mixed[0], fp_pure[0])
+
+
+class TestUnreadableDirectory:
+    def test_sync_is_noop_not_mass_delete(self, tmp_path):
+        """Finding 3: a transiently unreadable directory must not delete the
+        context's audios."""
+        directory = tmp_path / "c"
+        directory.mkdir()
+        write_wav(str(directory / "a.wav"), synth_tone(440, 0.5, SR), SR)
+        cfg = TiresiasConfig(
+            contexts=(ContextConfig("c", str(directory)),),
+            data_dir=str(tmp_path / "d"),
+        )
+        eng = Tiresias(cfg, restore=False)
+        assert eng.sync().created == 1
+        # simulate the mount disappearing
+        import shutil
+
+        shutil.rmtree(directory)
+        report = eng.sync()
+        assert report.deleted == 0
+        assert len(eng.get_audios("c")) == 1  # nothing wiped
+
+
+class TestTornCheckpoint:
+    def test_mismatched_generation_falls_back(self, tmp_path):
+        """Finding 4: catalog/matrix from different generations (torn save)
+        must fall back to .bak, not crash every startup."""
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        rng = np.random.default_rng(0)
+        store.add_audio("a", "c", rng.uniform(-30, 20, (5, 2)).astype(np.float32), "h1")
+        store.save(str(tmp_path))
+        store.add_audio("b", "c", rng.uniform(-30, 20, (5, 2)).astype(np.float32), "h2")
+        store.save(str(tmp_path))
+        # tear: current catalog (2 entries) with gen-1 matrix (1 row)
+        os.replace(
+            str(tmp_path / "fingerprints.npz.bak"),
+            str(tmp_path / "fingerprints.npz"),
+        )
+        # both generations' catalogs now mismatch the single matrix...
+        # current: catalog(2)+matrix(1) -> corrupt -> try .bak: catalog(1)
+        # has no matching matrix file pair? catalog.json.bak(1)+missing npz.bak
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        # must not raise; falls back as far as possible (empty acceptable)
+        assert len(loaded) in (0, 1)
+
+
+class TestGpuGuard:
+    def test_platform_detection(self, monkeypatch):
+        """Finding 6: only genuine TPUs dispatch Pallas kernels."""
+        from tiresias_tpu.utils import platform as plat
+
+        class FakeDev:
+            def __init__(self, p, kind):
+                self.platform = p
+                self.device_kind = kind
+
+        import jax
+
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev("gpu", "NVIDIA H100")])
+        assert plat.is_tpu() is False
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev("tpu", "TPU v5e")])
+        assert plat.is_tpu() is True
+        monkeypatch.setattr(jax, "devices", lambda: [FakeDev("axon", "TPU v5 lite")])
+        assert plat.is_tpu() is True
+        monkeypatch.setenv("TIRESIAS_NO_PALLAS", "1")
+        assert plat.is_tpu() is False
+
+
+class TestViewConsistentAttribution:
+    def test_delete_between_search_and_attribution(self, tmp_path):
+        """Finding 9: result attribution uses the device view's row order,
+        immune to concurrent deletes compacting the live catalog."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        names = []
+        for i in range(4):
+            e = eng.add_audio_pcm("c", f"t{i}", synth_tone(300 + 200 * i, 1.0, SR), SR)
+            names.append(e.uuid)
+        # build the device view, then delete row 0 from the live catalog
+        eng.store.device_db()
+        view = eng.store.view_entries()
+        eng.delete_audio(names[0])
+        # the snapshot still maps the OLD row order
+        assert [e.uuid for e in view] == names
+        # a fresh view reflects the delete
+        eng.store.device_db()
+        assert [e.uuid for e in eng.store.view_entries()] == names[1:]

@@ -128,6 +128,52 @@ class TestProtocol:
         assert "error" in r1 and "error" in r2
         assert r3 == {"channel": "y", "opened": True}
 
+    def test_continuous_channel_gets_multiple_results(self, server):
+        # review finding 2: the writer must survive the first result
+        import socket
+
+        pcm = synth_tone(700, 1.5, SR)
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps(
+                {"op": "open", "channel": "cont", "context": "m",
+                 "duration_ms": 500, "continuous": True}) + "\n")
+            f.write(json.dumps(
+                {"op": "pcm", "channel": "cont", "pcm": _pcm_b64(pcm)}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["opened"]
+            first = json.loads(f.readline())
+            second = json.loads(f.readline())
+            assert first["result"]["TIRSTATUS"] == "FOUND"
+            assert second["result"]["TIRSTATUS"] == "FOUND"
+            f.write(json.dumps({"op": "hangup", "channel": "cont"}) + "\n")
+            f.flush()
+
+    def test_malformed_pcm_isolated(self, server):
+        # review finding 8: bad base64 / missing pcm answers an error and
+        # the connection (and its other channels) keeps working
+        import socket
+
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"op": "pcm", "channel": "x"}) + "\n")  # no pcm
+            f.write(json.dumps(
+                {"op": "pcm", "channel": "x", "pcm": "!!!notbase64"}) + "\n")
+            f.write(json.dumps(
+                {"op": "open", "channel": "ok", "context": "m",
+                 "duration_ms": 400}) + "\n")
+            f.write(json.dumps(
+                {"op": "pcm", "channel": "ok",
+                 "pcm": _pcm_b64(synth_tone(300, 0.5, SR))}) + "\n")
+            f.flush()
+            r1 = json.loads(f.readline())
+            r2 = json.loads(f.readline())
+            r3 = json.loads(f.readline())
+            r4 = json.loads(f.readline())
+        assert "error" in r1 and "error" in r2
+        assert r3 == {"channel": "ok", "opened": True}
+        assert r4["result"]["TIRSTATUS"] == "FOUND"
+
     def test_stats_op(self, server):
         replies = _talk(server.port, [{"op": "stats", "channel": ""}], 1)
         stats = replies[0]["stats"]

@@ -91,16 +91,9 @@ NOT_FOUND = SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
 
 
 def _on_tpu() -> bool:
-    """True when the default backend is a TPU (incl. tunneled plugins) and
-    Pallas kernels are not disabled via TIRESIAS_NO_PALLAS."""
-    if os.environ.get("TIRESIAS_NO_PALLAS"):
-        return False
-    import jax
+    from tiresias_tpu.utils.platform import is_tpu
 
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:  # noqa: BLE001 - no backend at all
-        return False
+    return is_tpu()
 
 
 class Tiresias:
@@ -337,7 +330,9 @@ class Tiresias:
         metrics.add("search.queries", len(pcms))
 
         results: list[SearchResult] = []
-        entries = self.store.iter_entries()
+        # row → catalog mapping must match the device view the search ran
+        # against (a concurrent delete compacts rows and shifts indices)
+        entries = self.store.view_entries()
         for i in range(len(pcms)):
             fc = int(n_frames[i])
             b = int(best[i])

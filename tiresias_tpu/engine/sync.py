@@ -57,20 +57,29 @@ class SyncReport:
         return self
 
 
-def scan_directory(directory: str) -> list[str]:
+def scan_directory(directory: str) -> list[str] | None:
     """Sorted file names, skipping only ``.``/``..`` like the reference's
-    ``file_select`` (/root/reference/src/app_tiresias.c:553-572)."""
+    ``file_select`` (/root/reference/src/app_tiresias.c:553-572).
+
+    Returns None (not []) when the directory itself is unreadable — callers
+    must distinguish "empty" from "unavailable": treating a transient mount
+    failure as an empty directory would delete every audio in the context.
+    """
     try:
         names = sorted(os.listdir(directory))
     except OSError:
-        log.warning("could not scan directory %s", directory)
-        return []
+        log.error("could not scan directory %s", directory)
+        return None
     return [n for n in names if os.path.isfile(os.path.join(directory, n))]
 
 
-def hash_directory(directory: str) -> dict[str, str]:
-    """{path: md5} for every readable file (thread-pooled)."""
-    paths = [os.path.join(directory, n) for n in scan_directory(directory)]
+def hash_directory(directory: str) -> dict[str, str] | None:
+    """{path: md5} for every readable file (thread-pooled); None when the
+    directory is unreadable (see scan_directory)."""
+    names = scan_directory(directory)
+    if names is None:
+        return None
+    paths = [os.path.join(directory, n) for n in names]
     out: dict[str, str] = {}
     with ThreadPoolExecutor(max_workers=HOST_DECODE_THREADS) as pool:
         for path, future in [(p, pool.submit(file_md5, p)) for p in paths]:
@@ -88,9 +97,15 @@ def delete_removed_audio(
     disk_hashes: set[str] | None = None,
 ) -> int:
     """Delete store entries whose MD5 no longer matches any file on disk
-    (delete_removed_audio_info, /root/reference/src/app_tiresias.c:431-551)."""
+    (delete_removed_audio_info, /root/reference/src/app_tiresias.c:431-551).
+
+    An unreadable directory deletes NOTHING — a transient I/O failure must
+    not destroy the context's fingerprints."""
     if disk_hashes is None:
-        disk_hashes = set(hash_directory(directory).values())
+        hashes = hash_directory(directory)
+        if hashes is None:
+            return 0
+        disk_hashes = set(hashes.values())
     deleted = 0
     for entry in store.get_audios_by_context(context):
         if entry.hash not in disk_hashes:
@@ -184,6 +199,9 @@ def sync_context_audio(
     (init_audio per-context body, /root/reference/src/app_tiresias.c:324-358)."""
     report = SyncReport()
     hashes = hash_directory(directory)  # one MD5 pass serves both phases
+    if hashes is None:
+        # unreadable directory: sync is a no-op, never a mass delete
+        return report
     report.deleted = delete_removed_audio(
         store, context, directory, set(hashes.values())
     )

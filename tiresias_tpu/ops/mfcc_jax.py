@@ -141,15 +141,10 @@ def _fingerprint_padded(
 
 def _use_pallas() -> bool:
     """Fused Pallas kernel on TPU (1.36x the XLA-FFT path, measured on
-    v5e); XLA path on CPU and when TIRESIAS_NO_PALLAS is set."""
-    import os
+    v5e); XLA path elsewhere and when TIRESIAS_NO_PALLAS is set."""
+    from tiresias_tpu.utils.platform import is_tpu
 
-    if os.environ.get("TIRESIAS_NO_PALLAS"):
-        return False
-    try:
-        return jax.devices()[0].platform != "cpu"
-    except Exception:  # noqa: BLE001
-        return False
+    return is_tpu()
 
 
 def fingerprint_padded_batch(
@@ -194,7 +189,12 @@ def pad_frames_bucket(
     )
     out = np.zeros((len(pcms), f_bucket * hop_size), dtype=dtype)
     for i, p in enumerate(pcms):
-        out[i, : len(p)] = np.asarray(p, dtype=dtype)
+        p = np.asarray(p)
+        if dtype == np.float32 and p.dtype == np.int16:
+            # mixed batch falls back to float: scale int16 here, since the
+            # device-side to_float_pcm only scales int16-dtype batches
+            p = p.astype(np.float32) / 32768.0
+        out[i, : len(p)] = p.astype(dtype)
     return out, n_frames
 
 

@@ -86,18 +86,22 @@ def pallas_constants(
 
 
 def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
+    # HIGHEST precision on every dot: default TPU matmul truncates inputs
+    # to bf16, visible as ±0.03 in the log-log fingerprint domain — the
+    # same requirement as the XLA path (mfcc_jax.py / PARITY.md §2).
+    hi = jax.lax.Precision.HIGHEST
     f = frames_ref[...]
-    re = jnp.dot(f, dft_re_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(f, dft_im_ref[...], preferred_element_type=jnp.float32)
+    re = jnp.dot(f, dft_re_ref[...], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(f, dft_im_ref[...], preferred_element_type=jnp.float32, precision=hi)
     mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32)
+    mel = jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32, precision=hi)
     # safe_log10 robust to TPU subnormal flushing (mfcc_jax / PARITY.md §2)
     logm = jnp.where(
         mel >= _FLOOR_THRESHOLD,
         jnp.log10(jnp.maximum(mel, _FLOOR_THRESHOLD)),
         _LOG10_FLOOR,
     )
-    coefs = jnp.dot(logm, dct_ref[...], preferred_element_type=jnp.float32)
+    coefs = jnp.dot(logm, dct_ref[...], preferred_element_type=jnp.float32, precision=hi)
     ac = jnp.abs(coefs)
     out_ref[...] = 10.0 * jnp.where(
         ac >= _FLOOR_THRESHOLD,

@@ -87,17 +87,28 @@ class RecognitionServer:
         loop = asyncio.get_running_loop()
         while True:
             await asyncio.sleep(SCORE_INTERVAL_S)
-            if self.recognizer.n_channels == 0:
-                continue
-            # device work off the event loop so slow searches don't stall IO
-            results = await loop.run_in_executor(
-                None, self.recognizer.process_ready
-            )
-            for channel_id, result in results.items():
-                await self._send_result(channel_id, result)
+            try:
+                if self.recognizer.n_channels == 0:
+                    continue
+                # device work off the event loop so slow searches don't
+                # stall IO
+                results = await loop.run_in_executor(
+                    None, self.recognizer.process_ready
+                )
+                for channel_id, result in results.items():
+                    await self._send_result(channel_id, result)
+            except asyncio.CancelledError:
+                raise
+            except Exception:  # noqa: BLE001 - the scorer must never die
+                log.exception("score loop iteration failed; continuing")
 
     async def _send_result(self, channel_id: str, result: SearchResult) -> None:
-        writer = self._writers.pop(channel_id, None)
+        # continuous channels stay registered for their next window; only
+        # closed channels release the writer mapping
+        if self.recognizer.is_open(channel_id):
+            writer = self._writers.get(channel_id)
+        else:
+            writer = self._writers.pop(channel_id, None)
         if writer is None or writer.is_closing():
             return
         payload = result.to_channel_vars()
@@ -135,64 +146,15 @@ class RecognitionServer:
                     msg = json.loads(line)
                     op = msg["op"]
                     channel = str(msg.get("channel", ""))
-                except (json.JSONDecodeError, KeyError) as exc:
+                    await self._dispatch_op(op, channel, msg, cid, opened, writer)
+                except ConnectionError:
+                    raise
+                except Exception as exc:  # noqa: BLE001 - bad request only
+                    # any malformed request (bad JSON, missing keys, invalid
+                    # base64, wrong types) answers {"error": ...} and never
+                    # kills the connection or its other channels
                     writer.write(
                         (json.dumps({"error": f"bad request: {exc}"}) + "\n").encode()
-                    )
-                    await writer.drain()
-                    continue
-                if op == "open":
-                    kwargs = {
-                        k: msg[k]
-                        for k in (
-                            "context",
-                            "duration_ms",
-                            "tolerance",
-                            "coefs",
-                            "freq_ignore_low",
-                            "freq_ignore_high",
-                            "trunc_coef1",
-                            "filter_context",
-                            "continuous",
-                        )
-                        if k in msg
-                    }
-                    self.recognizer.open(cid(channel), **kwargs)
-                    self._writers[cid(channel)] = writer
-                    opened.add(cid(channel))
-                    writer.write(
-                        (json.dumps({"channel": channel, "opened": True}) + "\n").encode()
-                    )
-                    await writer.drain()
-                elif op == "pcm":
-                    raw = base64.b64decode(msg["pcm"])
-                    self.recognizer.push(
-                        cid(channel), np.frombuffer(raw, dtype="<i2")
-                    )
-                elif op == "stats":
-                    from tiresias_tpu.utils.tracing import metrics
-
-                    snap = metrics.snapshot()
-                    writer.write(
-                        (json.dumps({
-                            "stats": {
-                                "channels": self.recognizer.n_channels,
-                                "audios": len(self.engine.store),
-                                "counters": snap["counters"],
-                                "search_p50_ms": _p50_ms(snap, "search.match"),
-                            }
-                        }) + "\n").encode()
-                    )
-                    await writer.drain()
-                elif op == "hangup":
-                    result = self.recognizer.hangup(cid(channel))
-                    if result is not None:
-                        await self._send_result_direct(writer, channel, result)
-                    opened.discard(cid(channel))
-                    self._writers.pop(cid(channel), None)
-                else:
-                    writer.write(
-                        (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()
                     )
                     await writer.drain()
         except ConnectionError:
@@ -201,10 +163,65 @@ class RecognitionServer:
             # a dropped socket mid-recognition is a hangup (reference
             # semantics: channel death before duration → HANGUP, no search)
             for channel_id in opened:
-                if channel_id in self._writers:
-                    self._writers.pop(channel_id, None)
-                    self.recognizer.hangup(channel_id)
+                self._writers.pop(channel_id, None)
+                self.recognizer.hangup(channel_id)
             writer.close()
+
+    async def _dispatch_op(
+        self, op, channel, msg, cid, opened, writer
+    ) -> None:
+        if op == "open":
+            kwargs = {
+                k: msg[k]
+                for k in (
+                    "context",
+                    "duration_ms",
+                    "tolerance",
+                    "coefs",
+                    "freq_ignore_low",
+                    "freq_ignore_high",
+                    "trunc_coef1",
+                    "filter_context",
+                    "continuous",
+                )
+                if k in msg
+            }
+            self.recognizer.open(cid(channel), **kwargs)
+            self._writers[cid(channel)] = writer
+            opened.add(cid(channel))
+            writer.write(
+                (json.dumps({"channel": channel, "opened": True}) + "\n").encode()
+            )
+            await writer.drain()
+        elif op == "pcm":
+            raw = base64.b64decode(msg["pcm"], validate=True)
+            self.recognizer.push(cid(channel), np.frombuffer(raw, dtype="<i2"))
+        elif op == "stats":
+            from tiresias_tpu.utils.tracing import metrics
+
+            snap = metrics.snapshot()
+            writer.write(
+                (json.dumps({
+                    "stats": {
+                        "channels": self.recognizer.n_channels,
+                        "audios": len(self.engine.store),
+                        "counters": snap["counters"],
+                        "search_p50_ms": _p50_ms(snap, "search.match"),
+                    }
+                }) + "\n").encode()
+            )
+            await writer.drain()
+        elif op == "hangup":
+            result = self.recognizer.hangup(cid(channel))
+            if result is not None:
+                await self._send_result_direct(writer, channel, result)
+            opened.discard(cid(channel))
+            self._writers.pop(cid(channel), None)
+        else:
+            writer.write(
+                (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()
+            )
+            await writer.drain()
 
     async def _send_result_direct(
         self, writer: asyncio.StreamWriter, channel: str, result: SearchResult

@@ -159,6 +159,11 @@ class StreamingRecognizer:
         with self._lock:
             return len(self._channels)
 
+    def is_open(self, channel_id: str) -> bool:
+        with self._lock:
+            state = self._channels.get(channel_id)
+            return state is not None and not state.closed
+
     # ------------------------------------------------------------------ #
     # batched scoring
     # ------------------------------------------------------------------ #

@@ -109,6 +109,7 @@ class FingerprintStore:
         self.contexts: dict[str, str] = {}  # name -> directory
         self._matrix = np.full((0, 0, self.n_coefs), PAD_VALUE, dtype=np.float32)
         self._device_db = None  # cached (db, mask, n_audios) jax arrays
+        self._view_entries: list[AudioEntry] = []  # catalog at view-build time
         self._value_map = None  # cached lattice map [A_pad, K] (match_lattice)
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
         self._dirty = True
@@ -308,6 +309,7 @@ class FingerprintStore:
             else:
                 db_j, mask_j = jnp.asarray(db), jnp.asarray(mask)
             self._device_db = (db_j, mask_j, a)
+            self._view_entries = list(self.entries)
             self._value_map = None  # rebuilt lazily from the new view
             self._dirty = False
             return self._device_db
@@ -315,14 +317,25 @@ class FingerprintStore:
     def device_value_map(self):
         """Cached lattice distance map ``M [A_pad, K]`` for the MXU search
         fast path (:mod:`tiresias_tpu.ops.match_lattice`); rebuilt only when
-        the store mutates."""
+        the store mutates. The whole check-and-build runs under the store
+        lock (re-entrant) so a concurrent mutation between the device-view
+        fetch and the build cannot cache a stale map."""
         from tiresias_tpu.ops.match_lattice import build_value_map
 
-        db, mask, n_audios = self.device_db()
         with self._lock:
+            db, mask, n_audios = self.device_db()
             if self._value_map is None:
                 self._value_map = build_value_map(db[..., 0], mask)
             return self._value_map, n_audios
+
+    def view_entries(self) -> list[AudioEntry]:
+        """Catalog snapshot matching the cached device view's row order —
+        result attribution must use THIS, not the live catalog, since a
+        concurrent delete compacts rows and shifts indices."""
+        with self._lock:
+            if self._dirty or self._device_db is None:
+                self.device_db()
+            return self._view_entries
 
     def context_filter(self, context: str | None) -> np.ndarray | None:
         """Bool ``[A_pad]`` selecting a context's audios in the device view,
@@ -419,7 +432,10 @@ class FingerprintStore:
         store.entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store._hash_index = {(e.context, e.hash): e for e in store.entries}
         if matrix.shape[0] != len(store.entries):
-            raise CheckpointIncompatible("checkpoint catalog/matrix row count mismatch")
+            # catalog and matrix from different generations — e.g. a crash
+            # between save()'s two renames. Corruption, not incompatibility:
+            # plain ValueError so load() falls back to the .bak generation.
+            raise ValueError("checkpoint catalog/matrix row count mismatch")
         if len(store.entries):
             store._ensure_capacity(len(store.entries), matrix.shape[1])
             store._matrix[: matrix.shape[0], : matrix.shape[1]] = matrix
