@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from tiresias_tpu.config import DEF_SEARCH_TOLERANCE
 from tiresias_tpu.ops import match_jax
 
 # Integer lattice covering every reachable truncated fingerprint value:
@@ -122,7 +123,7 @@ def search_lattice(
     value_map: jax.Array,
     query: np.ndarray | jax.Array,
     n_frames: np.ndarray | jax.Array | None = None,
-    tolerance: float = 0.001,
+    tolerance: float = DEF_SEARCH_TOLERANCE,
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
@@ -133,7 +134,7 @@ def search_lattice(
     Returns (best [B] int32, match_count [B] int32, votes [B, A] int32).
     """
     if tolerance < 0:
-        tolerance = 0.001  # fp_handler.c:252-256
+        tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
     q = jnp.asarray(query, dtype=jnp.float32)
     b, f, _ = q.shape
     valid = (

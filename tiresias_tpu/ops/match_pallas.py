@@ -36,7 +36,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tiresias_tpu.config import DEF_SEARCH_TOLERANCE
 from tiresias_tpu.ops import match_jax
+from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
 
 AUDIO_TILE = 128
 INACTIVE_Q = 1.0e6  # pushed out of every tolerance band (PAD_VALUE is -1e6)
@@ -106,7 +108,7 @@ def match_votes_pallas(
     if a_pad != a:
         # padding audios hold PAD_VALUE → zero votes
         db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
-                     constant_values=match_jax_pad_value())
+                     constant_values=PAD_VALUE)
     # value-encode the active mask: inactive query frames leave every band
     q0 = jnp.where(active, q[..., 0], INACTIVE_Q)
     n_tiles = a_pad // AUDIO_TILE
@@ -160,18 +162,12 @@ def match_votes_pallas(
     return votes[:, :a].astype(jnp.int32)
 
 
-def match_jax_pad_value() -> float:
-    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
-
-    return PAD_VALUE
-
-
 def search_batch_pallas(
     db: jax.Array,
     query: np.ndarray | jax.Array,
     n_frames: np.ndarray | jax.Array | None = None,
     coefs: int = 1,
-    tolerance: float = 0.001,
+    tolerance: float = DEF_SEARCH_TOLERANCE,
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
@@ -184,7 +180,7 @@ def search_batch_pallas(
     operand. Returns (best [B], match_count [B], votes [B, A]).
     """
     if tolerance < 0:
-        tolerance = 0.001  # fp_handler.c:252-256
+        tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
     )
