@@ -24,6 +24,7 @@ import os
 import numpy as np
 
 from tiresias_tpu.config import (
+    DEF_DURATION_MS,
     DEF_SEARCH_TOLERANCE,
     DspConfig,
     MatchConfig,
@@ -136,6 +137,23 @@ class Tiresias:
         /root/reference/src/app_tiresias.c:230-358)."""
         with phase("engine.sync"):
             return sync_all(self.store, self.config, self.checkpoint_dir)
+
+    def warmup(
+        self,
+        samplerate: int = 8000,
+        duration_ms: int = DEF_DURATION_MS,
+        batch_sizes: tuple[int, ...] = (1,),
+    ) -> None:
+        """Pre-compile the search graphs for the given window shapes so the
+        first real request doesn't pay XLA compilation (the C reference is
+        AOT-compiled; this is the JIT-world equivalent, backed by the
+        persistent compilation cache)."""
+        n = int(samplerate * duration_ms / 1000)
+        n -= n % self.config.dsp.hop_size
+        silence = np.zeros(max(n, self.config.dsp.hop_size), dtype=np.float32)
+        for b in batch_sizes:
+            with phase("engine.warmup"):
+                self.search_pcm_batch(None, [silence] * b, samplerate)
 
     def save(self) -> None:
         self.store.save(self.checkpoint_dir)

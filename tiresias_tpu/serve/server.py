@@ -244,6 +244,7 @@ def run_server(
     """Blocking entry point (the `tiresias serve` CLI command)."""
 
     async def main():
+        engine.warmup(samplerate=samplerate)  # compile before accepting work
         server = RecognitionServer(engine, host, port, samplerate)
         await server.start()
         print(f"tiresias serving on {server.host}:{server.port}")
