@@ -293,64 +293,79 @@ class Tiresias:
         with phase("search.fingerprint"):
             qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
         with phase("search.match"):
-            audio_filter = (
-                self.store.context_filter(context) if filter_context else None
+            # one matcher pass per frame tier; votes concatenate exactly
+            # (audios are whole within a tier — store docstring)
+            views = self.store.search_views()
+            entries: list[AudioEntry] = []
+            vote_parts: list[np.ndarray] = []
+            use_lattice = coefs == 1 and trunc_coef1
+            use_pallas = _on_tpu() and self.mesh is None
+            for view in views:
+                if use_lattice:
+                    # dialplan configuration → exact MXU lattice fast path
+                    from tiresias_tpu.ops.match_lattice import search_lattice
+
+                    _, _, votes = search_lattice(
+                        self.store.value_map_for(view),
+                        qfp,
+                        n_frames,
+                        tolerance=tolerance,
+                        freq_ignore_low=freq_ignore_low,
+                        freq_ignore_high=freq_ignore_high,
+                    )
+                elif use_pallas:
+                    # generic semantics, fused Pallas kernel; sharded stores
+                    # stay on the XLA matcher — a Pallas custom call does
+                    # not auto-partition under GSPMD
+                    from tiresias_tpu.ops.match_pallas import search_batch_pallas
+
+                    _, _, votes = search_batch_pallas(
+                        view.db,
+                        qfp,
+                        n_frames,
+                        coefs=coefs,
+                        tolerance=tolerance,
+                        freq_ignore_low=freq_ignore_low,
+                        freq_ignore_high=freq_ignore_high,
+                        trunc_coef1=trunc_coef1,
+                    )
+                else:
+                    _, _, votes = match_jax.search_batch(
+                        view.db,
+                        view.mask,
+                        qfp,
+                        n_frames,
+                        coefs=coefs,
+                        tolerance=tolerance,
+                        freq_ignore_low=freq_ignore_low,
+                        freq_ignore_high=freq_ignore_high,
+                        trunc_coef1=trunc_coef1,
+                    )
+                vote_parts.append(np.asarray(votes)[:, : view.n_audios])
+                entries.extend(view.entries)
+
+            votes_all = (
+                np.concatenate(vote_parts, axis=1)
+                if vote_parts
+                else np.zeros((len(pcms), 0), np.int32)
             )
-            audio_filter = None if audio_filter is None else np.asarray(audio_filter)
-            if coefs == 1 and trunc_coef1:
-                # dialplan configuration → exact MXU lattice fast path
-                from tiresias_tpu.ops.match_lattice import search_lattice
-
-                value_map, _ = self.store.device_value_map()
-                best, count, _ = search_lattice(
-                    value_map,
-                    qfp,
-                    n_frames,
-                    tolerance=tolerance,
-                    freq_ignore_low=freq_ignore_low,
-                    freq_ignore_high=freq_ignore_high,
-                    audio_filter=audio_filter,
+            if filter_context:
+                keep = np.array(
+                    [e.context == context for e in entries], dtype=bool
                 )
-            elif _on_tpu() and self.mesh is None:
-                # generic semantics, fused Pallas kernel (match_pallas);
-                # sharded stores stay on the XLA matcher — a Pallas custom
-                # call does not auto-partition under GSPMD
-                from tiresias_tpu.ops.match_pallas import search_batch_pallas
-
-                db, _, _ = self.store.device_db()
-                best, count, _ = search_batch_pallas(
-                    db,
-                    qfp,
-                    n_frames,
-                    coefs=coefs,
-                    tolerance=tolerance,
-                    freq_ignore_low=freq_ignore_low,
-                    freq_ignore_high=freq_ignore_high,
-                    audio_filter=audio_filter,
-                    trunc_coef1=trunc_coef1,
-                )
+                votes_all = np.where(keep[None, :], votes_all, 0)
+            # top-1 with lowest-index tiebreak (PARITY.md D5; index order =
+            # tiers ascending, insertion order within)
+            if votes_all.shape[1]:
+                best = votes_all.argmax(axis=1)
+                count = votes_all[np.arange(len(pcms)), best]
+                best = np.where(count > 0, best, -1)
             else:
-                db, db_mask, _ = self.store.device_db()
-                best, count, _ = match_jax.search_batch(
-                    db,
-                    db_mask,
-                    qfp,
-                    n_frames,
-                    coefs=coefs,
-                    tolerance=tolerance,
-                    freq_ignore_low=freq_ignore_low,
-                    freq_ignore_high=freq_ignore_high,
-                    audio_filter=audio_filter,
-                    trunc_coef1=trunc_coef1,
-                )
-            best = np.asarray(best)
-            count = np.asarray(count)
+                best = np.full(len(pcms), -1)
+                count = np.zeros(len(pcms), np.int32)
         metrics.add("search.queries", len(pcms))
 
         results: list[SearchResult] = []
-        # row → catalog mapping must match the device view the search ran
-        # against (a concurrent delete compacts rows and shifts indices)
-        entries = self.store.view_entries()
         for i in range(len(pcms)):
             fc = int(n_frames[i])
             b = int(best[i])

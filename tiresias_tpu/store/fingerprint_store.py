@@ -4,26 +4,35 @@ TPU-first replacement for the reference's storage layer — the in-memory
 SQLite database (``":memory:"``, /root/reference/src/fp_handler.c:30) holding
 ``context_list`` / ``audio_list`` / ``audio_fingerprint`` tables
 (/root/reference/src/fp_handler.c:673-756) behind the db_ctx abstraction
-(/root/reference/src/db_ctx_handler.c). Per-frame SQL rows become one dense
-matrix; the catalog (uuid/name/context/md5) stays on host as plain Python.
+(/root/reference/src/db_ctx_handler.c). Per-frame SQL rows become dense
+matrices; the catalog (uuid/name/context/md5) stays on host as plain Python.
 
-Layout:
-  * ``matrix`` — float32 ``[capacity_audios, frame_cap, n_coefs]``, one row
-    block per audio, ``PAD_VALUE`` beyond each audio's ``n_frames`` (no
-    tolerance band can ever match padding).
-  * ``entries`` — ordered list of :class:`AudioEntry`; list index == matrix
-    row. Replaces the ``audio_list`` table (uuid, name, context, hash —
-    /root/reference/src/fp_handler.c:700-706).
-  * ``contexts`` — name → directory dict, replacing ``context_list``
-    (/root/reference/src/fp_handler.c:686-692).
+Layout — **frame-capacity tiers**: each audio lives whole in the tier whose
+frame capacity (128·2^k) fits it, so one hour-long file among 3-second clips
+costs only its own tier instead of inflating every row (the dense-matrix
+trade-off a single matrix would have; the reference's per-frame rows had no
+waste at the price of per-row scan cost). Within a tier:
 
-Capacities grow geometrically and the device view is padded to fixed buckets
+  * ``matrix`` — float32 ``[capacity, tier_frames, n_coefs]``, one row per
+    audio, ``PAD_VALUE`` beyond each audio's ``n_frames`` (no tolerance band
+    can ever match padding).
+  * ``entries`` — insertion-ordered list; list index == matrix row.
+
+Searches run per tier and concatenate votes — audios are disjoint across
+tiers, so per-tier vote counts are exactly the reference's per-audio counts
+(no audio is ever split). The flat catalog (``self.entries``) keeps global
+insertion order for listings; search-result attribution uses the per-tier
+view order (tiers ascending, insertion order within — the documented
+deterministic tie-break, PARITY.md D5).
+
+Capacities grow geometrically and device views are padded to fixed buckets
 so ``jit`` recompiles stay bounded as the store grows.
 
 Checkpointing replaces the SQLite online-backup/restore pair
 (/root/reference/src/db_ctx_handler.c:673-717, 750-772): an atomic
-write-to-tmp + rename of ``catalog.json`` + ``fingerprints.npz``. Unlike the
-reference — which persists only at clean unload, losing everything on a crash
+write-to-tmp + rename of ``catalog.json`` + ``fingerprints.npz`` (one array
+per tier), previous generation kept as ``*.bak``. Unlike the reference —
+which persists only at clean unload, losing everything on a crash
 (/root/reference/src/fp_handler.c:97-103) — callers checkpoint after each
 ingest batch (PARITY.md D2).
 """
@@ -45,14 +54,28 @@ from tiresias_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-CHECKPOINT_VERSION = 1
+CHECKPOINT_VERSION = 2
 CATALOG_FILE = "catalog.json"
 MATRIX_FILE = "fingerprints.npz"
 
 # Device-view padding buckets: audio axis to multiples of 128 (one Pallas
-# match block), frame axis grows geometrically.
+# match tile); frame tiers are 128·2^k.
 AUDIO_BUCKET = 128
 FRAME_BUCKET = 128
+MAX_TIER_FRAMES = FRAME_BUCKET * 2**14  # ~2.1M frames ≈ 18.6 h at 8 kHz
+
+
+def tier_for(n_frames: int) -> int:
+    """Smallest tier frame-capacity that fits ``n_frames``."""
+    if n_frames > MAX_TIER_FRAMES:
+        raise ValueError(
+            f"audio of {n_frames} frames exceeds the maximum tier "
+            f"({MAX_TIER_FRAMES}); split the file before ingest"
+        )
+    t = FRAME_BUCKET
+    while t < n_frames:
+        t *= 2
+    return t
 
 
 @dataclasses.dataclass
@@ -89,8 +112,60 @@ def _bucket(n: int, multiple: int) -> int:
     return max(multiple, -(-n // multiple) * multiple)
 
 
+class _Tier:
+    """One frame-capacity tier: dense matrix + row-ordered entries."""
+
+    def __init__(self, tier_frames: int, n_coefs: int) -> None:
+        self.t = tier_frames
+        self.n_coefs = n_coefs
+        self.matrix = np.full((0, tier_frames, n_coefs), PAD_VALUE, np.float32)
+        self.entries: list[AudioEntry] = []
+
+    def ensure_capacity(self, n_rows: int) -> None:
+        cap = self.matrix.shape[0]
+        new_cap = cap
+        while new_cap < n_rows:
+            new_cap = max(AUDIO_BUCKET, new_cap * 2)
+        if new_cap != cap:
+            grown = np.full(
+                (new_cap, self.t, self.n_coefs), PAD_VALUE, np.float32
+            )
+            grown[:cap] = self.matrix
+            self.matrix = grown
+
+    def add(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
+        row = len(self.entries)
+        self.ensure_capacity(row + 1)
+        self.matrix[row] = PAD_VALUE
+        self.matrix[row, : entry.n_frames] = fingerprint
+        self.entries.append(entry)
+
+    def delete(self, uuid: str) -> AudioEntry | None:
+        for i, e in enumerate(self.entries):
+            if e.uuid == uuid:
+                # compact: shift following rows up to keep index == row
+                self.matrix[i:-1] = self.matrix[i + 1 :]
+                if len(self.matrix):
+                    self.matrix[-1] = PAD_VALUE
+                del self.entries[i]
+                return e
+        return None
+
+
+@dataclasses.dataclass
+class TierView:
+    """A tier's device view — what one matcher invocation scans."""
+
+    tier_frames: int
+    db: object  # jax [A_pad, T, C]
+    mask: object  # jax [A_pad, T]
+    n_audios: int
+    entries: list[AudioEntry]  # row order at view-build time
+    value_map: object = None  # lazily-built lattice map [A_pad, K]
+
+
 class FingerprintStore:
-    """Dense fingerprint matrix + catalog with reference CRUD semantics.
+    """Tiered fingerprint matrices + catalog with reference CRUD semantics.
 
     Thread safety: a single re-entrant lock guards all mutation and catalog
     reads — the moral equivalent of the reference's SQLite busy handler
@@ -99,19 +174,17 @@ class FingerprintStore:
 
     def __init__(self, n_coefs: int = DEF_N_COEFS, mesh=None) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; when
-        set, the device view is placed with a ``P('db')`` NamedSharding so
-        every jitted consumer (lattice matmul, matcher) auto-partitions the
-        audio axis across chips via GSPMD — no code changes downstream."""
+        set, device views are placed with a ``P('db')`` NamedSharding so
+        every jitted consumer auto-partitions the audio axis via GSPMD."""
         self.n_coefs = int(n_coefs)
         self.mesh = mesh
         self._lock = threading.RLock()
-        self.entries: list[AudioEntry] = []
+        self.entries: list[AudioEntry] = []  # global insertion order
         self.contexts: dict[str, str] = {}  # name -> directory
-        self._matrix = np.full((0, 0, self.n_coefs), PAD_VALUE, dtype=np.float32)
-        self._device_db = None  # cached (db, mask, n_audios) jax arrays
-        self._view_entries: list[AudioEntry] = []  # catalog at view-build time
-        self._value_map = None  # cached lattice map [A_pad, K] (match_lattice)
+        self._tiers: dict[int, _Tier] = {}
+        self._views: list[TierView] | None = None  # cached per-tier views
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
+        self._uuid_tier: dict[str, int] = {}
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -174,7 +247,7 @@ class FingerprintStore:
         Mirrors fp_craete_audio_list_info [sic] →
         create_audio_list_info + create_audio_fingerprint_info
         (/root/reference/src/fp_handler.c:161-197,479-575), with the per-frame
-        INSERT loop replaced by one block write.
+        INSERT loop replaced by one block write into the fitting tier.
         """
         fingerprint = np.asarray(fingerprint, dtype=np.float32)
         if fingerprint.ndim != 2 or fingerprint.shape[1] < self.n_coefs:
@@ -194,12 +267,14 @@ class FingerprintStore:
                 hash=file_hash,
                 n_frames=int(fingerprint.shape[0]),
             )
-            row = len(self.entries)
-            self._ensure_capacity(row + 1, entry.n_frames)
-            self._matrix[row] = PAD_VALUE
-            self._matrix[row, : entry.n_frames] = fingerprint[:, : self.n_coefs]
+            t = tier_for(entry.n_frames)
+            tier = self._tiers.get(t)
+            if tier is None:
+                tier = self._tiers[t] = _Tier(t, self.n_coefs)
+            tier.add(entry, fingerprint[:, : self.n_coefs])
             self.entries.append(entry)
             self._hash_index[(context, file_hash)] = entry
+            self._uuid_tier[entry.uuid] = t
             self._dirty = True
             return entry
 
@@ -217,9 +292,13 @@ class FingerprintStore:
 
     def get_fingerprint(self, uuid: str) -> np.ndarray | None:
         with self._lock:
-            for i, e in enumerate(self.entries):
+            t = self._uuid_tier.get(uuid)
+            if t is None:
+                return None
+            tier = self._tiers[t]
+            for i, e in enumerate(tier.entries):
                 if e.uuid == uuid:
-                    return self._matrix[i, : e.n_frames].copy()
+                    return tier.matrix[i, : e.n_frames].copy()
             return None
 
     def delete_audio(self, uuid: str) -> bool:
@@ -229,20 +308,19 @@ class FingerprintStore:
             return self._delete_audio_locked(uuid)
 
     def _delete_audio_locked(self, uuid: str) -> bool:
-        for i, e in enumerate(self.entries):
-            if e.uuid == uuid:
-                # compact: shift following rows up to keep index == row
-                self._matrix[i:-1] = self._matrix[i + 1 :]
-                if len(self._matrix):
-                    self._matrix[-1] = PAD_VALUE
-                del self.entries[i]
-                self._hash_index.pop((e.context, e.hash), None)
-                self._dirty = True
-                return True
-        return False
+        t = self._uuid_tier.pop(uuid, None)
+        if t is None:
+            return False
+        entry = self._tiers[t].delete(uuid)
+        if entry is None:  # index out of sync — should not happen
+            return False
+        self.entries.remove(entry)
+        self._hash_index.pop((entry.context, entry.hash), None)
+        self._dirty = True
+        return True
 
     # ------------------------------------------------------------------ #
-    # matrix / device view
+    # device views
     # ------------------------------------------------------------------ #
 
     def __len__(self) -> int:
@@ -250,107 +328,167 @@ class FingerprintStore:
 
     @property
     def frame_cap(self) -> int:
-        return self._matrix.shape[1]
-
-    def _ensure_capacity(self, n_audios: int, n_frames: int) -> None:
-        cap_a, cap_t, _ = self._matrix.shape
-        new_a = cap_a
-        while new_a < n_audios:
-            new_a = max(AUDIO_BUCKET, new_a * 2)
-        new_t = cap_t
-        while new_t < n_frames:
-            new_t = max(FRAME_BUCKET, new_t * 2)
-        if (new_a, new_t) != (cap_a, cap_t):
-            grown = np.full((new_a, new_t, self.n_coefs), PAD_VALUE, dtype=np.float32)
-            grown[:cap_a, :cap_t] = self._matrix
-            self._matrix = grown
-
-    def host_db(self) -> tuple[np.ndarray, np.ndarray]:
-        """(db [A, T, C], mask [A, T]) numpy views of the live slice."""
+        """Largest live tier's frame capacity (0 when empty)."""
         with self._lock:
-            a = len(self.entries)
-            t = self.frame_cap
-            db = self._matrix[:a]
-            n_frames = np.array([e.n_frames for e in self.entries], dtype=np.int32)
-            mask = np.arange(t)[None, :] < n_frames[:, None]
-            return db, mask
+            live = [t for t, tier in self._tiers.items() if tier.entries]
+            return max(live, default=0)
 
-    def device_db(self):
-        """Bucket-padded device arrays (db [A_pad, T, C], mask [A_pad, T],
-        n_audios int). Cached until the store mutates; padding keeps jit
-        recompiles bounded as audios are added."""
+    def _device_put(self, db: np.ndarray, mask: np.ndarray):
         import jax.numpy as jnp
 
-        with self._lock:
-            if not self._dirty and self._device_db is not None:
-                return self._device_db
-            a = len(self.entries)
-            a_pad = _bucket(a, AUDIO_BUCKET)
-            if self.mesh is not None:
-                n_db = self.mesh.shape.get("db", 1)
-                a_pad = _bucket(a_pad, AUDIO_BUCKET * n_db)
-            t = max(self.frame_cap, FRAME_BUCKET)
-            db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, dtype=np.float32)
-            if a:
-                db[:a, : self.frame_cap] = self._matrix[:a]
-            n_frames = np.zeros(a_pad, dtype=np.int32)
-            n_frames[:a] = [e.n_frames for e in self.entries]
-            mask = np.arange(t)[None, :] < n_frames[:, None]
-            if self.mesh is not None:
-                import jax
-                from jax.sharding import NamedSharding, PartitionSpec
+        if self.mesh is None:
+            return jnp.asarray(db), jnp.asarray(mask)
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec
 
-                db_j = jax.device_put(
-                    db, NamedSharding(self.mesh, PartitionSpec("db", None, None))
+        return (
+            jax.device_put(
+                db, NamedSharding(self.mesh, PartitionSpec("db", None, None))
+            ),
+            jax.device_put(
+                mask, NamedSharding(self.mesh, PartitionSpec("db", None))
+            ),
+        )
+
+    def _a_pad(self, n: int) -> int:
+        a_pad = _bucket(n, AUDIO_BUCKET)
+        if self.mesh is not None:
+            n_db = self.mesh.shape.get("db", 1)
+            a_pad = _bucket(a_pad, AUDIO_BUCKET * n_db)
+        return a_pad
+
+    def search_views(self) -> list[TierView]:
+        """Per-tier device views (tiers ascending). Cached until the store
+        mutates; padding keeps jit recompiles bounded. A search scans every
+        view and concatenates votes — exact, since audios are whole within
+        one tier."""
+        with self._lock:
+            if not self._dirty and self._views is not None:
+                return self._views
+            views: list[TierView] = []
+            for t in sorted(self._tiers):
+                tier = self._tiers[t]
+                a = len(tier.entries)
+                if a == 0:
+                    continue
+                a_pad = self._a_pad(a)
+                db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, np.float32)
+                db[:a] = tier.matrix[:a]
+                n_frames = np.zeros(a_pad, dtype=np.int32)
+                n_frames[:a] = [e.n_frames for e in tier.entries]
+                mask = np.arange(t)[None, :] < n_frames[:, None]
+                db_j, mask_j = self._device_put(db, mask)
+                views.append(
+                    TierView(
+                        tier_frames=t,
+                        db=db_j,
+                        mask=mask_j,
+                        n_audios=a,
+                        entries=list(tier.entries),
+                    )
                 )
-                mask_j = jax.device_put(
-                    mask, NamedSharding(self.mesh, PartitionSpec("db", None))
-                )
-            else:
-                db_j, mask_j = jnp.asarray(db), jnp.asarray(mask)
-            self._device_db = (db_j, mask_j, a)
-            self._view_entries = list(self.entries)
-            self._value_map = None  # rebuilt lazily from the new view
+            self._views = views
             self._dirty = False
-            return self._device_db
+            return views
 
-    def device_value_map(self):
-        """Cached lattice distance map ``M [A_pad, K]`` for the MXU search
-        fast path (:mod:`tiresias_tpu.ops.match_lattice`); rebuilt only when
-        the store mutates. The whole check-and-build runs under the store
-        lock (re-entrant) so a concurrent mutation between the device-view
-        fetch and the build cannot cache a stale map."""
-        from tiresias_tpu.ops.match_lattice import build_value_map
-
+    def value_map_for(self, view: TierView):
+        """Lazily-built lattice distance map for one view (MXU fast path);
+        cached on the view, which lives until the next mutation."""
         with self._lock:
-            db, mask, n_audios = self.device_db()
-            if self._value_map is None:
-                self._value_map = build_value_map(db[..., 0], mask)
-            return self._value_map, n_audios
+            if view.value_map is None:
+                from tiresias_tpu.ops.match_lattice import build_value_map
+
+                view.value_map = build_value_map(view.db[..., 0], view.mask)
+            return view.value_map
 
     def view_entries(self) -> list[AudioEntry]:
-        """Catalog snapshot matching the cached device view's row order —
+        """Catalog snapshot matching the concatenated view row order —
         result attribution must use THIS, not the live catalog, since a
         concurrent delete compacts rows and shifts indices."""
         with self._lock:
-            if self._dirty or self._device_db is None:
-                self.device_db()
-            return self._view_entries
+            views = self.search_views()
+            out: list[AudioEntry] = []
+            for v in views:
+                out.extend(v.entries)
+            return out
 
     def context_filter(self, context: str | None) -> np.ndarray | None:
-        """Bool ``[A_pad]`` selecting a context's audios in the device view,
-        or None for the reference's scan-everything behavior (PARITY.md D7)."""
+        """Bool over the concatenated padded view rows selecting a context's
+        audios, or None for the reference's scan-everything behavior
+        (PARITY.md D7)."""
         if context is None:
             return None
         with self._lock:
-            a_pad = _bucket(len(self.entries), AUDIO_BUCKET)
-            if self.mesh is not None:
-                n_db = self.mesh.shape.get("db", 1)
-                a_pad = _bucket(a_pad, AUDIO_BUCKET * n_db)
-            flt = np.zeros(a_pad, dtype=bool)
-            for i, e in enumerate(self.entries):
-                flt[i] = e.context == context
-            return flt
+            views = self.search_views()
+            parts = []
+            for v in views:
+                flt = np.zeros(self._a_pad(v.n_audios), dtype=bool)
+                for i, e in enumerate(v.entries):
+                    flt[i] = e.context == context
+                parts.append(flt)
+            if not parts:
+                return np.zeros(0, dtype=bool)
+            return np.concatenate(parts)
+
+    # ---- single-tier compatibility accessors (tests, tools) ----------- #
+
+    def host_db(self) -> tuple[np.ndarray, np.ndarray]:
+        """(db [A, T_max, C], mask [A, T_max]) dense numpy copy across all
+        tiers, padded to the largest live tier — convenience for tests and
+        tools; searches use :meth:`search_views`."""
+        with self._lock:
+            a = len(self.entries)
+            t = max(self.frame_cap, FRAME_BUCKET)
+            db = np.full((a, t, self.n_coefs), PAD_VALUE, np.float32)
+            order = []
+            for tv in sorted(self._tiers):
+                tier = self._tiers[tv]
+                for i, e in enumerate(tier.entries):
+                    db[len(order), : tier.t] = tier.matrix[i]
+                    order.append(e)
+            n_frames = np.array([e.n_frames for e in order], dtype=np.int32)
+            mask = (
+                np.arange(t)[None, :] < n_frames[:, None]
+                if a
+                else np.zeros((0, t), bool)
+            )
+            return db, mask
+
+    def device_db(self):
+        """Single-view device arrays (db [A_pad, T, C], mask, n_audios).
+
+        Valid only when all audios share one tier (the common homogeneous
+        corpus); mixed-tier stores must use :meth:`search_views`."""
+        views = self.search_views()
+        if len(views) > 1:
+            raise ValueError(
+                "store spans multiple frame tiers; use search_views()"
+            )
+        if not views:
+            import jax.numpy as jnp
+
+            a_pad = self._a_pad(0)
+            db = np.full(
+                (a_pad, FRAME_BUCKET, self.n_coefs), PAD_VALUE, np.float32
+            )
+            mask = np.zeros((a_pad, FRAME_BUCKET), bool)
+            db_j, mask_j = self._device_put(db, mask)
+            return db_j, mask_j, 0
+        v = views[0]
+        return v.db, v.mask, v.n_audios
+
+    def device_value_map(self):
+        """Single-view lattice map — see :meth:`device_db` for the tier
+        restriction."""
+        views = self.search_views()
+        if len(views) > 1:
+            raise ValueError(
+                "store spans multiple frame tiers; use search_views()"
+            )
+        if not views:
+            raise ValueError("empty store has no value map")
+        v = views[0]
+        return self.value_map_for(v), v.n_audios
 
     # ------------------------------------------------------------------ #
     # checkpoint / resume (db_ctx_backup / db_ctx_load_db_data equivalents)
@@ -363,19 +501,23 @@ class FingerprintStore:
         D2; the reference loses everything on any mid-write crash)."""
         with self._lock:
             os.makedirs(directory, exist_ok=True)
-            a = len(self.entries)
             catalog = {
                 "version": CHECKPOINT_VERSION,
                 "n_coefs": self.n_coefs,
                 "contexts": self.contexts,
                 "entries": [e.to_dict() for e in self.entries],
             }
+            arrays = {
+                f"tier_{t}": tier.matrix[: len(tier.entries)]
+                for t, tier in sorted(self._tiers.items())
+                if tier.entries
+            }
             mat_path = os.path.join(directory, MATRIX_FILE)
             cat_path = os.path.join(directory, CATALOG_FILE)
             mat_tmp = mat_path + ".tmp"
             cat_tmp = cat_path + ".tmp"
             with open(mat_tmp, "wb") as f:
-                np.savez_compressed(f, matrix=self._matrix[:a])
+                np.savez_compressed(f, **arrays)
             with open(cat_tmp, "w") as f:
                 json.dump(catalog, f, indent=1)
             # rotate the previous generation, then matrix first / catalog
@@ -385,7 +527,7 @@ class FingerprintStore:
                     os.replace(path, path + ".bak")
             os.replace(mat_tmp, mat_path)
             os.replace(cat_tmp, cat_path)
-            log.debug("checkpointed %d audios to %s", a, directory)
+            log.debug("checkpointed %d audios to %s", len(self.entries), directory)
 
     @staticmethod
     def load(
@@ -418,30 +560,57 @@ class FingerprintStore:
         store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
         with open(cat_path) as f:
             catalog = json.load(f)
-        if catalog.get("version") != CHECKPOINT_VERSION:
+        version = catalog.get("version")
+        if version not in (1, CHECKPOINT_VERSION):
             raise CheckpointIncompatible(
-                f"unsupported checkpoint version {catalog.get('version')}"
+                f"unsupported checkpoint version {version}"
             )
         if int(catalog["n_coefs"]) != store.n_coefs:
             raise CheckpointIncompatible(
                 f"checkpoint has n_coefs={catalog['n_coefs']}, store wants {n_coefs}"
             )
-        with np.load(mat_path) as data:
-            matrix = data["matrix"].astype(np.float32)
+        entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store.contexts = dict(catalog["contexts"])
-        store.entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
-        store._hash_index = {(e.context, e.hash): e for e in store.entries}
-        if matrix.shape[0] != len(store.entries):
-            # catalog and matrix from different generations — e.g. a crash
-            # between save()'s two renames. Corruption, not incompatibility:
-            # plain ValueError so load() falls back to the .bak generation.
-            raise ValueError("checkpoint catalog/matrix row count mismatch")
-        if len(store.entries):
-            store._ensure_capacity(len(store.entries), matrix.shape[1])
-            store._matrix[: matrix.shape[0], : matrix.shape[1]] = matrix
+        with np.load(mat_path) as data:
+            if version == 1:
+                # v1: one dense matrix in global insertion order
+                matrix = data["matrix"].astype(np.float32)
+                if matrix.shape[0] != len(entries):
+                    # torn generations (crash between the two renames):
+                    # corruption, not incompatibility — caller falls back
+                    raise ValueError("checkpoint catalog/matrix row count mismatch")
+                for i, e in enumerate(entries):
+                    store._restore_entry(e, matrix[i, : e.n_frames])
+            else:
+                # v2: one matrix per tier; rows in per-tier insertion order,
+                # reconstructed by walking the flat catalog
+                cursors: dict[int, int] = {}
+                tiers = {
+                    int(k.split("_", 1)[1]): data[k].astype(np.float32)
+                    for k in data.files
+                }
+                for e in entries:
+                    t = tier_for(e.n_frames)
+                    row = cursors.get(t, 0)
+                    if t not in tiers or row >= tiers[t].shape[0]:
+                        raise ValueError(
+                            "checkpoint catalog/matrix tier mismatch"
+                        )
+                    store._restore_entry(e, tiers[t][row, : e.n_frames])
+                    cursors[t] = row + 1
         store._dirty = True
         log.debug("restored %d audios from %s", len(store.entries), cat_path)
         return store
+
+    def _restore_entry(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
+        t = tier_for(entry.n_frames)
+        tier = self._tiers.get(t)
+        if tier is None:
+            tier = self._tiers[t] = _Tier(t, self.n_coefs)
+        tier.add(entry, fingerprint[:, : self.n_coefs])
+        self.entries.append(entry)
+        self._hash_index[(entry.context, entry.hash)] = entry
+        self._uuid_tier[entry.uuid] = t
 
     # convenience for tests / tools
     def iter_entries(self) -> Iterable[AudioEntry]:
