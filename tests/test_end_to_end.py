@@ -188,6 +188,48 @@ class TestSearchParityMode:
         assert res.frame_count > 0
 
 
+class TestDialplanArgs:
+    def test_full_argstring(self):
+        from tiresias_tpu.api.engine import parse_dialplan_args
+
+        args = parse_dialplan_args("media,5000,0.5,100,3000")
+        assert args == {
+            "context": "media",
+            "duration_ms": 5000,
+            "tolerance": 0.5,
+            "freq_ignore_low": 100,
+            "freq_ignore_high": 3000,
+        }
+
+    def test_optional_fields_omitted(self):
+        from tiresias_tpu.api.engine import parse_dialplan_args
+
+        assert parse_dialplan_args("ctx") == {"context": "ctx"}
+        assert parse_dialplan_args("ctx,3000,,") == {
+            "context": "ctx",
+            "duration_ms": 3000,
+        }
+        with pytest.raises(ValueError):
+            parse_dialplan_args(",3000")
+
+
+class TestTopK:
+    def test_ranked_candidates(self, engine, corpus):
+        directory, names = corpus
+        from tiresias_tpu.utils.audio import read_wav
+
+        pcm, sr = read_wav(os.path.join(directory, names[2]))
+        # high tolerance in parity mode → several candidates share votes
+        ranked = engine.search_pcm_topk("media", pcm, sr, k=3, tolerance=1.0)
+        assert 1 <= len(ranked) <= 3
+        counts = [r.match_count for r in ranked]
+        assert counts == sorted(counts, reverse=True)
+        assert all(r.found for r in ranked)
+        # top-1 agrees with the regular search
+        single = engine.search_pcm("media", pcm, sr, tolerance=1.0)
+        assert ranked[0].uuid == single.uuid
+
+
 class TestDirectorySync:
     def test_file_removal_deletes_entry(self, tmp_path):
         directory = tmp_path / "ctx"

@@ -91,6 +91,28 @@ class SearchResult:
 NOT_FOUND = SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
 
 
+def parse_dialplan_args(argstring: str) -> dict:
+    """Parse the literal ``Tiresias()`` dialplan argument string:
+    ``<context>,<duration>,[tolerance],[freq_ignore_low],[freq_ignore_high]``
+    (/root/reference/src/application_handler.c:81-137;
+    /root/reference/doc/dialplan_application.rst). Empty/absent optional
+    fields fall back to config defaults, exactly like the reference
+    (tolerance < 0 → default; duration <= 0 → 3000 ms)."""
+    parts = [p.strip() for p in argstring.split(",")]
+    if not parts or not parts[0]:
+        raise ValueError("context name required (application_handler.c:99-104)")
+    out: dict = {"context": parts[0]}
+    if len(parts) > 1 and parts[1]:
+        out["duration_ms"] = int(parts[1])
+    if len(parts) > 2 and parts[2]:
+        out["tolerance"] = float(parts[2])
+    if len(parts) > 3 and parts[3]:
+        out["freq_ignore_low"] = int(parts[3])
+    if len(parts) > 4 and parts[4]:
+        out["freq_ignore_high"] = int(parts[4])
+    return out
+
+
 def _on_tpu() -> bool:
     from tiresias_tpu.utils.platform import is_tpu
 
@@ -269,6 +291,83 @@ class Tiresias:
         """Batched search — many queries against the store in one device pass."""
         if not pcms:
             return []
+        votes_all, entries, n_frames = self._compute_votes(
+            context, pcms, samplerate, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+        )
+        # top-1 with lowest-index tiebreak (PARITY.md D5; index order =
+        # tiers ascending, insertion order within)
+        if votes_all.shape[1]:
+            best = votes_all.argmax(axis=1)
+            count = votes_all[np.arange(len(pcms)), best]
+            best = np.where(count > 0, best, -1)
+        else:
+            best = np.full(len(pcms), -1)
+            count = np.zeros(len(pcms), np.int32)
+
+        results: list[SearchResult] = []
+        for i in range(len(pcms)):
+            fc = int(n_frames[i])
+            b = int(best[i])
+            if b < 0 or b >= len(entries):
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            results.append(
+                self._found(entries[b], fc, int(count[i]))
+            )
+        return results
+
+    def search_pcm_topk(
+        self,
+        context: str | None,
+        pcm: np.ndarray,
+        samplerate: int,
+        k: int = 5,
+        **kwargs,
+    ) -> list[SearchResult]:
+        """Ranked top-k candidates for one query (documented extension —
+        the reference returns only the top-1 row, fp_handler.c:367-373).
+        Only audios with at least one vote appear."""
+        votes_all, entries, n_frames = self._compute_votes(
+            context, [np.asarray(pcm)], samplerate,
+            kwargs.get("coefs"), kwargs.get("tolerance"),
+            kwargs.get("freq_ignore_low", -1), kwargs.get("freq_ignore_high", -1),
+            kwargs.get("filter_context", False), kwargs.get("trunc_coef1"),
+        )
+        fc = int(n_frames[0])
+        votes = votes_all[0]
+        order = np.argsort(-votes, kind="stable")[:k]  # stable → D5 tiebreak
+        return [
+            self._found(entries[int(i)], fc, int(votes[i]))
+            for i in order
+            if votes[i] > 0
+        ]
+
+    @staticmethod
+    def _found(e: AudioEntry, frame_count: int, match_count: int) -> SearchResult:
+        return SearchResult(
+            status=STATUS_FOUND,
+            frame_count=frame_count,
+            match_count=match_count,
+            uuid=e.uuid,
+            name=e.name,
+            context=e.context,
+            hash=e.hash,
+        )
+
+    def _compute_votes(
+        self,
+        context: str | None,
+        pcms: list[np.ndarray],
+        samplerate: int,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        filter_context: bool,
+        trunc_coef1: bool | None,
+    ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
+        """(votes [B, A], view-ordered entries, n_frames [B])."""
         mc: MatchConfig = self.config.match
         if coefs is None:
             coefs = mc.coefs
@@ -283,13 +382,6 @@ class Tiresias:
                 f"coefs must be in [1, {self.config.dsp.n_coefs}] "
                 "(fp_handler.c:247-250)"
             )
-        if len(self.store) == 0:
-            with phase("search.fingerprint"):
-                _, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
-            return [
-                SearchResult(STATUS_NOTFOUND, int(n), 0) for n in n_frames
-            ]
-
         with phase("search.fingerprint"):
             qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
         with phase("search.match"):
@@ -354,37 +446,8 @@ class Tiresias:
                     [e.context == context for e in entries], dtype=bool
                 )
                 votes_all = np.where(keep[None, :], votes_all, 0)
-            # top-1 with lowest-index tiebreak (PARITY.md D5; index order =
-            # tiers ascending, insertion order within)
-            if votes_all.shape[1]:
-                best = votes_all.argmax(axis=1)
-                count = votes_all[np.arange(len(pcms)), best]
-                best = np.where(count > 0, best, -1)
-            else:
-                best = np.full(len(pcms), -1)
-                count = np.zeros(len(pcms), np.int32)
         metrics.add("search.queries", len(pcms))
-
-        results: list[SearchResult] = []
-        for i in range(len(pcms)):
-            fc = int(n_frames[i])
-            b = int(best[i])
-            if b < 0 or b >= len(entries):
-                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
-                continue
-            e = entries[b]
-            results.append(
-                SearchResult(
-                    status=STATUS_FOUND,
-                    frame_count=fc,
-                    match_count=int(count[i]),
-                    uuid=e.uuid,
-                    name=e.name,
-                    context=e.context,
-                    hash=e.hash,
-                )
-            )
-        return results
+        return votes_all, entries, np.asarray(n_frames)
 
     def search_file(
         self,
