@@ -37,7 +37,7 @@ log = get_logger(__name__)
 
 # Max signals fingerprinted per device batch; bounds peak host+HBM memory
 # during ingest of huge directories.
-INGEST_BATCH = 64
+INGEST_BATCH = 256
 # Host decode/hash pool width (I/O + GIL-releasing work).
 HOST_DECODE_THREADS = 8
 
