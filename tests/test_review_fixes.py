@@ -98,6 +98,61 @@ class TestGpuGuard:
         assert plat.is_tpu() is False
 
 
+class TestSecondReviewRound:
+    def test_filter_context_with_none_scans_everything(self, tmp_path):
+        """Review-2 finding 1: filter_context=True with context=None must
+        keep the scan-everything behavior (PARITY.md D7), not zero votes."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        eng.add_audio_pcm("c", "t", synth_tone(440, 1.0, SR), SR)
+        r = eng.search_pcm(
+            None, synth_tone(440, 1.0, SR), SR, tolerance=1.0,
+            filter_context=True,
+        )
+        assert r.found and r.name == "t"
+
+    def test_tie_break_is_global_insertion_order(self, tmp_path):
+        """Review-2 finding 3: equal vote counts resolve by insertion order
+        (PARITY.md D5) even when tiers reorder the view."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        fp = np.full((300, 2), 10.0, dtype=np.float32)  # tier 512
+        first = eng.store.add_audio("first-long", "c", fp, "h1")
+        second = eng.store.add_audio("second-short", "c", fp[:50], "h2")
+        # a query matching both equally: every frame votes for both
+        q = np.full((8000,), 0.0, np.float32)  # silence → constant values
+        r = eng.search_pcm("c", q, SR, tolerance=1e9)  # everything matches
+        # tie at full votes; view order puts the short (tier 128) first,
+        # but D5 requires the earlier-inserted long audio to win
+        assert r.uuid == first.uuid, (r.name, r.match_count)
+
+    def test_pack_batches_bounds_padding(self):
+        """Review-2 finding 2: one long file must not blow up every
+        batch's padding."""
+        from tiresias_tpu.engine.sync import (
+            MAX_BATCH_PADDED_SAMPLES,
+            pack_batches,
+        )
+
+        items = [np.zeros(8000)] * 100 + [np.zeros(MAX_BATCH_PADDED_SAMPLES)]
+        batches = pack_batches(items, len)
+        for b in batches:
+            assert len(b) * max(len(x) for x in b) <= MAX_BATCH_PADDED_SAMPLES
+        assert sum(len(b) for b in batches) == 101
+        # the long file sits alone
+        assert any(len(b) == 1 and len(b[0]) == MAX_BATCH_PADDED_SAMPLES
+                   for b in batches)
+
+    def test_topk_rejects_unknown_kwargs(self, tmp_path):
+        """Review-2 finding 6: typos must raise, not silently default."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        eng.add_audio_pcm("c", "t", synth_tone(440, 0.5, SR), SR)
+        with pytest.raises(TypeError):
+            eng.search_pcm_topk("c", synth_tone(440, 0.5, SR), SR,
+                                tolerence=0.5)  # sic
+
+
 class TestViewConsistentAttribution:
     def test_delete_between_search_and_attribution(self, tmp_path):
         """Finding 9: result attribution uses the device view's row order,

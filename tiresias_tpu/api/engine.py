@@ -295,11 +295,16 @@ class Tiresias:
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
         )
-        # top-1 with lowest-index tiebreak (PARITY.md D5; index order =
-        # tiers ascending, insertion order within)
+        # top-1 with lowest-GLOBAL-insertion-index tiebreak (PARITY.md D5 —
+        # stable across the tiered layout, matching the pre-tier behavior)
         if votes_all.shape[1]:
-            best = votes_all.argmax(axis=1)
-            count = votes_all[np.arange(len(pcms)), best]
+            ins = self._insertion_order(entries)
+            best = np.empty(len(pcms), dtype=np.int64)
+            count = np.empty(len(pcms), dtype=votes_all.dtype)
+            for i in range(len(pcms)):
+                b = int(np.lexsort((ins, -votes_all[i]))[0])
+                best[i] = b
+                count[i] = votes_all[i, b]
             best = np.where(count > 0, best, -1)
         else:
             best = np.full(len(pcms), -1)
@@ -323,25 +328,38 @@ class Tiresias:
         pcm: np.ndarray,
         samplerate: int,
         k: int = 5,
-        **kwargs,
+        coefs: int | None = None,
+        tolerance: float | None = None,
+        freq_ignore_low: int = -1,
+        freq_ignore_high: int = -1,
+        filter_context: bool = False,
+        trunc_coef1: bool | None = None,
     ) -> list[SearchResult]:
         """Ranked top-k candidates for one query (documented extension —
         the reference returns only the top-1 row, fp_handler.c:367-373).
         Only audios with at least one vote appear."""
         votes_all, entries, n_frames = self._compute_votes(
-            context, [np.asarray(pcm)], samplerate,
-            kwargs.get("coefs"), kwargs.get("tolerance"),
-            kwargs.get("freq_ignore_low", -1), kwargs.get("freq_ignore_high", -1),
-            kwargs.get("filter_context", False), kwargs.get("trunc_coef1"),
+            context, [np.asarray(pcm)], samplerate, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
         )
         fc = int(n_frames[0])
         votes = votes_all[0]
-        order = np.argsort(-votes, kind="stable")[:k]  # stable → D5 tiebreak
+        if not votes.shape[0]:
+            return []
+        ins = self._insertion_order(entries)
+        order = np.lexsort((ins, -votes))[:k]  # D5 insertion-order tiebreak
         return [
             self._found(entries[int(i)], fc, int(votes[i]))
             for i in order
             if votes[i] > 0
         ]
+
+    def _insertion_order(self, entries: list[AudioEntry]) -> np.ndarray:
+        """Global insertion rank of each view-ordered entry (D5 tiebreak)."""
+        rank = {e.uuid: i for i, e in enumerate(self.store.iter_entries())}
+        return np.array(
+            [rank.get(e.uuid, len(rank)) for e in entries], dtype=np.int64
+        )
 
     @staticmethod
     def _found(e: AudioEntry, frame_count: int, match_count: int) -> SearchResult:
@@ -441,7 +459,9 @@ class Tiresias:
                 if vote_parts
                 else np.zeros((len(pcms), 0), np.int32)
             )
-            if filter_context:
+            if filter_context and context is not None:
+                # context=None keeps the reference's scan-everything
+                # behavior (PARITY.md D7) even when filtering is requested
                 keep = np.array(
                     [e.context == context for e in entries], dtype=bool
                 )

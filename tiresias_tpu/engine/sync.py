@@ -35,11 +35,37 @@ from tiresias_tpu.utils.tracing import phase
 
 log = get_logger(__name__)
 
-# Max signals fingerprinted per device batch; bounds peak host+HBM memory
-# during ingest of huge directories.
+# Max signals fingerprinted per device batch.
 INGEST_BATCH = 256
+# Peak padded samples per device batch (batches pad every signal to the
+# longest member): 64 clips x 30 s @ 8 kHz. Packing by this cap — with
+# signals sorted by length so similar lengths share a batch — bounds host
+# and HBM memory even when a directory mixes hour-long files with clips.
+MAX_BATCH_PADDED_SAMPLES = 64 * 30 * 8000
 # Host decode/hash pool width (I/O + GIL-releasing work).
 HOST_DECODE_THREADS = 8
+
+
+def pack_batches(items: list, length_of) -> list[list]:
+    """Greedily pack length-sorted items into batches bounded by both
+    INGEST_BATCH count and MAX_BATCH_PADDED_SAMPLES of padding-inclusive
+    samples (batch cost = count x longest member)."""
+    items = sorted(items, key=length_of)
+    batches: list[list] = []
+    batch: list = []
+    for it in items:
+        n = length_of(it)
+        if batch and (
+            len(batch) >= INGEST_BATCH
+            or (len(batch) + 1) * max(n, length_of(batch[-1]))
+            > MAX_BATCH_PADDED_SAMPLES
+        ):
+            batches.append(batch)
+            batch = []
+        batch.append(it)
+    if batch:
+        batches.append(batch)
+    return batches
 
 
 @dataclasses.dataclass
@@ -166,10 +192,10 @@ def ingest_files(
             seen_hashes.add((context, digest))
             groups.setdefault(int(samplerate), []).append((path, digest, pcm))
 
-    # 2. device pass: batched fingerprint per samplerate group
+    # 2. device pass: batched fingerprint per samplerate group, packed by
+    #    length so one long file cannot blow up the whole batch's padding
     for samplerate, items in groups.items():
-        for start in range(0, len(items), INGEST_BATCH):
-            batch = items[start : start + INGEST_BATCH]
+        for batch in pack_batches(items, lambda it: len(it[2])):
             with phase("ingest.fingerprint_batch"):
                 fps, n_frames = fingerprint_signals(
                     [pcm for _, _, pcm in batch], samplerate, dsp

@@ -211,11 +211,19 @@ class StreamingRecognizer:
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
             (context, tolerance, coefs, lo, hi, trunc, filt) = key
+            # pad the batch to the next power of two with silence queries so
+            # XLA compiles at most log2(max_channels) batch shapes instead of
+            # one per concurrent-channel count (results sliced back below)
+            pcms = [pcm for _, pcm in items]
+            b_pad = 1
+            while b_pad < len(pcms):
+                b_pad *= 2
+            pcms += [np.zeros_like(pcms[0])] * (b_pad - len(pcms))
             try:
                 with phase("serve.batch_search"):
                     batch_results = self.engine.search_pcm_batch(
                         context,
-                        [pcm for _, pcm in items],
+                        pcms,
                         self.samplerate,
                         coefs=coefs,
                         tolerance=tolerance,
@@ -223,7 +231,7 @@ class StreamingRecognizer:
                         freq_ignore_high=hi,
                         filter_context=filt,
                         trunc_coef1=trunc,
-                    )
+                    )[: len(items)]
             except Exception:  # noqa: BLE001
                 # per-group error isolation: a failing search degrades those
                 # channels to NOTFOUND, like the reference's failure path

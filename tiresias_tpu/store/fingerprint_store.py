@@ -267,14 +267,7 @@ class FingerprintStore:
                 hash=file_hash,
                 n_frames=int(fingerprint.shape[0]),
             )
-            t = tier_for(entry.n_frames)
-            tier = self._tiers.get(t)
-            if tier is None:
-                tier = self._tiers[t] = _Tier(t, self.n_coefs)
-            tier.add(entry, fingerprint[:, : self.n_coefs])
-            self.entries.append(entry)
-            self._hash_index[(context, file_hash)] = entry
-            self._uuid_tier[entry.uuid] = t
+            self._restore_entry(entry, fingerprint)
             self._dirty = True
             return entry
 
@@ -413,29 +406,24 @@ class FingerprintStore:
             return out
 
     def context_filter(self, context: str | None) -> np.ndarray | None:
-        """Bool over the concatenated padded view rows selecting a context's
-        audios, or None for the reference's scan-everything behavior
-        (PARITY.md D7)."""
+        """Bool aligned with :meth:`view_entries` order (the concatenated
+        UNPADDED vote columns) selecting a context's audios, or None for the
+        reference's scan-everything behavior (PARITY.md D7)."""
         if context is None:
             return None
         with self._lock:
-            views = self.search_views()
-            parts = []
-            for v in views:
-                flt = np.zeros(self._a_pad(v.n_audios), dtype=bool)
-                for i, e in enumerate(v.entries):
-                    flt[i] = e.context == context
-                parts.append(flt)
-            if not parts:
-                return np.zeros(0, dtype=bool)
-            return np.concatenate(parts)
+            return np.array(
+                [e.context == context for e in self.view_entries()], dtype=bool
+            )
 
     # ---- single-tier compatibility accessors (tests, tools) ----------- #
 
     def host_db(self) -> tuple[np.ndarray, np.ndarray]:
         """(db [A, T_max, C], mask [A, T_max]) dense numpy copy across all
         tiers, padded to the largest live tier — convenience for tests and
-        tools; searches use :meth:`search_views`."""
+        tools; searches use :meth:`search_views`. Row order is the VIEW
+        order (tiers ascending, insertion within — :meth:`view_entries`),
+        NOT ``self.entries`` insertion order."""
         with self._lock:
             a = len(self.entries)
             t = max(self.frame_cap, FRAME_BUCKET)
