@@ -76,6 +76,17 @@ class TestCli:
         assert vars_["TIRFILENAME"] == "t1.wav"
         assert float(vars_["CONFIDENCE"]) == 1.0
 
+    def test_search_topk_table(self, env, capsys):
+        run(capsys, "-c", env["conf"], "create")
+        rc, out = run(
+            capsys, "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t0.wav"), "--top", "3", "--tolerance", "1.0",
+        )
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0].split() == ["Rank", "Uuid", "Name", "Votes", "Confidence"]
+        assert len(lines) >= 2 and lines[1].startswith("1")
+
     def test_remove_audio_and_context(self, env, capsys):
         run(capsys, "-c", env["conf"], "create")
         _, out = run(capsys, "-c", env["conf"], "show", "audios", "media")

@@ -120,6 +120,23 @@ class TestManyChannels:
         rec.close("cont")
         assert rec.n_channels == 0
 
+    def test_continuous_overlapping_windows(self, engine):
+        # duration 500 ms, hop 250 ms: after 1 s of audio the scorer emits
+        # windows at 500/750/1000 ms — three results, not two tumbling ones
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        seen = []
+        rec.open(
+            "ov", context="media", duration_ms=500, continuous=True,
+            hop_ms=250, on_result=lambda cid, r: seen.append(r),
+        )
+        rec.push("ov", synth_tone(300, 1.0, SR))
+        for _ in range(4):
+            rec.process_ready()
+        assert len(seen) == 3
+        assert all(r.status == STATUS_FOUND and r.name == "tone0.wav"
+                   for r in seen)
+        rec.close("ov")
+
     def test_mixed_parameters_grouped(self, engine):
         rec = StreamingRecognizer(engine, samplerate=SR)
         rec.open("a", context="media", duration_ms=500)

@@ -124,9 +124,7 @@ def cmd_create(args) -> int:
 
 def cmd_search(args) -> int:
     eng = _engine(args)
-    res = eng.search_file(
-        args.context,
-        args.file,
+    kwargs = dict(
         coefs=args.coefs,
         tolerance=args.tolerance,
         freq_ignore_low=args.freq_ignore_low,
@@ -134,6 +132,21 @@ def cmd_search(args) -> int:
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
     )
+    if args.top > 1:
+        from tiresias_tpu.utils.audio import read_wav
+
+        pcm, sr = read_wav(args.file)
+        ranked = eng.search_pcm_topk(args.context, pcm, sr, k=args.top, **kwargs)
+        if not ranked:
+            print("TIRSTATUS=NOTFOUND")
+            return 2
+        print("%-4s %-36.36s %-45.45s %-10s %-10s" % (
+            "Rank", "Uuid", "Name", "Votes", "Confidence"))
+        for rank, r in enumerate(ranked, 1):
+            print("%-4d %-36.36s %-45.45s %-10d %-10.4f" % (
+                rank, r.uuid, r.name, r.match_count, r.confidence))
+        return 0
+    res = eng.search_file(args.context, args.file, **kwargs)
     for key, value in res.to_channel_vars().items():
         print(f"{key}={value}")
     print(f"CONFIDENCE={res.confidence:.4f}")
@@ -215,6 +228,13 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="restrict the scan to the named context (the reference scans "
         "all contexts — PARITY.md D7)",
+    )
+    se.add_argument(
+        "--top",
+        type=int,
+        default=1,
+        help="print a ranked table of the top-N candidates instead of the "
+        "single TIR* result (extension; the reference returns top-1 only)",
     )
     se.add_argument(
         "--exact",

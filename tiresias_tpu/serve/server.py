@@ -183,6 +183,7 @@ class RecognitionServer:
                     "trunc_coef1",
                     "filter_context",
                     "continuous",
+                    "hop_ms",
                 )
                 if k in msg
             }

@@ -59,6 +59,7 @@ class ChannelState:
     trunc_coef1: bool | None
     filter_context: bool
     continuous: bool
+    hop_ms: int | None  # continuous mode: slide step (None = tumbling)
     on_result: Callable[[str, SearchResult], None] | None
     chunks: list[np.ndarray] = dataclasses.field(default_factory=list)
     buffered: int = 0  # samples currently buffered
@@ -67,6 +68,12 @@ class ChannelState:
     @property
     def needed_samples(self) -> int:
         return int(self.samplerate * self.duration_ms / 1000)
+
+    @property
+    def hop_samples(self) -> int:
+        if self.hop_ms is None:
+            return self.needed_samples  # tumbling windows
+        return max(1, int(self.samplerate * self.hop_ms / 1000))
 
 
 class StreamingRecognizer:
@@ -94,11 +101,17 @@ class StreamingRecognizer:
         trunc_coef1: bool | None = None,
         filter_context: bool = False,
         continuous: bool = False,
+        hop_ms: int | None = None,
         on_result: Callable[[str, SearchResult], None] | None = None,
     ) -> None:
         """Start recognizing a channel — the ``Tiresias(context,duration,
         tolerance,low,high)`` argument contract
-        (/root/reference/src/application_handler.c:81-137)."""
+        (/root/reference/src/application_handler.c:81-137).
+
+        ``continuous=True`` keeps the channel open and re-scores windows;
+        ``hop_ms`` makes those windows overlap (slide by hop instead of a
+        full duration — e.g. duration 3000/hop 500 re-scores the last 3 s
+        every 0.5 s of new audio)."""
         if duration_ms <= 0:
             duration_ms = DEF_DURATION_MS
         state = ChannelState(
@@ -113,6 +126,7 @@ class StreamingRecognizer:
             trunc_coef1=trunc_coef1,
             filter_context=filter_context,
             continuous=continuous,
+            hop_ms=hop_ms,
             on_result=on_result,
         )
         with self._lock:
@@ -178,8 +192,9 @@ class StreamingRecognizer:
                 pcm = np.concatenate(state.chunks) if state.chunks else np.zeros(0)
                 window = pcm[:need]
                 if state.continuous:
-                    # slide: keep the remainder for the next window
-                    rest = pcm[need:]
+                    # slide by hop (overlapping windows keep duration−hop
+                    # samples of history; tumbling keeps none)
+                    rest = pcm[state.hop_samples :]
                     state.chunks = [rest] if len(rest) else []
                     state.buffered = len(rest)
                 else:
