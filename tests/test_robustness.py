@@ -81,6 +81,46 @@ class TestIngestResilience:
         assert [a.name for a in eng.get_audios("c")] == ["good.wav"]
 
 
+class TestAdversarialAudio:
+    def test_nonfinite_float_wav_rejected(self, tmp_path):
+        import struct
+        import wave
+
+        from tiresias_tpu.config import ContextConfig, TiresiasConfig
+
+        directory = tmp_path / "c"
+        directory.mkdir()
+        # hand-build a float32 WAV full of NaNs (format tag 3)
+        n = 4000
+        data = struct.pack(f"<{n}f", *([float("nan")] * n))
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, SR, SR * 4, 4, 32)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        (directory / "nan.wav").write_bytes(hdr + data)
+        write_wav(str(directory / "ok.wav"), synth_tone(440, 0.5, SR), SR)
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("c", str(directory)),),
+                data_dir=str(tmp_path / "d"),
+            ),
+            restore=False,
+        )
+        report = eng.sync()
+        assert report.created == 1 and report.failed == 1
+        assert [a.name for a in eng.get_audios("c")] == ["ok.wav"]
+
+    def test_chain_stays_finite_on_extremes(self, dsp):
+        for pcm in (
+            np.ones(SR // 2, np.float32),  # hard-clipped
+            np.full(SR // 2, 1e30, np.float32),  # absurd amplitude
+            np.zeros(SR // 2, np.float32),  # silence
+        ):
+            fp, _ = fingerprint_signals([pcm], SR, dsp)
+            assert np.isfinite(np.asarray(fp)).all()
+
+
 class TestResample:
     def test_round_trip_tone(self):
         from tiresias_tpu.utils.audio import resample_poly

@@ -189,6 +189,12 @@ def ingest_files(
                 log.warning("empty audio %s", path)
                 report.failed += 1
                 continue
+            if pcm.dtype != np.int16 and not np.isfinite(pcm).all():
+                # NaN/Inf samples (possible in float32 WAVs) would collapse
+                # to floor-valued fingerprints that spuriously match silence
+                log.warning("non-finite samples in %s", path)
+                report.failed += 1
+                continue
             seen_hashes.add((context, digest))
             groups.setdefault(int(samplerate), []).append((path, digest, pcm))
 
