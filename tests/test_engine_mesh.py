@@ -37,6 +37,33 @@ def _build(tmp_path, mesh):
     return eng
 
 
+def test_streaming_over_sharded_engine(tmp_path):
+    """End-to-end multi-chip serving: the streaming scorer drives a
+    mesh-sharded store; results must match the single-device engine."""
+    from tiresias_tpu.serve import StreamingRecognizer
+
+    mesh = make_mesh(4, 2)
+    eng = _build(tmp_path / "m", mesh)
+    rec = StreamingRecognizer(eng, samplerate=SR)
+    seen = {}
+    for i in (0, 3, 6):
+        rec.open(
+            f"ch{i}", context="m", duration_ms=700,
+            coefs=2, tolerance=0.01, trunc_coef1=False,
+            on_result=lambda cid, r: seen.setdefault(cid, r),
+        )
+        pcm = (
+            synth_tone(250 + 140 * i, 0.8, SR)
+            if i % 2
+            else synth_chirp(200 + 90 * i, 900 + 150 * i, 0.8, SR)
+        )
+        rec.push(f"ch{i}", pcm)
+    results = rec.process_ready()
+    assert set(results) == {"ch0", "ch3", "ch6"}
+    for i in (0, 3, 6):
+        assert results[f"ch{i}"].name == f"clip{i}", results[f"ch{i}"]
+
+
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
 def test_sharded_engine_matches_single(tmp_path, mesh_shape):
     mesh = make_mesh(*mesh_shape)
