@@ -257,6 +257,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # behave like a well-mannered unix tool when piped into head etc.
+    try:
+        import signal
+
+        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+    except (ImportError, ValueError, AttributeError):
+        pass  # non-unix or non-main thread
     args = build_parser().parse_args(argv)
     if args.profile:
         # device trace for the whole command — SURVEY.md §5 tracing plan
