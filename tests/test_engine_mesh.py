@@ -37,6 +37,17 @@ def _build(tmp_path, mesh):
     return eng
 
 
+def test_auto_mesh(tmp_path):
+    eng = Tiresias(
+        TiresiasConfig(data_dir=str(tmp_path)), restore=False, mesh="auto"
+    )
+    assert eng.mesh is not None and eng.mesh.devices.size == len(jax.devices())
+    eng.create_context("m")
+    eng.add_audio_pcm("m", "t", synth_tone(440, 1.0, SR), SR)
+    r = eng.search_pcm("m", synth_tone(440, 1.0, SR), SR, tolerance=1.0)
+    assert r.found and r.name == "t"
+
+
 def test_streaming_over_sharded_engine(tmp_path):
     """End-to-end multi-chip serving: the streaming scorer drives a
     mesh-sharded store; results must match the single-device engine."""

@@ -130,11 +130,20 @@ class Tiresias:
     ) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; the
         fingerprint DB is then sharded across its devices and every search
-        auto-partitions via GSPMD (see store.device_db)."""
+        auto-partitions via GSPMD (see store.device_db). Pass the string
+        ``"auto"`` to shard across all local devices when more than one is
+        present (single-device hosts stay unsharded)."""
         from tiresias_tpu.utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
         self.config = config or TiresiasConfig()
+        if mesh == "auto":
+            import jax
+
+            from tiresias_tpu.parallel import make_mesh
+
+            n = len(jax.devices())
+            mesh = make_mesh(n, 1) if n > 1 else None
         self.mesh = mesh
         self.checkpoint_dir = os.path.join(
             self.config.expanded_data_dir, "checkpoint"
