@@ -153,6 +153,71 @@ class TestSecondReviewRound:
                                 tolerence=0.5)  # sic
 
 
+class TestThirdReviewRound:
+    def test_bad_hop_ms_rejected_at_open(self, tmp_path):
+        """Review-3 finding 2: invalid hop_ms raises at open (a clean
+        per-request error) instead of poisoning every scorer tick."""
+        from tiresias_tpu.serve import StreamingRecognizer
+
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        rec = StreamingRecognizer(eng, samplerate=SR)
+        with pytest.raises((ValueError, TypeError)):
+            rec.open("x", context="c", continuous=True, hop_ms="bogus")
+        with pytest.raises(ValueError):
+            rec.open("x", context="c", continuous=True, hop_ms=-5)
+        # string numerics from JSON coerce fine
+        rec.open("ok", context="c", duration_ms="500", hop_ms="250",
+                 continuous=True)
+        assert rec._channels["ok"].duration_ms == 500
+
+    def test_hop_larger_than_duration_skips(self, tmp_path):
+        """Review-3 finding 4: hop > duration tracks skip-debt so window
+        spacing is exactly one hop."""
+        from tiresias_tpu.serve import StreamingRecognizer
+
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        eng.add_audio_pcm("c", "t", synth_tone(440, 1.0, SR), SR)
+        rec = StreamingRecognizer(eng, samplerate=SR)
+        seen = []
+        rec.open("x", context="c", duration_ms=250, continuous=True,
+                 hop_ms=1000, on_result=lambda cid, r: seen.append(r))
+        # feed 2.25 s total in small frames, scoring eagerly: windows at
+        # [0, .25) and [1.0, 1.25) and [2.0, 2.25) → exactly 3 results
+        pcm = synth_tone(440, 2.25, SR)
+        step = SR // 10
+        for off in range(0, len(pcm), step):
+            rec.push("x", pcm[off : off + step])
+            rec.process_ready()
+        assert len(seen) == 3, len(seen)
+
+    def test_nonfinite_query_raises_cleanly(self, tmp_path):
+        """Review-3 finding 3: NaN queries are rejected at the shared input
+        layer, not fingerprinted into spurious matches."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        eng.add_audio_pcm("c", "t", synth_tone(440, 0.5, SR), SR)
+        bad = np.full(SR // 2, np.nan, np.float32)
+        with pytest.raises(ValueError, match="non-finite"):
+            eng.search_pcm("c", bad, SR)
+        with pytest.raises(ValueError, match="non-finite"):
+            eng.add_audio_pcm("c", "bad", bad, SR)
+
+    def test_push_drops_nonfinite_frames(self, tmp_path):
+        from tiresias_tpu.serve import StreamingRecognizer
+
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        eng.add_audio_pcm("c", "t", synth_tone(440, 1.0, SR), SR)
+        rec = StreamingRecognizer(eng, samplerate=SR)
+        rec.open("x", context="c", duration_ms=500, tolerance=1.0)
+        rec.push("x", np.full(SR, np.nan, np.float32))  # dropped
+        assert rec.process_ready() == {}  # window never fills from NaNs
+        rec.push("x", synth_tone(440, 0.6, SR))
+        res = rec.process_ready()
+        assert res["x"].status == "FOUND"
+
+
 class TestViewConsistentAttribution:
     def test_delete_between_search_and_attribution(self, tmp_path):
         """Finding 9: result attribution uses the device view's row order,

@@ -132,7 +132,7 @@ def cmd_search(args) -> int:
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
     )
-    if args.top > 1:
+    if args.top > 0:  # any explicit --top N prints the ranked table
         from tiresias_tpu.utils.audio import read_wav
 
         pcm, sr = read_wav(args.file)
@@ -232,7 +232,8 @@ def build_parser() -> argparse.ArgumentParser:
     se.add_argument(
         "--top",
         type=int,
-        default=1,
+        default=0,
+        metavar="N",
         help="print a ranked table of the top-N candidates instead of the "
         "single TIR* result (extension; the reference returns top-1 only)",
     )
@@ -257,14 +258,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    # behave like a well-mannered unix tool when piped into head etc.
-    try:
-        import signal
-
-        signal.signal(signal.SIGPIPE, signal.SIG_DFL)
-    except (ImportError, ValueError, AttributeError):
-        pass  # non-unix or non-main thread
     args = build_parser().parse_args(argv)
+    if args.command != "serve":
+        # behave like a well-mannered unix tool when piped into head etc. —
+        # but NOT for the TCP server, where Python's default ignore lets
+        # socket writes raise catchable BrokenPipeError instead of SIGPIPE
+        # killing the process when a client disconnects uncleanly
+        try:
+            import signal
+
+            signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+        except (ImportError, ValueError, AttributeError):
+            pass  # non-unix or non-main thread
     if args.profile:
         # device trace for the whole command — SURVEY.md §5 tracing plan
         import jax.profiler

@@ -194,6 +194,11 @@ def pad_frames_bucket(
             # mixed batch falls back to float: scale int16 here, since the
             # device-side to_float_pcm only scales int16-dtype batches
             p = p.astype(np.float32) / 32768.0
+        elif p.dtype != np.int16 and len(p) and not np.isfinite(p).all():
+            # NaN/Inf samples collapse to floor fingerprints that spuriously
+            # match silence — reject at the shared input layer so every
+            # caller (search, add_audio_pcm, serving) is guarded
+            raise ValueError(f"non-finite samples in signal {i}")
         out[i, : len(p)] = p.astype(dtype)
     return out, n_frames
 

@@ -63,6 +63,7 @@ class ChannelState:
     on_result: Callable[[str, SearchResult], None] | None
     chunks: list[np.ndarray] = dataclasses.field(default_factory=list)
     buffered: int = 0  # samples currently buffered
+    skip_debt: int = 0  # samples still to discard (hop_ms > duration_ms)
     closed: bool = False
 
     @property
@@ -111,9 +112,25 @@ class StreamingRecognizer:
         ``continuous=True`` keeps the channel open and re-scores windows;
         ``hop_ms`` makes those windows overlap (slide by hop instead of a
         full duration — e.g. duration 3000/hop 500 re-scores the last 3 s
-        every 0.5 s of new audio)."""
+        every 0.5 s of new audio).
+
+        All numeric arguments are validated/coerced HERE so a bad value from
+        an untrusted source (e.g. the TCP protocol) raises at open time — a
+        clean per-request error — instead of poisoning the shared scorer
+        loop later."""
+        duration_ms = int(duration_ms)
         if duration_ms <= 0:
             duration_ms = DEF_DURATION_MS
+        if hop_ms is not None:
+            hop_ms = int(hop_ms)
+            if hop_ms <= 0:
+                raise ValueError("hop_ms must be positive")
+        if tolerance is not None:
+            tolerance = float(tolerance)
+        if coefs is not None:
+            coefs = int(coefs)
+        freq_ignore_low = int(freq_ignore_low)
+        freq_ignore_high = int(freq_ignore_high)
         state = ChannelState(
             channel_id=channel_id,
             context=context,
@@ -145,6 +162,18 @@ class StreamingRecognizer:
                 pcm = pcm.astype(np.float32) / 32768.0
             else:
                 pcm = pcm.astype(np.float32)
+                if not np.isfinite(pcm).all():
+                    # NaN/Inf frames would collapse to floor fingerprints
+                    # that spuriously match silence; drop, don't poison
+                    log.warning("dropped non-finite frame on %s", channel_id)
+                    return
+            if state.skip_debt > 0:
+                # still discarding toward the next window (hop > duration)
+                take = min(state.skip_debt, len(pcm))
+                state.skip_debt -= take
+                pcm = pcm[take:]
+                if not len(pcm):
+                    return
             state.chunks.append(pcm)
             state.buffered += len(pcm)
 
@@ -192,9 +221,13 @@ class StreamingRecognizer:
                 pcm = np.concatenate(state.chunks) if state.chunks else np.zeros(0)
                 window = pcm[:need]
                 if state.continuous:
-                    # slide by hop (overlapping windows keep duration−hop
-                    # samples of history; tumbling keeps none)
-                    rest = pcm[state.hop_samples :]
+                    # slide by hop: keep duration−hop samples of history for
+                    # overlapping windows; when hop exceeds what's buffered,
+                    # carry the shortfall as debt so window spacing stays
+                    # exactly one hop regardless of scorer timing
+                    hop = state.hop_samples
+                    rest = pcm[hop:]
+                    state.skip_debt += max(0, hop - len(pcm))
                     state.chunks = [rest] if len(rest) else []
                     state.buffered = len(rest)
                 else:
