@@ -92,6 +92,25 @@ class TestShardedSearch:
             np.testing.assert_array_equal(np.asarray(votes_s), np.asarray(votes_1))
 
 
+class TestShardedPallasMatcher:
+    def test_matches_xla_matcher(self, rng):
+        """Per-shard fused Pallas matcher (interpret mode on the CPU mesh)
+        must equal the single-device XLA matcher."""
+        from tiresias_tpu.parallel.sharding import sharded_votes_pallas
+
+        mesh = make_mesh(4, 2)
+        db, mask = _random_db(rng, n_audios=32, t=128)  # 32 % 4 == 0
+        q, n_frames = _random_query(rng, b=4)
+        qp, active, use2 = match_jax.prepare_query(q, n_frames)
+        votes_p = sharded_votes_pallas(
+            mesh, db, qp, active, use2, 0.9, coefs=2, interpret=True
+        )
+        votes_x = match_jax.match_votes(
+            db, mask, qp, active, use2, 0.9, coefs=2
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+
+
 class TestSequenceParallel:
     def test_long_signal_matches_single_device(self, rng, dsp):
         """One long signal sharded on the frame axis with a 256-sample

@@ -170,6 +170,48 @@ def sharded_search(
     return best, count, votes
 
 
+def sharded_votes_pallas(
+    mesh: Mesh,
+    db: jax.Array,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: float,
+    coefs: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused Pallas matcher per DB shard under shard_map.
+
+    Each chip runs :func:`tiresias_tpu.ops.match_pallas.match_votes_pallas`
+    on its slice of the audio axis; vote columns stay disjoint (out spec
+    ``P(batch, db)``), so no collective is needed until the caller's top-1.
+    Requires ``db [A, T, C]`` sharded on A with A divisible by the db axis
+    and queries replicated or batch-sharded with B divisible by batch.
+    """
+    from tiresias_tpu.ops.match_pallas import match_votes_pallas
+
+    def shard_fn(db_s, q_s, act_s, u2_s, tol):
+        return match_votes_pallas(
+            db_s, q_s, act_s, u2_s, tol, coefs=coefs, interpret=interpret
+        )
+
+    return shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(DB_AXIS, None, None),
+            P(BATCH_AXIS, None, None),
+            P(BATCH_AXIS, None),
+            P(BATCH_AXIS, None),
+            P(),
+        ),
+        out_specs=P(BATCH_AXIS, DB_AXIS),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # out_specs fully describe the (disjoint-column) layout
+        check_vma=False,
+    )(db, q, active, use2, jnp.float32(tolerance))
+
+
 def sharded_fingerprint_long(
     mesh: Mesh,
     pcm: np.ndarray | jax.Array,
