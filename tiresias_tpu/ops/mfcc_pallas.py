@@ -85,11 +85,24 @@ def pallas_constants(
     return dft_re, dft_im, mel_t, dct_t
 
 
+def _fast_mfcc() -> bool:
+    """Opt-in reduced-precision mode (TIRESIAS_FAST_MFCC=1): default TPU
+    matmul precision is ~25% faster end-to-end but drifts ±0.03 from the
+    bit-exact f32 chain in the log-log fingerprint domain — only safe when
+    DB and queries are BOTH built in this mode and tolerances are ≥0.1."""
+    import os
+
+    return bool(os.environ.get("TIRESIAS_FAST_MFCC"))
+
+
 def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
     # HIGHEST precision on every dot: default TPU matmul truncates inputs
     # to bf16, visible as ±0.03 in the log-log fingerprint domain — the
     # same requirement as the XLA path (mfcc_jax.py / PARITY.md §2).
-    hi = jax.lax.Precision.HIGHEST
+    # TIRESIAS_FAST_MFCC trades that for throughput (see _fast_mfcc).
+    hi = (
+        jax.lax.Precision.DEFAULT if _fast_mfcc() else jax.lax.Precision.HIGHEST
+    )
     f = frames_ref[...]
     re = jnp.dot(f, dft_re_ref[...], preferred_element_type=jnp.float32, precision=hi)
     im = jnp.dot(f, dft_im_ref[...], preferred_element_type=jnp.float32, precision=hi)
