@@ -119,17 +119,20 @@ def match_votes(
     mask_blocks = mask_p.reshape(n_blocks, audio_block, t)
 
     q0 = q[..., 0]  # [B, F]
-    q1 = q[..., 1] if coefs >= 2 else None
 
     def block_votes(blk):
         db_blk, m_blk = blk  # [Ab, T, C], [Ab, T]
         d0 = db_blk[..., 0]  # [Ab, T]
         ok = jnp.abs(q0[:, :, None, None] - d0[None, None]) <= tol  # [B,F,Ab,T]
-        if q1 is not None:
-            d1 = db_blk[..., 1]
-            ok1 = jnp.abs(q1[:, :, None, None] - d1[None, None]) <= tol
-            # out-of-band max2 drops only the max2 condition (PARITY.md §3.3)
-            ok &= ok1 | ~use2[:, :, None, None]
+        for ci in range(1, coefs):
+            dc = db_blk[..., ci]
+            okc = jnp.abs(q[..., ci][:, :, None, None] - dc[None, None]) <= tol
+            if ci == 1:
+                # out-of-band max2 drops only the max2 condition
+                # (PARITY.md §3.3); coefs > 2 is a documented extension with
+                # plain AND semantics
+                okc |= ~use2[:, :, None, None]
+            ok &= okc
         ok &= m_blk[None, None]
         hit = ok.any(axis=-1)  # [B, F, Ab]
         return (hit & active[:, :, None]).sum(axis=1, dtype=jnp.int32)  # [B, Ab]

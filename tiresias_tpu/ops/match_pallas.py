@@ -44,41 +44,41 @@ AUDIO_TILE = 128
 INACTIVE_Q = 1.0e6  # pushed out of every tolerance band (PAD_VALUE is -1e6)
 
 
-def _kernel_c2(q0_ref, q1_ref, use2_ref, d0_ref, d1_ref, tol_ref, out_ref):
-    d0 = d0_ref[...]  # [AT, T]
-    d1 = d1_ref[...]
-    tol = tol_ref[0]
-    f_total = q0_ref.shape[1]
+def _make_kernel(coefs: int):
+    """Kernel for a static coefficient count.
 
-    def body(f, votes):
-        ok = jnp.abs(d0 - q0_ref[0, f]) <= tol
-        ok1 = jnp.abs(d1 - q1_ref[0, f]) <= tol
-        # use2 <= 0 → max2 condition dropped (PARITY.md §3.3)
-        ok &= ok1 | (use2_ref[0, f] <= 0.0)
-        # Mosaic has no bool reductions: any-over-T as an f32 max
-        return votes + ok.astype(jnp.float32).max(axis=1)
+    Inputs: ``q_ref [coefs+1, F]`` SMEM — rows 0..coefs-1 are the query
+    values, the last row is the use2 flag (≤0 drops the coef-2 condition,
+    PARITY.md §3.3); ``d_ref [coefs, AT, T]`` VMEM (coef-major so each
+    coef's slice has full lane utilisation); ``tol_ref`` SMEM.
+    """
 
-    votes = jax.lax.fori_loop(
-        0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
-    )
-    i = pl.program_id(0)
-    out_ref[0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)] = votes
+    def kernel(q_ref, d_ref, tol_ref, out_ref):
+        tol = tol_ref[0]
+        f_total = q_ref.shape[1]
+        d = [d_ref[c] for c in range(coefs)]  # [AT, T] each
 
+        def body(f, votes):
+            ok = jnp.abs(d[0] - q_ref[0, f]) <= tol
+            for c in range(1, coefs):
+                okc = jnp.abs(d[c] - q_ref[c, f]) <= tol
+                if c == 1:
+                    # use2 <= 0 → max2 condition dropped (PARITY.md §3.3);
+                    # coefs > 2 (extension) uses plain AND semantics
+                    okc |= q_ref[coefs, f] <= 0.0
+                ok &= okc
+            # Mosaic has no bool reductions: any-over-T as an f32 max
+            return votes + ok.astype(jnp.float32).max(axis=1)
 
-def _kernel_c1(q0_ref, d0_ref, tol_ref, out_ref):
-    d0 = d0_ref[...]
-    tol = tol_ref[0]
-    f_total = q0_ref.shape[1]
+        votes = jax.lax.fori_loop(
+            0, f_total, body, jnp.zeros((d[0].shape[0],), jnp.float32)
+        )
+        i = pl.program_id(0)
+        out_ref[
+            0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)
+        ] = votes
 
-    def body(f, votes):
-        ok = jnp.abs(d0 - q0_ref[0, f]) <= tol
-        return votes + ok.astype(jnp.float32).max(axis=1)
-
-    votes = jax.lax.fori_loop(
-        0, f_total, body, jnp.zeros((d0.shape[0],), jnp.float32)
-    )
-    i = pl.program_id(0)
-    out_ref[0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)] = votes
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
@@ -100,8 +100,8 @@ def match_votes_pallas(
     """
     a, t, c = db.shape
     b, f, _ = q.shape
-    if coefs < 1 or coefs > min(2, c):
-        raise ValueError(f"coefs must be in [1, {min(2, c)}]")
+    if coefs < 1 or coefs > c:
+        raise ValueError(f"coefs must be in [1, {c}]")
     tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
 
     a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
@@ -109,12 +109,30 @@ def match_votes_pallas(
         # padding audios hold PAD_VALUE → zero votes
         db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
                      constant_values=PAD_VALUE)
-    # value-encode the active mask: inactive query frames leave every band
-    q0 = jnp.where(active, q[..., 0], INACTIVE_Q)
     n_tiles = a_pad // AUDIO_TILE
-    d0 = db[..., 0]
+    # coef-major layout [C, A_pad, T]: each coef's [AT, T] slice keeps full
+    # lane utilisation (the [A, T, C] layout would put C in the lane dim)
+    d_cm = jnp.moveaxis(db[..., :coefs], -1, 0)
 
-    common = dict(
+    # query rows: coef values with the active mask value-encoded into row 0,
+    # plus the use2 flag as the last row
+    q_rows = [jnp.where(active, q[..., 0], INACTIVE_Q)]
+    q_rows += [q[..., ci] for ci in range(1, coefs)]
+    q_rows.append(use2.astype(jnp.float32))
+    q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
+
+    call = pl.pallas_call(
+        _make_kernel(coefs),
+        in_specs=[
+            # per-frame scalars are read at dynamic indices inside the fori
+            # loop — that must be SMEM (Mosaic cannot prove dynamic VMEM
+            # lane alignment)
+            pl.BlockSpec((coefs + 1, f), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((coefs, AUDIO_TILE, t), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
         out_shape=jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
         # the full [1, A_pad] output is the block; grid steps write
         # disjoint 128-lane slices (Mosaic block-shape constraint)
@@ -124,41 +142,15 @@ def match_votes_pallas(
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * f * a_pad * t * coefs,
-            bytes_accessed=4 * (a_pad * t * coefs + f * 3 + a_pad),
+            bytes_accessed=4 * (a_pad * t * coefs + f * (coefs + 1) + a_pad),
             transcendentals=0,
         ),
     )
-    # per-frame scalars are read at dynamic indices inside the fori loop —
-    # that must be SMEM (Mosaic cannot prove dynamic VMEM lane alignment)
-    qspec = pl.BlockSpec((1, f), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    dspec = pl.BlockSpec(
-        (AUDIO_TILE, t), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    tspec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    if coefs == 1:
-        call = pl.pallas_call(_kernel_c1, in_specs=[qspec, dspec, tspec], **common)
+    def one(q_b):  # [coefs+1, F]
+        return call(q_b, d_cm, tol)[0]
 
-        def one(q0_b):
-            return call(q0_b[None, :], d0, tol)[0]
-
-        votes = jax.lax.map(one, q0)
-    else:
-        d1 = db[..., 1]
-        call = pl.pallas_call(
-            _kernel_c2,
-            in_specs=[qspec, qspec, qspec, dspec, dspec, tspec],
-            **common,
-        )
-        use2_f = use2.astype(jnp.float32)
-
-        def one(args):
-            q0_b, q1_b, u2_b = args
-            return call(
-                q0_b[None, :], q1_b[None, :], u2_b[None, :], d0, d1, tol
-            )[0]
-
-        votes = jax.lax.map(one, (q0, q[..., 1], use2_f))
+    votes = jax.lax.map(one, q_all)
     return votes[:, :a].astype(jnp.int32)
 
 

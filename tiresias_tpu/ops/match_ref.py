@@ -62,8 +62,11 @@ def search_reference(
       trunc_coef1: False disables the (int) cast — PARITY.md D8 extension
         (the oracle supports it so both modes can be cross-validated).
     """
-    if coefs < 1 or coefs > 2:
-        raise ValueError("coefs must be 1 or 2 (fp_handler.c:247-250)")
+    n_coefs = db[0].shape[1] if db else 2
+    if coefs < 1 or coefs > max(2, n_coefs):
+        # the reference clamps to its 2 stored coefs (fp_handler.c:247-250);
+        # more stored coefficients are a documented extension
+        raise ValueError(f"coefs must be in [1, {max(2, n_coefs)}]")
     tol = tolerance
     if tol < 0:
         tol = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
@@ -81,15 +84,16 @@ def search_reference(
         if hi_thr is not None and q0 > hi_thr:
             continue
         conds: list[tuple[int, float]] = [(0, q0)]
-        if coefs == 2:
-            q1 = float(query[f, 1])
-            use2 = True
-            if lo_thr is not None and q1 < lo_thr:
-                use2 = False  # condition dropped, frame still votes on max1
-            if hi_thr is not None and q1 > hi_thr:
-                use2 = False
-            if use2:
-                conds.append((1, q1))
+        for c in range(1, coefs):
+            qc = float(query[f, c])
+            if c == 1:
+                # the reference's coef-2 band quirk: out-of-band max2 merely
+                # drops the max2 condition (fp_handler.c:324-337)
+                if lo_thr is not None and qc < lo_thr:
+                    continue
+                if hi_thr is not None and qc > hi_thr:
+                    continue
+            conds.append((c, qc))
         for a, stored in enumerate(db):
             if len(stored) == 0:
                 continue
