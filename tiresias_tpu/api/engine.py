@@ -263,6 +263,7 @@ class Tiresias:
         freq_ignore_high: int = -1,
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
+        aligned: bool | None = None,
     ) -> SearchResult:
         """Search one PCM signal; returns the TIR* result.
 
@@ -282,6 +283,7 @@ class Tiresias:
             freq_ignore_high=freq_ignore_high,
             filter_context=filter_context,
             trunc_coef1=trunc_coef1,
+            aligned=aligned,
         )
         return res[0]
 
@@ -296,6 +298,7 @@ class Tiresias:
         freq_ignore_high: int = -1,
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
+        aligned: bool | None = None,
     ) -> list[SearchResult]:
         """Batched search — many queries against the store in one device pass."""
         if not pcms:
@@ -303,6 +306,7 @@ class Tiresias:
         votes_all, entries, n_frames = self._compute_votes(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned,
         )
         # top-1 with lowest-GLOBAL-insertion-index tiebreak (PARITY.md D5 —
         # stable across the tiered layout, matching the pre-tier behavior)
@@ -343,6 +347,7 @@ class Tiresias:
         freq_ignore_high: int = -1,
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
+        aligned: bool | None = None,
     ) -> list[SearchResult]:
         """Ranked top-k candidates for one query (documented extension —
         the reference returns only the top-1 row, fp_handler.c:367-373).
@@ -350,6 +355,7 @@ class Tiresias:
         votes_all, entries, n_frames = self._compute_votes(
             context, [np.asarray(pcm)], samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned,
         )
         fc = int(n_frames[0])
         votes = votes_all[0]
@@ -393,9 +399,12 @@ class Tiresias:
         freq_ignore_high: int,
         filter_context: bool,
         trunc_coef1: bool | None,
+        aligned: bool | None = None,
     ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
         """(votes [B, A], view-ordered entries, n_frames [B])."""
         mc: MatchConfig = self.config.match
+        if aligned is None:
+            aligned = mc.aligned
         if coefs is None:
             coefs = mc.coefs
         if tolerance is None:
@@ -417,8 +426,9 @@ class Tiresias:
             views = self.store.search_views()
             entries: list[AudioEntry] = []
             vote_parts: list[np.ndarray] = []
-            use_lattice = coefs == 1 and trunc_coef1
-            use_pallas = _on_tpu() and self.mesh is None
+            use_lattice = coefs == 1 and trunc_coef1 and not aligned
+            # aligned voting is implemented in the XLA matcher only
+            use_pallas = _on_tpu() and self.mesh is None and not aligned
             for view in views:
                 if use_lattice:
                     # dialplan configuration → exact MXU lattice fast path
@@ -459,6 +469,7 @@ class Tiresias:
                         freq_ignore_low=freq_ignore_low,
                         freq_ignore_high=freq_ignore_high,
                         trunc_coef1=trunc_coef1,
+                        aligned=aligned,
                     )
                 vote_parts.append(np.asarray(votes)[:, : view.n_audios])
                 entries.extend(view.entries)
@@ -488,6 +499,7 @@ class Tiresias:
         freq_ignore_high: int = -1,
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
+        aligned: bool | None = None,
     ) -> SearchResult:
         """fp_search_fingerprint_info over a file on disk
         (/root/reference/src/fp_handler.h:27-34)."""
@@ -502,6 +514,7 @@ class Tiresias:
             freq_ignore_high=freq_ignore_high,
             filter_context=filter_context,
             trunc_coef1=trunc_coef1,
+            aligned=aligned,
         )
 
     # ------------------------------------------------------------------ #

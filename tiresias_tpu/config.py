@@ -80,6 +80,10 @@ class MatchConfig:
     # (/root/reference/src/fp_handler.c:290). False = high-accuracy extension
     # (PARITY.md D8) — no truncation, enabling small-tolerance recognition.
     trunc_coef1: bool = True
+    # Extension (PARITY.md D9): offset-consistent (time-aligned) voting
+    # instead of the reference's bag-of-frames ∃-any-frame vote. Dramatically
+    # more discriminative on similar-sounding corpora.
+    aligned: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,13 +142,14 @@ def config_from_mapping(sections: Mapping[str, Mapping[str, str]]) -> TiresiasCo
                 match_kwargs["freq_ignore_low"] = int(items["freq_ignore_low"])
             if "freq_ignore_high" in items:
                 match_kwargs["freq_ignore_high"] = int(items["freq_ignore_high"])
-            if "trunc_coef1" in items:
-                match_kwargs["trunc_coef1"] = items["trunc_coef1"].strip().lower() in (
-                    "1",
-                    "true",
-                    "yes",
-                    "on",
-                )
+            for bkey in ("trunc_coef1", "aligned"):
+                if bkey in items:
+                    match_kwargs[bkey] = items[bkey].strip().lower() in (
+                        "1",
+                        "true",
+                        "yes",
+                        "on",
+                    )
             if "data_dir" in items:
                 data_dir = items["data_dir"]
             for key in ("hop_size", "buf_size", "samplerate", "n_filters", "n_coefs"):

@@ -86,7 +86,9 @@ def prepare_query(
     return q, active, use2
 
 
-@functools.partial(jax.jit, static_argnames=("coefs", "audio_block"))
+@functools.partial(
+    jax.jit, static_argnames=("coefs", "audio_block", "aligned")
+)
 def match_votes(
     db: jax.Array,
     db_mask: jax.Array,
@@ -96,6 +98,7 @@ def match_votes(
     tolerance: jax.Array | float,
     coefs: int = 1,
     audio_block: int = AUDIO_BLOCK,
+    aligned: bool = False,
 ) -> jax.Array:
     """Vote counts ``[B, A]`` (int32).
 
@@ -104,7 +107,16 @@ def match_votes(
       db_mask: ``[A, T]`` bool validity.
       q, active, use2: from :func:`prepare_query`.
       tolerance: scalar; inclusive band.
-      coefs: 1 or 2 (static).
+      coefs: number of matched coefficients (static; reference max is 2).
+      aligned: documented extension — offset-consistent voting. The
+        reference counts a vote when ANY stored frame is within tolerance
+        (bag-of-frames, no time structure), which stops discriminating on
+        similar-sounding corpora. With ``aligned=True`` a query frame's hit
+        at stored frame t contributes to offset bucket ``t − f`` and the
+        score is the best single offset's hit count — Shazam-style
+        time-consistent matching, exact on TPU via one gather that
+        re-indexes the hit tensor from (frame, time) to (frame, offset)
+        space followed by a sum-over-frames and max-over-offsets.
     """
     a, t, c = db.shape
     if coefs < 1 or coefs > c:
@@ -134,8 +146,29 @@ def match_votes(
                 okc |= ~use2[:, :, None, None]
             ok &= okc
         ok &= m_blk[None, None]
-        hit = ok.any(axis=-1)  # [B, F, Ab]
-        return (hit & active[:, :, None]).sum(axis=1, dtype=jnp.int32)  # [B, Ab]
+        ok &= active[:, :, None, None]
+        if not aligned:
+            hit = ok.any(axis=-1)  # [B, F, Ab]
+            return hit.sum(axis=1, dtype=jnp.int32)  # [B, Ab]
+        # offset voting: re-index t → offset = t − f (clamped gather; offset
+        # range [−F+1, T−1] padded to T+F−1 buckets), then the best aligned
+        # diagonal is a sum-over-f and max-over-offset
+        f_n = ok.shape[1]
+        t_n = ok.shape[3]
+        offs = jnp.arange(t_n + f_n - 1) - (f_n - 1)  # [O]
+        f_idx = jnp.arange(f_n)
+        t_idx = f_idx[:, None] + offs[None, :]  # [F, O]
+        valid = (t_idx >= 0) & (t_idx < t_n)
+        t_idx = jnp.clip(t_idx, 0, t_n - 1)
+        # gather [B, F, Ab, O] from [B, F, Ab, T]
+        idx_full = jnp.broadcast_to(
+            t_idx[None, :, None, :],
+            (ok.shape[0], f_n, ok.shape[2], t_idx.shape[1]),
+        )
+        shifted = jnp.take_along_axis(ok, idx_full, axis=3)
+        shifted &= valid[None, :, None, :]
+        per_offset = shifted.sum(axis=1, dtype=jnp.int32)  # [B, Ab, O]
+        return per_offset.max(axis=-1)  # [B, Ab]
 
     votes = jax.lax.map(block_votes, (db_blocks, mask_blocks))  # [nb, B, Ab]
     votes = jnp.moveaxis(votes, 1, 0).reshape(q.shape[0], n_blocks * audio_block)
@@ -168,17 +201,21 @@ def search_batch(
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
     trunc_coef1: bool = True,
+    aligned: bool = False,
 ):
     """Full reference-semantics search over a batch of queries.
 
     Returns (best_index [B] int32 (-1 = not found), match_count [B] int32,
-    votes [B, A] int32).
+    votes [B, A] int32). ``aligned=True`` switches to offset-consistent
+    voting (see :func:`match_votes`).
     """
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
     q, active, use2 = prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
     )
-    votes = match_votes(db, db_mask, q, active, use2, tolerance, coefs=coefs)
+    votes = match_votes(
+        db, db_mask, q, active, use2, tolerance, coefs=coefs, aligned=aligned
+    )
     best, count = top1(votes, audio_filter)
     return best, count, votes
