@@ -42,9 +42,10 @@ TELEPHONY = Profile(
 WIDEBAND = Profile(
     name="wideband",
     dsp=DspConfig(hop_size=256, buf_size=512, n_filters=40, n_coefs=4),
-    match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
-    description="16 kHz wideband speech; 4 stored coefficients, exact "
-    "(untruncated) matching at tight tolerance.",
+    match=MatchConfig(coefs=4, tolerance=0.1, trunc_coef1=False, aligned=True),
+    description="16 kHz wideband speech; 4 matched coefficients, exact "
+    "(untruncated) time-aligned matching — the measured-best accuracy "
+    "configuration (docs/performance.md).",
 )
 
 # 44.1/48 kHz music: longer window for frequency resolution, more
@@ -52,9 +53,9 @@ WIDEBAND = Profile(
 MUSIC = Profile(
     name="music",
     dsp=DspConfig(hop_size=512, buf_size=1024, n_filters=40, n_coefs=8),
-    match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
-    description="Full-band music; 23 ms window at 44.1 kHz, 8 stored "
-    "coefficients, exact matching.",
+    match=MatchConfig(coefs=8, tolerance=0.1, trunc_coef1=False, aligned=True),
+    description="Full-band music; 23 ms window at 44.1 kHz, 8 matched "
+    "coefficients, exact time-aligned matching.",
 )
 
 PROFILES = {p.name: p for p in (TELEPHONY, WIDEBAND, MUSIC)}
