@@ -181,6 +181,7 @@ class RecognitionServer:
                     "freq_ignore_low",
                     "freq_ignore_high",
                     "trunc_coef1",
+                    "aligned",
                     "filter_context",
                     "continuous",
                     "hop_ms",

@@ -57,6 +57,7 @@ class ChannelState:
     freq_ignore_low: int
     freq_ignore_high: int
     trunc_coef1: bool | None
+    aligned: bool | None
     filter_context: bool
     continuous: bool
     hop_ms: int | None  # continuous mode: slide step (None = tumbling)
@@ -100,6 +101,7 @@ class StreamingRecognizer:
         freq_ignore_low: int = -1,
         freq_ignore_high: int = -1,
         trunc_coef1: bool | None = None,
+        aligned: bool | None = None,
         filter_context: bool = False,
         continuous: bool = False,
         hop_ms: int | None = None,
@@ -141,6 +143,7 @@ class StreamingRecognizer:
             freq_ignore_low=freq_ignore_low,
             freq_ignore_high=freq_ignore_high,
             trunc_coef1=trunc_coef1,
+            aligned=aligned,
             filter_context=filter_context,
             continuous=continuous,
             hop_ms=hop_ms,
@@ -252,13 +255,14 @@ class StreamingRecognizer:
                 state.freq_ignore_low,
                 state.freq_ignore_high,
                 state.trunc_coef1,
+                state.aligned,
                 state.filter_context,
             )
             groups.setdefault(key, []).append((state, pcm))
 
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
-            (context, tolerance, coefs, lo, hi, trunc, filt) = key
+            (context, tolerance, coefs, lo, hi, trunc, aligned, filt) = key
             # pad the batch to the next power of two with silence queries so
             # XLA compiles at most log2(max_channels) batch shapes instead of
             # one per concurrent-channel count (results sliced back below)
@@ -279,6 +283,7 @@ class StreamingRecognizer:
                         freq_ignore_high=hi,
                         filter_context=filt,
                         trunc_coef1=trunc,
+                        aligned=aligned,
                     )[: len(items)]
             except Exception:  # noqa: BLE001
                 # per-group error isolation: a failing search degrades those
