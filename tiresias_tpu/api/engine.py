@@ -142,8 +142,12 @@ class Tiresias:
 
             from tiresias_tpu.parallel import make_mesh
 
-            n = len(jax.devices())
-            mesh = make_mesh(n, 1) if n > 1 else None
+            devices = jax.local_devices()  # only addressable devices
+            mesh = (
+                make_mesh(len(devices), 1, devices=devices)
+                if len(devices) > 1
+                else None
+            )
         self.mesh = mesh
         self.checkpoint_dir = os.path.join(
             self.config.expanded_data_dir, "checkpoint"

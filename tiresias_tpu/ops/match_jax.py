@@ -33,6 +33,7 @@ import numpy as np
 from tiresias_tpu.config import DEF_SEARCH_TOLERANCE
 
 AUDIO_BLOCK = 128
+OFFSET_BLOCK = 256  # aligned-voting offsets per gather (bounds peak memory)
 
 
 def band_thresholds(freq_ignore_low: int, freq_ignore_high: int) -> tuple[float, float]:
@@ -151,24 +152,33 @@ def match_votes(
             hit = ok.any(axis=-1)  # [B, F, Ab]
             return hit.sum(axis=1, dtype=jnp.int32)  # [B, Ab]
         # offset voting: re-index t → offset = t − f (clamped gather; offset
-        # range [−F+1, T−1] padded to T+F−1 buckets), then the best aligned
-        # diagonal is a sum-over-f and max-over-offset
+        # range [−F+1, T−1]), then the best aligned diagonal is a
+        # sum-over-f and max-over-offset. Offsets are processed in blocks so
+        # peak memory stays at B·F·Ab·OFFSET_BLOCK regardless of T (one big
+        # gather would materialise B·F·Ab·(T+F) — OOM for long tiers).
         f_n = ok.shape[1]
         t_n = ok.shape[3]
-        offs = jnp.arange(t_n + f_n - 1) - (f_n - 1)  # [O]
+        n_off = t_n + f_n - 1
+        n_off_pad = -(-n_off // OFFSET_BLOCK) * OFFSET_BLOCK
+        offs = jnp.arange(n_off_pad) - (f_n - 1)  # padded tail is invalid
         f_idx = jnp.arange(f_n)
-        t_idx = f_idx[:, None] + offs[None, :]  # [F, O]
-        valid = (t_idx >= 0) & (t_idx < t_n)
-        t_idx = jnp.clip(t_idx, 0, t_n - 1)
-        # gather [B, F, Ab, O] from [B, F, Ab, T]
-        idx_full = jnp.broadcast_to(
-            t_idx[None, :, None, :],
-            (ok.shape[0], f_n, ok.shape[2], t_idx.shape[1]),
-        )
-        shifted = jnp.take_along_axis(ok, idx_full, axis=3)
-        shifted &= valid[None, :, None, :]
-        per_offset = shifted.sum(axis=1, dtype=jnp.int32)  # [B, Ab, O]
-        return per_offset.max(axis=-1)  # [B, Ab]
+
+        def offset_block(off_blk):  # [Ob] -> [B, Ab]
+            t_idx = f_idx[:, None] + off_blk[None, :]  # [F, Ob]
+            valid = (t_idx >= 0) & (t_idx < t_n)
+            t_idx = jnp.clip(t_idx, 0, t_n - 1)
+            idx_full = jnp.broadcast_to(
+                t_idx[None, :, None, :],
+                (ok.shape[0], f_n, ok.shape[2], off_blk.shape[0]),
+            )
+            shifted = jnp.take_along_axis(ok, idx_full, axis=3)
+            shifted &= valid[None, :, None, :]
+            return shifted.sum(axis=1, dtype=jnp.int32).max(axis=-1)
+
+        per_block = jax.lax.map(
+            offset_block, offs.reshape(-1, OFFSET_BLOCK)
+        )  # [n_blocks, B, Ab]
+        return per_block.max(axis=0)  # [B, Ab]
 
     votes = jax.lax.map(block_votes, (db_blocks, mask_blocks))  # [nb, B, Ab]
     votes = jnp.moveaxis(votes, 1, 0).reshape(q.shape[0], n_blocks * audio_block)

@@ -62,11 +62,12 @@ def search_reference(
       trunc_coef1: False disables the (int) cast — PARITY.md D8 extension
         (the oracle supports it so both modes can be cross-validated).
     """
-    n_coefs = db[0].shape[1] if db else 2
-    if coefs < 1 or coefs > max(2, n_coefs):
-        # the reference clamps to its 2 stored coefs (fp_handler.c:247-250);
-        # more stored coefficients are a documented extension
-        raise ValueError(f"coefs must be in [1, {max(2, n_coefs)}]")
+    # the reference clamps to its 2 stored coefs (fp_handler.c:247-250);
+    # more stored coefficients are a documented extension — but never more
+    # than the narrowest stored/query fingerprint provides
+    widths = [query.shape[1]] + [d.shape[1] for d in db]
+    if coefs < 1 or coefs > min(widths):
+        raise ValueError(f"coefs must be in [1, {min(widths)}]")
     tol = tolerance
     if tol < 0:
         tol = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256

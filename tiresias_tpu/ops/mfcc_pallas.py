@@ -92,7 +92,12 @@ def _fast_mfcc() -> bool:
     DB and queries are BOTH built in this mode and tolerances are ≥0.1."""
     import os
 
-    return bool(os.environ.get("TIRESIAS_FAST_MFCC"))
+    return os.environ.get("TIRESIAS_FAST_MFCC", "").strip().lower() in (
+        "1",
+        "true",
+        "yes",
+        "on",
+    )
 
 
 def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):

@@ -6,7 +6,9 @@ from tiresias_tpu.parallel.sharding import (
     make_mesh,
     shard_db,
     sharded_fingerprint,
+    sharded_fingerprint_long,
     sharded_search,
+    sharded_votes_pallas,
 )
 
 __all__ = [
@@ -15,5 +17,7 @@ __all__ = [
     "make_mesh",
     "shard_db",
     "sharded_fingerprint",
+    "sharded_fingerprint_long",
     "sharded_search",
+    "sharded_votes_pallas",
 ]

@@ -88,7 +88,7 @@ def shard_db(mesh: Mesh, db: np.ndarray, db_mask: np.ndarray):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "coefs", "audio_block")
+    jax.jit, static_argnames=("mesh", "coefs", "audio_block", "aligned")
 )
 def _sharded_votes(
     mesh: Mesh,
@@ -100,6 +100,7 @@ def _sharded_votes(
     tolerance: jax.Array,
     coefs: int,
     audio_block: int,
+    aligned: bool = False,
 ) -> jax.Array:
     """Votes ``[B, A_pad]`` computed shard-locally then gathered over ICI."""
 
@@ -110,7 +111,7 @@ def _sharded_votes(
         # caller reduces over the audio axis (top-1).
         return match_jax.match_votes(
             db_s, mask_s, q_s, active_s, use2_s, tol,
-            coefs=coefs, audio_block=audio_block,
+            coefs=coefs, audio_block=audio_block, aligned=aligned,
         )
 
     return shard_map(
@@ -139,6 +140,7 @@ def sharded_search(
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
     trunc_coef1: bool = True,
+    aligned: bool = False,
     n_audios: int | None = None,
     audio_block: int = match_jax.AUDIO_BLOCK,
 ):
@@ -146,7 +148,7 @@ def sharded_search(
 
     ``query [B, F, C]`` must have B divisible by the batch axis (pad with
     zero-frame queries on host). Returns (best [B], match_count [B],
-    votes [B, A]).
+    votes [B, A]). ``aligned=True`` = offset-consistent voting (PARITY D9).
     """
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
@@ -162,6 +164,7 @@ def sharded_search(
     votes = _sharded_votes(
         mesh, db, db_mask, q, active, use2,
         jnp.asarray(tolerance, dtype=jnp.float32), coefs, audio_block,
+        aligned,
     )
     votes = votes[:b]
     if n_audios is not None:

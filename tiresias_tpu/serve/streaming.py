@@ -43,6 +43,21 @@ from tiresias_tpu.utils.tracing import metrics, phase
 log = get_logger(__name__)
 
 
+def _to_bool(value, name: str) -> bool | None:
+    """Coerce untrusted (e.g. JSON text protocol) booleans strictly."""
+    if value is None or isinstance(value, bool):
+        return value
+    if isinstance(value, (int, float)) and value in (0, 1):
+        return bool(value)
+    if isinstance(value, str):
+        low = value.strip().lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off", ""):
+            return False
+    raise ValueError(f"{name} must be a boolean, got {value!r}")
+
+
 @dataclasses.dataclass
 class ChannelState:
     """One live stream (the per-call state the reference keeps on its
@@ -133,6 +148,10 @@ class StreamingRecognizer:
             coefs = int(coefs)
         freq_ignore_low = int(freq_ignore_low)
         freq_ignore_high = int(freq_ignore_high)
+        trunc_coef1 = _to_bool(trunc_coef1, "trunc_coef1")
+        aligned = _to_bool(aligned, "aligned")
+        filter_context = bool(_to_bool(filter_context, "filter_context"))
+        continuous = bool(_to_bool(continuous, "continuous"))
         state = ChannelState(
             channel_id=channel_id,
             context=context,
