@@ -191,9 +191,20 @@ class TestServeErrorIsolation:
         eng.sync()
         rec = StreamingRecognizer(eng, samplerate=SR)
         seen = {}
-        # coefs=99 raises inside search — the window must degrade, not crash
+        # bad params now raise at open() time (ADVICE #3), so inject the
+        # failure inside the shared scorer instead: the "bad" channel's
+        # distinct tolerance isolates it in its own search group, and the
+        # patched engine raises for exactly that group.
+        real_search = eng.search_pcm_batch
+
+        def flaky_search(context, pcms, samplerate, **kw):
+            if kw.get("tolerance") == 123.0:
+                raise RuntimeError("injected search failure")
+            return real_search(context, pcms, samplerate, **kw)
+
+        eng.search_pcm_batch = flaky_search
         rec.open(
-            "bad", context="c", duration_ms=200, coefs=99,
+            "bad", context="c", duration_ms=200, tolerance=123.0,
             on_result=lambda cid, r: seen.setdefault(cid, r),
         )
         rec.open(

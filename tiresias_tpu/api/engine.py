@@ -415,6 +415,13 @@ class Tiresias:
             tolerance = mc.tolerance
         if trunc_coef1 is None:
             trunc_coef1 = mc.trunc_coef1
+        # -1 means "unspecified" for the band-ignore args (the dialplan
+        # omit-value, application_handler.c:126-137); fall back to the
+        # [global] config defaults, mirroring the tolerance handling.
+        if freq_ignore_low < 0:
+            freq_ignore_low = mc.freq_ignore_low
+        if freq_ignore_high < 0:
+            freq_ignore_high = mc.freq_ignore_high
         if tolerance < 0:
             tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
         if coefs < 1 or coefs > self.config.dsp.n_coefs:

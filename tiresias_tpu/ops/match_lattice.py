@@ -42,10 +42,14 @@ from tiresias_tpu.ops import match_jax
 
 # Integer lattice covering every reachable truncated fingerprint value:
 # stored values are 10*log10|coef| floored at 10*log10(2e-42) ≈ -417
-# (PARITY.md D1) and realistically peak well under +49. K is a multiple of
-# 128 for clean MXU/VPU tiling.
-K_MIN = -462
-K_SIZE = 512  # covers [-462, 49]
+# (PARITY.md D1); the upper edge of +127 corresponds to |coef| ≥ 1e12.7,
+# far beyond anything the DSP chain can emit from finite PCM. Query frames
+# whose truncated value still falls outside the lattice (NaN, ±inf, or a
+# pathological magnitude) contribute ZERO votes — not an edge-bucket vote —
+# matching match_jax, whose in-range DB values cannot sit within any sane
+# tolerance of such a value. K is a multiple of 128 for clean MXU tiling.
+K_MIN = -512
+K_SIZE = 640  # covers [-512, 127]
 
 VALUE_BLOCK = 64  # lattice columns per build step (bounds peak memory)
 
@@ -98,13 +102,19 @@ def lattice_votes(
     """
     tol = jnp.asarray(tolerance, dtype=jnp.float32)
     kq = jnp.trunc(q0)  # the reference (int) cast
+    # Out-of-lattice values (NaN/±inf/pathological magnitudes) must score
+    # zero votes, not be folded into the edge bucket. NaN compares false on
+    # both sides, so it is masked too.
+    in_range = (kq >= k_min) & (kq < k_min + k_size)
     idx = jnp.clip(kq.astype(jnp.int32) - k_min, 0, k_size - 1)
     # histogram C[b, k] via scatter-add (exact counts). NOT a broadcast
     # one-hot compare + sum: that lowering takes minutes to compile on the
     # TPU toolchain (measured 177 s vs 0.5 s for the scatter at A=10k).
     b = q0.shape[0]
     c = jnp.zeros((b, k_size), jnp.float32)
-    c = c.at[jnp.arange(b)[:, None], idx].add(active.astype(jnp.float32))
+    c = c.at[jnp.arange(b)[:, None], idx].add(
+        (active & in_range).astype(jnp.float32)
+    )
     # band filter zeroes whole lattice rows (it tests trunc(max1), which is
     # constant per lattice bucket — fp_handler.c:293-306)
     kvals = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)

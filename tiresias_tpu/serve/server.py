@@ -57,6 +57,7 @@ class RecognitionServer:
         self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
         self._writers: dict[str, asyncio.StreamWriter] = {}
         self._server: asyncio.AbstractServer | None = None
+        self._scorer: asyncio.Task | None = None
         self._conn_seq = 0
 
     async def start(self) -> None:
@@ -77,9 +78,10 @@ class RecognitionServer:
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
-        self._scorer.cancel()
-        with contextlib.suppress(asyncio.CancelledError):
-            await self._scorer
+        if self._scorer is not None:
+            self._scorer.cancel()
+            with contextlib.suppress(asyncio.CancelledError):
+                await self._scorer
 
     # ------------------------------------------------------------------ #
 

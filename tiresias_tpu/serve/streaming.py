@@ -146,6 +146,11 @@ class StreamingRecognizer:
             tolerance = float(tolerance)
         if coefs is not None:
             coefs = int(coefs)
+            n_coefs = self.engine.config.dsp.n_coefs
+            if coefs < 1 or coefs > n_coefs:
+                raise ValueError(
+                    f"coefs must be in [1, {n_coefs}] (fp_handler.c:247-250)"
+                )
         freq_ignore_low = int(freq_ignore_low)
         freq_ignore_high = int(freq_ignore_high)
         trunc_coef1 = _to_bool(trunc_coef1, "trunc_coef1")

@@ -308,7 +308,22 @@ class FingerprintStore:
         if entry is None:  # index out of sync — should not happen
             return False
         self.entries.remove(entry)
-        self._hash_index.pop((entry.context, entry.hash), None)
+        # Duplicate-hash entries can exist (add_audio with dedupe=False);
+        # keep the index pointing at a surviving duplicate so find_by_hash
+        # and sync-time dedupe stay correct.
+        key = (entry.context, entry.hash)
+        if self._hash_index.get(key) is entry:
+            survivor = next(
+                (
+                    e for e in self.entries
+                    if e.context == entry.context and e.hash == entry.hash
+                ),
+                None,
+            )
+            if survivor is None:
+                self._hash_index.pop(key, None)
+            else:
+                self._hash_index[key] = survivor
         self._dirty = True
         return True
 
