@@ -11,10 +11,12 @@ TPU-first rebuild of the reference's init-time reconciliation
     (:365-424 → /root/reference/src/fp_handler.c:479-575).
 
 The per-file serial aubio loop + one-SQL-INSERT-per-frame of the reference
-(SURVEY.md hot loops A/B) becomes: decode all new files on host, group by
-native samplerate, fingerprint each group as one batched jitted computation
-(:func:`tiresias_tpu.ops.mfcc_jax.fingerprint_signals`), then block-write
-into the store matrix.
+(SURVEY.md hot loops A/B) becomes a three-stage pipeline: host threads
+decode/hash files while full device batches are dispatched asynchronously
+(:func:`tiresias_tpu.ops.mfcc_jax.fingerprint_signals_async`); the readback
+and store write of batch *k* happen while batch *k+1* executes on device
+and later files are still decoding — producer/consumer overlap, not a
+host-pass-then-device-pass barrier.
 """
 
 from __future__ import annotations
@@ -26,7 +28,10 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 from tiresias_tpu.config import DspConfig, TiresiasConfig
-from tiresias_tpu.ops.mfcc_jax import fingerprint_signals
+from tiresias_tpu.ops.mfcc_jax import (
+    fingerprint_signals_async,
+    mask_fingerprints,
+)
 from tiresias_tpu.store.fingerprint_store import FingerprintStore
 from tiresias_tpu.utils.audio import read_wav, read_wav_i16
 from tiresias_tpu.utils.hashing import file_md5
@@ -141,6 +146,15 @@ def delete_removed_audio(
     return deleted
 
 
+def _batch_bucket(n: int, cap: int = INGEST_BATCH) -> int:
+    """Round a batch size up to a power of two (capped) so XLA compiles at
+    most log2(cap) batch shapes per frame bucket instead of one per count."""
+    b = 1
+    while b < n and b < cap:
+        b *= 2
+    return b
+
+
 def ingest_files(
     store: FingerprintStore,
     context: str,
@@ -154,15 +168,16 @@ def ingest_files(
     (/root/reference/src/fp_handler.c:494-507). Files that fail to decode are
     skipped with a log, mirroring the reference's per-file continue
     (/root/reference/src/app_tiresias.c:415-419).
+
+    Pipelined: decode/hash runs on a thread pool; as soon as a device batch
+    fills, it is dispatched asynchronously, and its readback + store write
+    happen while the NEXT batch executes and later files decode. Paths are
+    submitted in file-size order so arrivals are roughly length-ordered and
+    batch padding stays tight (batch cost = count x longest member).
     """
     dsp = dsp or DspConfig()
     report = SyncReport()
 
-    # 1. host pass: hash + dedupe + decode, grouped by native samplerate
-    #    (DEF_AUBIO_SAMPLERATE 0 = per-file rate, fp_handler.c:37,612).
-    #    Hashing and decode run on a thread pool — file I/O, hashlib and the
-    #    native ctypes decoder all release the GIL, and the host pass is the
-    #    end-to-end ingest bottleneck (SURVEY.md §7 hard part e).
     def load_one(path: str):
         digest = (known_hashes or {}).get(path) or file_md5(path)
         decoded = read_wav_i16(path)
@@ -171,10 +186,50 @@ def ingest_files(
         pcm, samplerate = decoded if decoded is not None else read_wav(path)
         return path, digest, pcm, samplerate
 
-    groups: dict[int, list[tuple[str, str, np.ndarray]]] = {}
+    def drain(inflight) -> None:
+        """Read back a dispatched batch and write it into the store."""
+        items, fp_dev, n_frames = inflight
+        fps = mask_fingerprints(np.asarray(fp_dev), n_frames)
+        for i, (path, digest, _) in enumerate(items):
+            entry = store.add_audio(
+                name=os.path.basename(path),
+                context=context,
+                fingerprint=fps[i, : int(n_frames[i])],
+                file_hash=digest,
+            )
+            if entry is None:
+                report.deduped += 1
+            else:
+                report.created += 1
+                log.info("ingested %s as %s", path, entry.uuid)
+
+    inflight = None  # at most one dispatched-but-undrained batch
+
+    def dispatch(samplerate: int, items: list) -> None:
+        nonlocal inflight
+        pcms = [pcm for _, _, pcm in items]
+        # pad the batch count to a power-of-two bucket with empty signals
+        # (sliced off in drain via items' length) — bounded compile shapes
+        pcms += [np.zeros(0, pcms[0].dtype)] * (_batch_bucket(len(pcms)) - len(pcms))
+        with phase("ingest.fingerprint_batch"):
+            fp_dev, n_frames = fingerprint_signals_async(pcms, samplerate, dsp)
+        prev, inflight = inflight, (items, fp_dev, n_frames)
+        if prev is not None:
+            drain(prev)
+
+    # decode in size order (≈ length order for PCM) on the pool; consume in
+    # the same order so batches pack near-uniform lengths
+    def size_of(p: str) -> int:
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 0
+
+    buckets: dict[int, list[tuple[str, str, np.ndarray]]] = {}
     seen_hashes: set[tuple[str, str]] = set()
     with ThreadPoolExecutor(max_workers=HOST_DECODE_THREADS) as pool:
-        for future in [pool.submit(load_one, p) for p in paths]:
+        futures = [pool.submit(load_one, p) for p in sorted(paths, key=size_of)]
+        for future in futures:
             try:
                 path, digest, pcm, samplerate = future.result()
             except Exception:  # noqa: BLE001 - any unreadable file is skipped
@@ -196,28 +251,21 @@ def ingest_files(
                 report.failed += 1
                 continue
             seen_hashes.add((context, digest))
-            groups.setdefault(int(samplerate), []).append((path, digest, pcm))
-
-    # 2. device pass: batched fingerprint per samplerate group, packed by
-    #    length so one long file cannot blow up the whole batch's padding
-    for samplerate, items in groups.items():
-        for batch in pack_batches(items, lambda it: len(it[2])):
-            with phase("ingest.fingerprint_batch"):
-                fps, n_frames = fingerprint_signals(
-                    [pcm for _, _, pcm in batch], samplerate, dsp
-                )
-            for i, (path, digest, _) in enumerate(batch):
-                entry = store.add_audio(
-                    name=os.path.basename(path),
-                    context=context,
-                    fingerprint=np.asarray(fps[i, : int(n_frames[i])]),
-                    file_hash=digest,
-                )
-                if entry is None:
-                    report.deduped += 1
-                else:
-                    report.created += 1
-                    log.info("ingested %s as %s", path, entry.uuid)
+            items = buckets.setdefault(int(samplerate), [])
+            if items and (
+                len(items) >= INGEST_BATCH
+                or (len(items) + 1)
+                * max(len(pcm), *(len(it[2]) for it in items))
+                > MAX_BATCH_PADDED_SAMPLES
+            ):
+                dispatch(int(samplerate), items)
+                items = buckets[int(samplerate)] = []
+            items.append((path, digest, pcm))
+    for samplerate, items in buckets.items():
+        if items:
+            dispatch(samplerate, items)
+    if inflight is not None:
+        drain(inflight)
     return report
 
 

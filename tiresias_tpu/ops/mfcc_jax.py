@@ -203,6 +203,32 @@ def pad_frames_bucket(
     return out, n_frames
 
 
+def fingerprint_signals_async(
+    pcms: list[np.ndarray],
+    samplerate: int,
+    dsp: DspConfig | None = None,
+    bucket_multiple: int = 128,
+) -> tuple[jax.Array, np.ndarray]:
+    """Dispatch a ragged-batch fingerprint WITHOUT the host readback.
+
+    Returns (fp device array [B, F_bucket, n_coefs] — padding frames NOT
+    masked, see :func:`mask_fingerprints` — and n_frames [B] int32 on host).
+    JAX dispatch is asynchronous, so the caller can overlap further host
+    work (decode, hashing, store writes) with device execution and only
+    pay the sync when it reads the result — the producer/consumer ingest
+    pipeline (engine/sync.py) is built on this.
+    """
+    dsp = dsp or DspConfig()
+    padded, n_frames = pad_frames_bucket(pcms, dsp.hop_size, bucket_multiple)
+    return fingerprint_padded_batch(padded, samplerate, dsp), n_frames
+
+
+def mask_fingerprints(fp: np.ndarray, n_frames: np.ndarray) -> np.ndarray:
+    """Overwrite frames beyond each signal's count with PAD_VALUE."""
+    mask = np.arange(fp.shape[1])[None, :] < n_frames[:, None]
+    return np.where(mask[:, :, None], fp, PAD_VALUE).astype(np.float32)
+
+
 def fingerprint_signals(
     pcms: list[np.ndarray],
     samplerate: int,
@@ -214,13 +240,10 @@ def fingerprint_signals(
     Returns (fp [B, F_bucket, n_coefs] float32 with PAD_VALUE beyond each
     signal's frames, n_frames [B] int32).
     """
-    dsp = dsp or DspConfig()
-    padded, n_frames = pad_frames_bucket(pcms, dsp.hop_size, bucket_multiple)
-    fp = np.asarray(fingerprint_padded_batch(padded, samplerate, dsp))
-    f_bucket = fp.shape[1]
-    mask = np.arange(f_bucket)[None, :] < n_frames[:, None]
-    fp = np.where(mask[:, :, None], fp, PAD_VALUE).astype(np.float32)
-    return fp, n_frames
+    fp_dev, n_frames = fingerprint_signals_async(
+        pcms, samplerate, dsp, bucket_multiple
+    )
+    return mask_fingerprints(np.asarray(fp_dev), n_frames), n_frames
 
 
 def fingerprint_signal(
