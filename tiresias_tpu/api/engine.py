@@ -34,7 +34,7 @@ from tiresias_tpu.engine.sync import SyncReport, ingest_files, sync_all
 from tiresias_tpu.ops import match_jax
 from tiresias_tpu.ops.mfcc_jax import fingerprint_signal, fingerprint_signals
 from tiresias_tpu.store.fingerprint_store import AudioEntry, FingerprintStore
-from tiresias_tpu.utils.audio import read_wav
+from tiresias_tpu.utils.audio import read_audio
 from tiresias_tpu.utils.hashing import file_md5
 from tiresias_tpu.utils.logging import get_logger
 from tiresias_tpu.utils.tracing import metrics, phase
@@ -514,7 +514,7 @@ class Tiresias:
     ) -> SearchResult:
         """fp_search_fingerprint_info over a file on disk
         (/root/reference/src/fp_handler.h:27-34)."""
-        pcm, samplerate = read_wav(path)
+        pcm, samplerate = read_audio(path)
         return self.search_pcm(
             context,
             pcm,

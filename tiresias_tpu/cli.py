@@ -133,9 +133,9 @@ def cmd_search(args) -> int:
         trunc_coef1=None if args.exact is None else not args.exact,
     )
     if args.top > 0:  # any explicit --top N prints the ranked table
-        from tiresias_tpu.utils.audio import read_wav
+        from tiresias_tpu.utils.audio import read_audio
 
-        pcm, sr = read_wav(args.file)
+        pcm, sr = read_audio(args.file)
         ranked = eng.search_pcm_topk(args.context, pcm, sr, k=args.top, **kwargs)
         if not ranked:
             print("TIRSTATUS=NOTFOUND")

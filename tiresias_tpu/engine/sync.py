@@ -33,7 +33,7 @@ from tiresias_tpu.ops.mfcc_jax import (
     mask_fingerprints,
 )
 from tiresias_tpu.store.fingerprint_store import FingerprintStore
-from tiresias_tpu.utils.audio import read_wav, read_wav_i16
+from tiresias_tpu.utils.audio import read_audio, read_wav_i16
 from tiresias_tpu.utils.hashing import file_md5
 from tiresias_tpu.utils.logging import get_logger
 from tiresias_tpu.utils.tracing import phase
@@ -182,8 +182,9 @@ def ingest_files(
         digest = (known_hashes or {}).get(path) or file_md5(path)
         decoded = read_wav_i16(path)
         # 16-bit mono PCM ships to device as raw int16 (half the bytes,
-        # bit-identical after the device-side /32768)
-        pcm, samplerate = decoded if decoded is not None else read_wav(path)
+        # bit-identical after the device-side /32768); anything else —
+        # float/multichannel WAV or compressed formats — via read_audio
+        pcm, samplerate = decoded if decoded is not None else read_audio(path)
         return path, digest, pcm, samplerate
 
     def drain(inflight) -> None:

@@ -19,6 +19,39 @@ import wave
 import numpy as np
 
 
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Read ANY supported audio file → (float32 mono PCM, native samplerate).
+
+    RIFF/WAVE files go through the WAV fast paths; every other format
+    (MP3/OGG/FLAC/...) decodes through the ffmpeg-backed native codec —
+    the same breadth the reference inherits from aubio_source's libav
+    backend (/root/reference/src/fp_handler.c:604). Raises ValueError when
+    the format is unsupported (codec library absent or undecodable file).
+    """
+    if _is_riff_wave(path):
+        return read_wav(path)
+    from tiresias_tpu.utils import native
+
+    decoded = native.decode_audio(path)
+    if decoded is None:
+        if not native.codec_available():
+            raise ValueError(
+                f"cannot decode {path}: not a WAV file and the native codec "
+                "library (libtiresias_codec.so, ffmpeg-backed) is not built"
+            )
+        raise ValueError(f"cannot decode {path}: unsupported audio format")
+    return decoded
+
+
+def _is_riff_wave(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(12)
+    except OSError:
+        return False
+    return len(hdr) == 12 and hdr[:4] == b"RIFF" and hdr[8:12] == b"WAVE"
+
+
 def read_wav(path: str, *, prefer_native: bool = True) -> tuple[np.ndarray, int]:
     """Read a WAV file → (float32 mono PCM in [-1, 1), samplerate)."""
     if prefer_native:

@@ -1,11 +1,18 @@
 """ctypes bindings to the optional C++ host runtime (``native/``).
 
-The reference's host-side runtime is C (WAV decode via aubio_source, MD5 via
-OpenSSL — /root/reference/src/fp_handler.c:604,758). The rebuild keeps those
-hot host paths native: ``native/tiresias_host.cpp`` provides WAV decode,
-resampling and MD5 compiled to ``libtiresias_host.so``. This module loads it
-lazily; every entry point returns ``None`` when the library is absent and the
-pure-Python fallback is used instead.
+The reference's host-side runtime is C (audio decode via aubio_source, MD5
+via OpenSSL — /root/reference/src/fp_handler.c:604,758). The rebuild keeps
+those hot host paths native:
+
+  * ``libtiresias_host.so`` (dependency-free): WAV decode + file MD5.
+  * ``libtiresias_codec.so`` (links ffmpeg's libavformat/avcodec/
+    swresample): decode of MP3/OGG/FLAC/anything-libavformat-reads, plus
+    encode for corpus tooling — the breadth aubio_source inherits from its
+    libav backend.
+
+Both load lazily; every entry point returns ``None`` when its library is
+absent and the caller falls back (pure-Python WAV, or skip-with-warning for
+compressed formats).
 """
 
 from __future__ import annotations
@@ -21,16 +28,16 @@ _lib: ctypes.CDLL | None = None
 _lib_tried = False
 
 
-def _candidate_paths() -> list[str]:
+def _candidate_paths(
+    name: str = "libtiresias_host.so", env_var: str = "TIRESIAS_NATIVE_LIB"
+) -> list[str]:
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    names = ["libtiresias_host.so"]
     paths = []
-    env = os.environ.get("TIRESIAS_NATIVE_LIB")
+    env = os.environ.get(env_var)
     if env:
         paths.append(env)
-    for name in names:
-        paths.append(os.path.join(here, "native", name))
-        paths.append(os.path.join(here, name))
+    paths.append(os.path.join(here, "native", name))
+    paths.append(os.path.join(here, name))
     return paths
 
 
@@ -112,3 +119,101 @@ def md5_file(path: str) -> str | None:
     if rc != 0:
         return None
     return buf.value.decode()
+
+
+# --------------------------------------------------------------------------- #
+# Compressed-audio codec (ffmpeg-backed, separate .so so the base host
+# library stays dependency-free)
+# --------------------------------------------------------------------------- #
+
+_codec: ctypes.CDLL | None = None
+_codec_tried = False
+
+
+def _load_codec() -> ctypes.CDLL | None:
+    global _codec, _codec_tried
+    with _lock:
+        if _codec_tried:
+            return _codec
+        _codec_tried = True
+        if os.environ.get("TIRESIAS_DISABLE_NATIVE"):
+            return None
+        for path in _candidate_paths(
+            "libtiresias_codec.so", "TIRESIAS_CODEC_LIB"
+        ):
+            if not os.path.exists(path):
+                continue
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                continue  # e.g. ffmpeg runtime libs missing
+            try:
+                _bind_codec(lib)
+            except AttributeError:
+                continue
+            _codec = lib
+            break
+        return _codec
+
+
+def _bind_codec(lib: ctypes.CDLL) -> None:
+    lib.tir_decode_audio.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+        ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.tir_decode_audio.restype = ctypes.c_int
+    lib.tir_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_float)]
+    lib.tir_buffer_free.restype = None
+    lib.tir_encode_audio.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_int,
+    ]
+    lib.tir_encode_audio.restype = ctypes.c_int
+
+
+def codec_available() -> bool:
+    return _load_codec() is not None
+
+
+def decode_audio(path: str) -> tuple[np.ndarray, int] | None:
+    """Decode any libavformat-readable audio file to (float32 mono PCM at
+    native rate, samplerate); None when the codec library is absent or the
+    file can't be decoded."""
+    lib = _load_codec()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = ctypes.c_long(0)
+    samplerate = ctypes.c_int(0)
+    rc = lib.tir_decode_audio(
+        path.encode(), ctypes.byref(out), ctypes.byref(n),
+        ctypes.byref(samplerate),
+    )
+    if rc != 0:
+        return None
+    try:
+        pcm = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
+    finally:
+        lib.tir_buffer_free(out)
+    return pcm, samplerate.value
+
+
+def encode_audio(path: str, pcm: np.ndarray, samplerate: int) -> bool:
+    """Encode mono float PCM to the container the extension selects
+    (.flac/.ogg/.mp3/.wav). Corpus tooling + test fixtures; False when the
+    codec library is absent or the encoder rejects the parameters."""
+    lib = _load_codec()
+    if lib is None:
+        return False
+    pcm = np.ascontiguousarray(np.asarray(pcm, dtype=np.float32))
+    rc = lib.tir_encode_audio(
+        path.encode(),
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_long(pcm.size),
+        ctypes.c_int(int(samplerate)),
+    )
+    return rc == 0
