@@ -240,6 +240,11 @@ class Tiresias:
     ) -> AudioEntry | None:
         """Direct-PCM ingest (no temp files — the API the reference could not
         offer because aubio reads from disk)."""
+        from tiresias_tpu.utils.audio import ensure_samplerate
+
+        pcm, samplerate = ensure_samplerate(
+            np.asarray(pcm), samplerate, self.config.dsp.samplerate
+        )
         fp = fingerprint_signal(np.asarray(pcm), samplerate, self.config.dsp)
         if file_hash is None:
             import hashlib
@@ -429,6 +434,14 @@ class Tiresias:
                 f"coefs must be in [1, {self.config.dsp.n_coefs}] "
                 "(fp_handler.c:247-250)"
             )
+        target = self.config.dsp.samplerate
+        if target > 0 and int(samplerate) != target:
+            from tiresias_tpu.utils.audio import ensure_samplerate
+
+            pcms = [
+                ensure_samplerate(p, samplerate, target)[0] for p in pcms
+            ]
+            samplerate = target
         with phase("search.fingerprint"):
             qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
         with phase("search.match"):

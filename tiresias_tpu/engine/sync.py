@@ -33,7 +33,7 @@ from tiresias_tpu.ops.mfcc_jax import (
     mask_fingerprints,
 )
 from tiresias_tpu.store.fingerprint_store import FingerprintStore
-from tiresias_tpu.utils.audio import read_audio, read_wav_i16
+from tiresias_tpu.utils.audio import ensure_samplerate, read_audio, read_wav_i16
 from tiresias_tpu.utils.hashing import file_md5
 from tiresias_tpu.utils.logging import get_logger
 from tiresias_tpu.utils.tracing import phase
@@ -185,6 +185,9 @@ def ingest_files(
         # bit-identical after the device-side /32768); anything else —
         # float/multichannel WAV or compressed formats — via read_audio
         pcm, samplerate = decoded if decoded is not None else read_audio(path)
+        # a positive DspConfig.samplerate forces one analysis rate
+        # (reference: 0 = native rate, fp_handler.c:37,612)
+        pcm, samplerate = ensure_samplerate(pcm, samplerate, dsp.samplerate)
         return path, digest, pcm, samplerate
 
     def drain(inflight) -> None:

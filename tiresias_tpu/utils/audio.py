@@ -125,6 +125,25 @@ def write_wav(path: str, pcm: np.ndarray, samplerate: int) -> None:
     os.replace(tmp, path)
 
 
+def ensure_samplerate(
+    pcm: np.ndarray, samplerate: int, target: int
+) -> tuple[np.ndarray, int]:
+    """Resample to ``target`` Hz when it is non-zero and differs.
+
+    ``target <= 0`` reproduces the reference's ``DEF_AUBIO_SAMPLERATE 0`` —
+    analyse at the file's native rate (/root/reference/src/fp_handler.c:37,
+    612); a positive ``DspConfig.samplerate`` forces every signal onto one
+    rate before fingerprinting (ingest AND search, so the two always agree).
+    int16 PCM is scaled to float [-1, 1) before the polyphase filter.
+    """
+    if target <= 0 or int(samplerate) == int(target):
+        return pcm, int(samplerate)
+    pcm = np.asarray(pcm)
+    if pcm.dtype == np.int16:
+        pcm = pcm.astype(np.float32) / 32768.0
+    return resample_poly(pcm, int(samplerate), int(target)), int(target)
+
+
 def resample_poly(pcm: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
     """Polyphase resample via scipy (host side; rare path — the reference
     never resamples, it analyses at the file's native rate)."""
