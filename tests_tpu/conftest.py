@@ -1,0 +1,28 @@
+"""TPU-gated test suite.
+
+Unlike ``tests/`` (which forces an 8-virtual-device CPU backend so sharding
+logic runs anywhere), this suite runs on the REAL default backend and skips
+itself entirely when that backend is not a TPU. It exists to make
+"Pallas output is bit-identical to XLA on device" a tested claim rather
+than a bench observation (VERDICT round-1 item 6).
+
+Run on TPU hardware:  python -m pytest tests_tpu/ -q
+"""
+
+import numpy as np
+import pytest
+
+
+def pytest_collection_modifyitems(config, items):
+    from tiresias_tpu.utils.platform import is_tpu
+
+    if is_tpu():
+        return
+    skip = pytest.mark.skip(reason="requires a real TPU backend")
+    for item in items:
+        item.add_marker(skip)
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(20260816)
