@@ -1,0 +1,124 @@
+"""Multi-host (multi-controller) support (VERDICT round-1 item 8).
+
+True multi-process meshes need multiple hosts; what IS testable on one
+host, and is tested here:
+
+  * the callback-based global placement path (`put_global`) — the exact
+    code a multi-host process runs — produces bit-identical search results
+    to the fast `device_put` path on the same mesh;
+  * `Tiresias(mesh="global")` builds a mesh over all (virtual) devices;
+  * `jax.distributed.initialize` + `global_mesh` + a sharded search run
+    end-to-end in a fresh single-process cluster (subprocess).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import TiresiasConfig
+from tiresias_tpu.utils.audio import synth_tone
+
+SR = 8000
+
+
+class TestPutGlobal:
+    def test_callback_path_matches_device_put(self, monkeypatch):
+        import jax
+        from jax.sharding import PartitionSpec
+
+        from tiresias_tpu.parallel import make_mesh
+        from tiresias_tpu.parallel.distributed import put_global
+
+        mesh = make_mesh(4, 2)
+        rng = np.random.default_rng(3)
+        arr = rng.standard_normal((8, 16, 2)).astype(np.float32)
+        spec = PartitionSpec("db", None, None)
+        fast = put_global(arr, mesh, spec)
+        monkeypatch.setenv("TIRESIAS_FORCE_CALLBACK_PUT", "1")
+        cb = put_global(arr, mesh, spec)
+        assert fast.sharding == cb.sharding
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(cb))
+
+    def test_sharded_search_identical_through_callback_put(
+        self, tmp_path, monkeypatch
+    ):
+        def build_and_search():
+            eng = Tiresias(
+                TiresiasConfig(data_dir=str(tmp_path / "d")),
+                restore=False,
+                mesh="global",
+            )
+            eng.create_context("c")
+            for i in range(8):
+                eng.add_audio_pcm("c", f"t{i}", synth_tone(200 + 40 * i, 1.0, SR), SR)
+            r = eng.search_pcm("c", synth_tone(280, 1.0, SR), SR,
+                               coefs=2, tolerance=0.05, trunc_coef1=False)
+            eng.close()
+            return r
+
+        r_fast = build_and_search()
+        monkeypatch.setenv("TIRESIAS_FORCE_CALLBACK_PUT", "1")
+        r_cb = build_and_search()
+        assert (r_fast.name, r_fast.match_count, r_fast.frame_count) == (
+            r_cb.name, r_cb.match_count, r_cb.frame_count)
+        assert r_fast.name == "t2"  # 280 Hz
+
+    def test_engine_global_mesh_covers_all_devices(self, tmp_path):
+        import jax
+
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path / "d")),
+            restore=False,
+            mesh="global",
+        )
+        assert eng.mesh is not None
+        assert eng.mesh.devices.size == len(jax.devices())
+        eng.close()
+
+
+class TestDistributedInitialize:
+    def test_single_process_cluster_end_to_end(self):
+        """jax.distributed.initialize + global_mesh + sharded search in a
+        fresh process (a 1-process cluster is the smallest real exercise of
+        the multi-controller entry path)."""
+        code = """
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+from tiresias_tpu.parallel import initialize_distributed, global_mesh, is_multiprocess
+initialize_distributed("localhost:12397", num_processes=1, process_id=0)
+assert jax.process_count() == 1
+assert not is_multiprocess()
+mesh = global_mesh()
+assert mesh.devices.size == 8, mesh
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import TiresiasConfig
+from tiresias_tpu.utils.audio import synth_tone
+import tempfile
+eng = Tiresias(TiresiasConfig(data_dir=tempfile.mkdtemp()), restore=False, mesh="global")
+eng.create_context("c")
+for i in range(4):
+    eng.add_audio_pcm("c", f"t{i}", synth_tone(200 + 40 * i, 0.5, 8000), 8000)
+r = eng.search_pcm("c", synth_tone(240, 0.5, 8000), 8000, coefs=2,
+                   tolerance=0.05, trunc_coef1=False)
+assert r.status == "FOUND" and r.name == "t1", (r.status, r.name)
+print("DISTRIBUTED_OK")
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append("--xla_force_host_platform_device_count=8")
+        env["XLA_FLAGS"] = " ".join(flags)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stdout + proc.stderr
+        assert "DISTRIBUTED_OK" in proc.stdout

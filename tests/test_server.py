@@ -202,3 +202,15 @@ class TestProtocol:
             names.append(json.loads(f.readline())["result"]["TIRFILENAME"])
             s.close()
         assert names == ["tone0", "tone3"]  # connection-scoped channels
+
+
+class TestWarmupBatchSizes:
+    def test_covers_every_scorer_bucket(self):
+        """VERDICT round-1 item 9: run_server must warm every power-of-two
+        batch shape the scorer can pad a tick to."""
+        from tiresias_tpu.serve.server import warmup_batch_sizes
+
+        assert warmup_batch_sizes(128) == (1, 2, 4, 8, 16, 32, 64, 128)
+        assert warmup_batch_sizes(1) == (1,)
+        # non-power-of-two cap: the scorer pads 100 channels to 128
+        assert warmup_batch_sizes(100) == (1, 2, 4, 8, 16, 32, 64, 128)

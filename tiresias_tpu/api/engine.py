@@ -132,7 +132,10 @@ class Tiresias:
         fingerprint DB is then sharded across its devices and every search
         auto-partitions via GSPMD (see store.device_db). Pass the string
         ``"auto"`` to shard across all local devices when more than one is
-        present (single-device hosts stay unsharded)."""
+        present (single-device hosts stay unsharded), or ``"global"`` to
+        shard over ALL devices of a multi-host deployment (requires
+        ``parallel.initialize_distributed()`` first; every process must
+        construct the engine identically — docs/distributed.md)."""
         from tiresias_tpu.utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
@@ -148,6 +151,12 @@ class Tiresias:
                 if len(devices) > 1
                 else None
             )
+        elif mesh == "global":
+            import jax
+
+            from tiresias_tpu.parallel import global_mesh
+
+            mesh = global_mesh() if len(jax.devices()) > 1 else None
         self.mesh = mesh
         self.checkpoint_dir = os.path.join(
             self.config.expanded_data_dir, "checkpoint"

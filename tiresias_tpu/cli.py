@@ -158,7 +158,10 @@ def cmd_serve(args) -> int:
 
     eng = _engine(args)
     eng.sync()
-    run_server(eng, host=args.host, port=args.port, samplerate=args.samplerate)
+    run_server(
+        eng, host=args.host, port=args.port, samplerate=args.samplerate,
+        max_channels=args.max_channels,
+    )
     return 0
 
 
@@ -253,6 +256,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8517)
     sv.add_argument("--samplerate", type=int, default=8000)
+    sv.add_argument(
+        "--max-channels", type=int, default=128, dest="max_channels",
+        help="warm every power-of-two search batch up to this channel count "
+        "before accepting connections (no first-tick compile stall)",
+    )
     sv.set_defaults(func=cmd_serve)
     return p
 

@@ -241,14 +241,34 @@ class RecognitionServer:
             pass
 
 
+def warmup_batch_sizes(max_channels: int) -> tuple[int, ...]:
+    """The power-of-two batch buckets the scorer actually pads to
+    (StreamingRecognizer.process_ready): 1, 2, 4, ... up to max_channels."""
+    sizes = []
+    b = 1
+    while b < max_channels:
+        sizes.append(b)
+        b *= 2
+    sizes.append(b)
+    return tuple(sizes)
+
+
 def run_server(
     engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
-    samplerate: int = 8000,
+    samplerate: int = 8000, max_channels: int = 128,
 ) -> None:
-    """Blocking entry point (the `tiresias serve` CLI command)."""
+    """Blocking entry point (the `tiresias serve` CLI command).
+
+    Warms EVERY power-of-two batch bucket up to ``max_channels`` before
+    accepting connections — the scorer pads each tick to these shapes, so a
+    full house of channels on the first tick must find its executable
+    compiled (the persistent compilation cache makes this near-instant on
+    every restart after the first)."""
 
     async def main():
-        engine.warmup(samplerate=samplerate)  # compile before accepting work
+        for b in warmup_batch_sizes(max_channels):
+            engine.warmup(samplerate=samplerate, batch_sizes=(b,))
+            log.info("warmed search batch %d", b)
         server = RecognitionServer(engine, host, port, samplerate)
         await server.start()
         print(f"tiresias serving on {server.host}:{server.port}")

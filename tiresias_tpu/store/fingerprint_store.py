@@ -346,16 +346,15 @@ class FingerprintStore:
 
         if self.mesh is None:
             return jnp.asarray(db), jnp.asarray(mask)
-        import jax
-        from jax.sharding import NamedSharding, PartitionSpec
+        from jax.sharding import PartitionSpec
 
+        from tiresias_tpu.parallel.distributed import put_global
+
+        # put_global handles multi-host meshes: each process materialises
+        # only its addressable shards from the replicated host matrix
         return (
-            jax.device_put(
-                db, NamedSharding(self.mesh, PartitionSpec("db", None, None))
-            ),
-            jax.device_put(
-                mask, NamedSharding(self.mesh, PartitionSpec("db", None))
-            ),
+            put_global(db, self.mesh, PartitionSpec("db", None, None)),
+            put_global(mask, self.mesh, PartitionSpec("db", None)),
         )
 
     def _a_pad(self, n: int) -> int:
