@@ -120,6 +120,7 @@ class _Tier:
         self.n_coefs = n_coefs
         self.matrix = np.full((0, tier_frames, n_coefs), PAD_VALUE, np.float32)
         self.entries: list[AudioEntry] = []
+        self.rows: dict[str, int] = {}  # uuid -> matrix row (== list index)
 
     def ensure_capacity(self, n_rows: int) -> None:
         cap = self.matrix.shape[0]
@@ -138,18 +139,26 @@ class _Tier:
         self.ensure_capacity(row + 1)
         self.matrix[row] = PAD_VALUE
         self.matrix[row, : entry.n_frames] = fingerprint
+        self.rows[entry.uuid] = row
         self.entries.append(entry)
 
+    def row_of(self, uuid: str) -> int | None:
+        return self.rows.get(uuid)
+
     def delete(self, uuid: str) -> AudioEntry | None:
-        for i, e in enumerate(self.entries):
-            if e.uuid == uuid:
-                # compact: shift following rows up to keep index == row
-                self.matrix[i:-1] = self.matrix[i + 1 :]
-                if len(self.matrix):
-                    self.matrix[-1] = PAD_VALUE
-                del self.entries[i]
-                return e
-        return None
+        i = self.rows.pop(uuid, None)
+        if i is None:
+            return None
+        e = self.entries[i]
+        # compact: shift following rows up to keep index == row (one
+        # memmove; entry rows after i renumber by -1)
+        self.matrix[i:-1] = self.matrix[i + 1 :]
+        if len(self.matrix):
+            self.matrix[-1] = PAD_VALUE
+        del self.entries[i]
+        for later in self.entries[i:]:
+            self.rows[later.uuid] -= 1
+        return e
 
 
 @dataclasses.dataclass
@@ -185,6 +194,7 @@ class FingerprintStore:
         self._views: list[TierView] | None = None  # cached per-tier views
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
         self._uuid_tier: dict[str, int] = {}
+        self._by_uuid: dict[str, AudioEntry] = {}
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -273,10 +283,7 @@ class FingerprintStore:
 
     def get_audio(self, uuid: str) -> AudioEntry | None:
         with self._lock:
-            for e in self.entries:
-                if e.uuid == uuid:
-                    return e
-            return None
+            return self._by_uuid.get(uuid)
 
     def get_audios_by_context(self, context: str) -> list[AudioEntry]:
         """fp_get_audio_lists_by_contextname (/root/reference/src/fp_handler.c:441)."""
@@ -289,10 +296,10 @@ class FingerprintStore:
             if t is None:
                 return None
             tier = self._tiers[t]
-            for i, e in enumerate(tier.entries):
-                if e.uuid == uuid:
-                    return tier.matrix[i, : e.n_frames].copy()
-            return None
+            i = tier.row_of(uuid)
+            if i is None:
+                return None
+            return tier.matrix[i, : tier.entries[i].n_frames].copy()
 
     def delete_audio(self, uuid: str) -> bool:
         """fp_delete_audio_list_info: removes the catalog row and all its
@@ -308,6 +315,7 @@ class FingerprintStore:
         if entry is None:  # index out of sync — should not happen
             return False
         self.entries.remove(entry)
+        self._by_uuid.pop(uuid, None)
         # Duplicate-hash entries can exist (add_audio with dedupe=False);
         # keep the index pointing at a surviving duplicate so find_by_hash
         # and sync-time dedupe stay correct.
@@ -613,6 +621,7 @@ class FingerprintStore:
         self.entries.append(entry)
         self._hash_index[(entry.context, entry.hash)] = entry
         self._uuid_tier[entry.uuid] = t
+        self._by_uuid[entry.uuid] = entry
 
     # convenience for tests / tools
     def iter_entries(self) -> Iterable[AudioEntry]:
