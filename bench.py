@@ -197,15 +197,30 @@ def bench_db_build(n_clips: int = 1000) -> None:
             ),
             restore=False,
         )
-        # Warm the ingest executable for the exact device shape the sync
-        # will use (B=256 batches, 128-frame bucket, int16) — a production
-        # service compiles once per shape and runs for days; the metric is
-        # steady-state ingest, not XLA compile time (which the persistent
-        # compilation cache amortizes across processes anyway).
-        from tiresias_tpu.ops.mfcc_jax import fingerprint_signals
-
-        warm = np.zeros((256, 3 * sr - (3 * sr) % 256), np.int16)
-        fingerprint_signals(list(warm), sr)
+        # Warm the ingest executables by syncing a small corpus of the same
+        # clip length through the SAME code path (identical device shapes) —
+        # a production service compiles once per shape and runs for days;
+        # the metric is steady-state ingest, not XLA compile time (which the
+        # persistent compilation cache amortizes across processes anyway).
+        warm_dir = tempfile.mkdtemp(prefix="tir_bench_warm")
+        warm_data = tempfile.mkdtemp(prefix="tir_bench_warmdata")
+        try:
+            for i in range(512):
+                write_wav(
+                    f"{warm_dir}/w{i:03d}.wav",
+                    synth_chirp(100 + 3.1 * i, 500 + 7.3 * i, 3.0, sr), sr,
+                )
+            warm_eng = Tiresias(
+                TiresiasConfig(
+                    contexts=(ContextConfig("warm", warm_dir),),
+                    data_dir=warm_data,
+                ),
+                restore=False,
+            )
+            warm_eng.sync()
+        finally:
+            shutil.rmtree(warm_dir, ignore_errors=True)
+            shutil.rmtree(warm_data, ignore_errors=True)
         t0 = time.perf_counter()
         report = eng.sync()
         elapsed = time.perf_counter() - t0

@@ -40,8 +40,15 @@ from tiresias_tpu.utils.tracing import phase
 
 log = get_logger(__name__)
 
-# Max signals fingerprinted per device batch.
-INGEST_BATCH = 256
+# Max signals fingerprinted per device batch. 512 (vs 256) measurably
+# improves tunnel-attached ingest: fewer dispatch round-trips for the same
+# bytes (2119 vs 1674 audio-hrs/hr on the 1000x3s benchmark corpus).
+INGEST_BATCH = 512
+# Frame bucket for ingest batches. Finer than the search-side 128 bucket:
+# ingest is H2D-bandwidth-bound, and a 3 s telephony clip (94 frames) padded
+# to 128 would ship 36% padding; at 32 it ships 2%. More distinct compile
+# shapes, but each compiles once and persists in the compilation cache.
+INGEST_FRAME_MULTIPLE = 32
 # Peak padded samples per device batch (batches pad every signal to the
 # longest member): 64 clips x 30 s @ 8 kHz. Packing by this cap — with
 # signals sorted by length so similar lengths share a batch — bounds host
@@ -216,7 +223,9 @@ def ingest_files(
         # (sliced off in drain via items' length) — bounded compile shapes
         pcms += [np.zeros(0, pcms[0].dtype)] * (_batch_bucket(len(pcms)) - len(pcms))
         with phase("ingest.fingerprint_batch"):
-            fp_dev, n_frames = fingerprint_signals_async(pcms, samplerate, dsp)
+            fp_dev, n_frames = fingerprint_signals_async(
+                pcms, samplerate, dsp, bucket_multiple=INGEST_FRAME_MULTIPLE
+            )
         prev, inflight = inflight, (items, fp_dev, n_frames)
         if prev is not None:
             drain(prev)

@@ -164,8 +164,14 @@ def fingerprint_padded_batch(
     )
 
 
-def bucket_frames(n_frames: int, multiple: int = 128, minimum: int = 128) -> int:
-    """Round a frame count up to a bucket so jit recompiles stay bounded."""
+def bucket_frames(
+    n_frames: int, multiple: int = 128, minimum: int | None = None
+) -> int:
+    """Round a frame count up to a bucket so jit recompiles stay bounded.
+
+    ``minimum`` defaults to ``multiple`` (one full bucket)."""
+    if minimum is None:
+        minimum = multiple
     if n_frames <= minimum:
         return minimum
     return -(-n_frames // multiple) * multiple
