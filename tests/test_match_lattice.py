@@ -106,3 +106,39 @@ def test_negative_tolerance_default(rng):
     _, _, v_neg = search_lattice(vmap_, q, tolerance=-1.0)
     _, _, v_def = search_lattice(vmap_, q, tolerance=0.001)
     np.testing.assert_array_equal(np.asarray(v_neg), np.asarray(v_def))
+
+
+class TestDistanceTransformBuild:
+    """The O(A·(T+K)) distance-transform value-map build must be bitwise
+    identical to the brute-force min_t |fl(v - k)| it replaced."""
+
+    @staticmethod
+    def _brute_force(db0, db_mask, k_min, k_size):
+        import jax.numpy as jnp
+
+        d = jnp.where(db_mask, db0, jnp.inf)
+        ks = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)
+        out = []
+        for start in range(0, k_size, 64):
+            kb = ks[start : start + 64]
+            out.append(jnp.min(jnp.abs(d[:, :, None] - kb[None, None, :]), axis=1))
+        return jnp.concatenate(out, axis=1)
+
+    def test_bitwise_vs_brute_force(self):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import K_MIN, K_SIZE, build_value_map
+
+        rng = np.random.default_rng(42)
+        a, t = 12, 96
+        # realistic values + extremes beyond the lattice + exact integers
+        db = rng.uniform(-460.0, 60.0, size=(a, t)).astype(np.float32)
+        db[0, :4] = [-600.0, 300.0, -512.0, 127.0]
+        db[1, :3] = [0.0, -1.0, 25.0]
+        mask = rng.random((a, t)) > 0.2
+        mask[2] = False  # an audio with no live frames
+        fast = np.asarray(build_value_map(jnp.asarray(db), jnp.asarray(mask)))
+        slow = np.asarray(
+            self._brute_force(jnp.asarray(db), jnp.asarray(mask), K_MIN, K_SIZE)
+        )
+        np.testing.assert_array_equal(fast, slow)
