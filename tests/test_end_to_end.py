@@ -279,3 +279,40 @@ class TestDirectorySync:
         # fresh engine restores from checkpoint (fp_init restore path)
         eng2 = Tiresias(cfg)
         assert {a.uuid for a in eng2.get_audios("c")} == uuids
+
+
+class TestReload:
+    """Live config reload (extension — the reference requires unload/load,
+    /root/reference/src/app_tiresias.c:608-614)."""
+
+    def test_reload_adds_and_removes_contexts(self, tmp_path):
+        from tiresias_tpu.config import DspConfig
+
+        d1, d2 = tmp_path / "a", tmp_path / "b"
+        d1.mkdir(); d2.mkdir()
+        write_wav(str(d1 / "one.wav"), synth_tone(440, 0.5, SR), SR)
+        write_wav(str(d2 / "two.wav"), synth_tone(880, 0.5, SR), SR)
+        cfg1 = TiresiasConfig(
+            contexts=(ContextConfig("a", str(d1)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        eng = Tiresias(cfg1, restore=False)
+        assert eng.sync().created == 1
+        # reload: context a dropped, context b added
+        cfg2 = TiresiasConfig(
+            contexts=(ContextConfig("b", str(d2)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        report = eng.reload(cfg2)
+        assert report.created == 1
+        assert [c["name"] for c in eng.get_contexts()] == ["b"]
+        assert not eng.get_audios("a")
+        # DSP changes are rejected — stored fingerprints would be stale
+        cfg3 = TiresiasConfig(
+            dsp=DspConfig(n_coefs=4),
+            contexts=cfg2.contexts,
+            data_dir=cfg2.data_dir,
+        )
+        with pytest.raises(ValueError, match="DSP"):
+            eng.reload(cfg3)
+        eng.close()

@@ -182,6 +182,25 @@ class Tiresias:
         with phase("engine.sync"):
             return sync_all(self.store, self.config, self.checkpoint_dir)
 
+    def reload(self, config: TiresiasConfig | None = None) -> SyncReport:
+        """Live config reload — adopt a new config and re-sync.
+
+        The reference declines reload outright (unload/load required,
+        /root/reference/src/app_tiresias.c:608-614); here it is just a
+        config swap + sync, since the store reconciles declaratively.
+        DSP parameters are the exception: fingerprints already in the
+        store were computed under the old chain, so changing them
+        requires a fresh engine (raises ValueError)."""
+        if config is not None:
+            if config.dsp != self.config.dsp:
+                raise ValueError(
+                    "reload cannot change DSP parameters — stored "
+                    "fingerprints were computed under the old chain; "
+                    "rebuild with a fresh data_dir"
+                )
+            self.config = config
+        return self.sync()
+
     def warmup(
         self,
         samplerate: int = 8000,
