@@ -32,7 +32,10 @@ from tiresias_tpu.config import (
 )
 from tiresias_tpu.engine.sync import SyncReport, ingest_files, sync_all
 from tiresias_tpu.ops import match_jax
-from tiresias_tpu.ops.mfcc_jax import fingerprint_signal, fingerprint_signals
+from tiresias_tpu.ops.mfcc_jax import (
+    fingerprint_signal,
+    fingerprint_signals_async,
+)
 from tiresias_tpu.store.fingerprint_store import AudioEntry, FingerprintStore
 from tiresias_tpu.utils.audio import read_audio
 from tiresias_tpu.utils.hashing import file_md5
@@ -346,15 +349,14 @@ class Tiresias:
             aligned,
         )
         # top-1 with lowest-GLOBAL-insertion-index tiebreak (PARITY.md D5 —
-        # stable across the tiered layout, matching the pre-tier behavior)
+        # stable across the tiered layout, matching the pre-tier behavior).
+        # Vectorized: maximize votes then minimize rank == argmax of
+        # votes*(A+1) - rank (scores are unique, so argmax == lexsort top).
         if votes_all.shape[1]:
             ins = self._insertion_order(entries)
-            best = np.empty(len(pcms), dtype=np.int64)
-            count = np.empty(len(pcms), dtype=votes_all.dtype)
-            for i in range(len(pcms)):
-                b = int(np.lexsort((ins, -votes_all[i]))[0])
-                best[i] = b
-                count[i] = votes_all[i, b]
+            score = votes_all.astype(np.int64) * (len(ins) + 1) - ins[None, :]
+            best = np.argmax(score, axis=1)
+            count = votes_all[np.arange(len(pcms)), best]
             best = np.where(count > 0, best, -1)
         else:
             best = np.full(len(pcms), -1)
@@ -407,10 +409,15 @@ class Tiresias:
         ]
 
     def _insertion_order(self, entries: list[AudioEntry]) -> np.ndarray:
-        """Global insertion rank of each view-ordered entry (D5 tiebreak)."""
-        rank = {e.uuid: i for i, e in enumerate(self.store.iter_entries())}
+        """Global insertion rank of each view-ordered entry (D5 tiebreak).
+        Cached by the store until the next mutation."""
+        rank = self.store.view_insertion_rank()
+        if len(rank) == len(entries):
+            return rank
+        # fallback for callers with a filtered entry list
+        full = {e.uuid: i for i, e in enumerate(self.store.iter_entries())}
         return np.array(
-            [rank.get(e.uuid, len(rank)) for e in entries], dtype=np.int64
+            [full.get(e.uuid, len(full)) for e in entries], dtype=np.int64
         )
 
     @staticmethod
@@ -471,7 +478,12 @@ class Tiresias:
             ]
             samplerate = target
         with phase("search.fingerprint"):
-            qfp, n_frames = fingerprint_signals(pcms, samplerate, self.config.dsp)
+            # async: qfp stays on device; the matcher dispatches chain on it
+            # without a host round trip (padding frames hold real silence
+            # values — every matcher masks by n_frames, so they never vote)
+            qfp, n_frames = fingerprint_signals_async(
+                pcms, samplerate, self.config.dsp
+            )
         with phase("search.match"):
             # one matcher pass per frame tier; votes concatenate exactly
             # (audios are whole within a tier — store docstring)

@@ -192,6 +192,7 @@ class FingerprintStore:
         self.contexts: dict[str, str] = {}  # name -> directory
         self._tiers: dict[int, _Tier] = {}
         self._views: list[TierView] | None = None  # cached per-tier views
+        self._view_rank: np.ndarray | None = None  # cached D5 tiebreak key
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
         self._uuid_tier: dict[str, int] = {}
         self._by_uuid: dict[str, AudioEntry] = {}
@@ -403,8 +404,27 @@ class FingerprintStore:
                     )
                 )
             self._views = views
+            self._view_rank = None  # rebuilt lazily with the new views
             self._dirty = False
             return views
+
+    def view_insertion_rank(self) -> np.ndarray:
+        """Global insertion rank of every concatenated-view entry, in view
+        row order (the D5 top-1 tiebreak key). Cached until the next store
+        mutation — avoids an O(A) dict rebuild on every search."""
+        with self._lock:
+            views = self.search_views()
+            if self._view_rank is None:
+                rank = {e.uuid: i for i, e in enumerate(self.entries)}
+                self._view_rank = np.array(
+                    [
+                        rank.get(e.uuid, len(rank))
+                        for v in views
+                        for e in v.entries
+                    ],
+                    dtype=np.int64,
+                )
+            return self._view_rank
 
     def value_map_for(self, view: TierView):
         """Lazily-built lattice distance map for one view (MXU fast path);
