@@ -226,3 +226,46 @@ class TestBatchedAndFiltered:
         )
         assert votes.shape == (1, 3)
         np.testing.assert_array_equal(np.asarray(votes[0]), ref.votes)
+
+
+class TestFusedFastPathEquivalence:
+    """The single-dispatch fused dialplan search must return exactly what
+    the staged path returns — same winner (D5 tiebreak included), same
+    counts — on corpora engineered to produce vote ties."""
+
+    def test_fused_equals_staged(self, tmp_path):
+        import numpy as np
+
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+        from tiresias_tpu.utils.audio import synth_tone
+
+        SR = 8000
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path / "d")), restore=False
+        )
+        eng.create_context("c")
+        rng = np.random.default_rng(5)
+        # duplicate fingerprints guarantee exact vote ties -> tiebreak matters
+        base = rng.uniform(-30, 25, size=(64, 2)).astype(np.float32)
+        for i in range(6):
+            fp = base if i % 2 == 0 else rng.uniform(
+                -30, 25, size=(64, 2)).astype(np.float32)
+            eng.store.add_audio(f"t{i}", "c", fp, f"h{i}", dedupe=False)
+        queries = [synth_tone(300 + 90 * i, 1.0, SR) for i in range(4)]
+
+        fused = eng.search_pcm_batch("c", queries, SR, tolerance=5.0)
+        assert eng._fused_search_batch(
+            "c", queries, SR, None, 5.0, -1, -1, False, None, None
+        ) is not None  # the default config really takes the fast path
+        # force the staged path by disabling the fused one
+        orig = eng._fused_search_batch
+        eng._fused_search_batch = lambda *a, **k: None
+        try:
+            staged = eng.search_pcm_batch("c", queries, SR, tolerance=5.0)
+        finally:
+            eng._fused_search_batch = orig
+        for f, s in zip(fused, staged):
+            assert (f.status, f.uuid, f.match_count, f.frame_count) == (
+                s.status, s.uuid, s.match_count, s.frame_count)
+        eng.close()

@@ -19,6 +19,7 @@ after every ingest batch (PARITY.md D2).
 from __future__ import annotations
 
 import dataclasses
+import functools as _functools
 import os
 
 import numpy as np
@@ -120,6 +121,39 @@ def _on_tpu() -> bool:
     from tiresias_tpu.utils.platform import is_tpu
 
     return is_tpu()
+
+
+@_functools.lru_cache(maxsize=16)
+def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
+    """One-dispatch dialplan search: fingerprint → lattice votes → top-1
+    with the D5 lowest-insertion-index tiebreak, all on device.
+
+    Single-tier stores only, where view row order == global insertion
+    order, so the tiebreak key is just the row index. Over dispatch-bound
+    transports this collapses three client round trips into one; results
+    are identical to the staged path (same kernels, same tiebreak).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops.match_lattice import lattice_votes
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    @jax.jit
+    def run(pcm, n_frames, vm, tol, band_lo, band_hi):
+        qfp = fingerprint_padded_batch(pcm, samplerate, dsp)
+        f = qfp.shape[1]
+        valid = jnp.arange(f)[None, :] < n_frames[:, None]
+        votes = lattice_votes(vm, qfp[..., 0], valid, tol, band_lo, band_hi)
+        m = jnp.max(votes, axis=1)
+        # among max-vote rows, the lowest row index (insertion order);
+        # padded rows can never hold votes > 0 (their lattice map is empty)
+        big = jnp.int32(2**30)
+        cand = jnp.where(votes == m[:, None], jnp.arange(votes.shape[1]), big)
+        best = jnp.where(m > 0, jnp.min(cand, axis=1), -1).astype(jnp.int32)
+        return best, m
+
+    return run
 
 
 class Tiresias:
@@ -343,6 +377,13 @@ class Tiresias:
         """Batched search — many queries against the store in one device pass."""
         if not pcms:
             return []
+        fast = self._fused_search_batch(
+            context, pcms, samplerate, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned,
+        )
+        if fast is not None:
+            return fast
         votes_all, entries, n_frames = self._compute_votes(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -432,7 +473,7 @@ class Tiresias:
             hash=e.hash,
         )
 
-    def _compute_votes(
+    def _fused_search_batch(
         self,
         context: str | None,
         pcms: list[np.ndarray],
@@ -443,9 +484,70 @@ class Tiresias:
         freq_ignore_high: int,
         filter_context: bool,
         trunc_coef1: bool | None,
-        aligned: bool | None = None,
-    ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
-        """(votes [B, A], view-ordered entries, n_frames [B])."""
+        aligned: bool | None,
+    ) -> list[SearchResult] | None:
+        """Single-dispatch fast path for the dialplan configuration
+        (coefs=1, truncation, bag-of-frames) against a single-tier store.
+        Returns None when the staged path must run instead."""
+        (coefs, tolerance, lo, hi, trunc_coef1, aligned) = \
+            self._resolve_search(coefs, tolerance, freq_ignore_low,
+                                 freq_ignore_high, trunc_coef1, aligned)
+        if coefs != 1 or not trunc_coef1 or aligned:
+            return None
+        if filter_context and context is not None:
+            return None  # context masking stays on the staged path
+        views = self.store.search_views()
+        if len(views) != 1:
+            return None  # multi-tier: global tiebreak spans views
+        import jax.numpy as jnp
+
+        view = views[0]
+        pcms, samplerate = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate
+        )
+        from tiresias_tpu.ops.mfcc_jax import pad_frames_bucket
+
+        with phase("search.match"):
+            padded, n_frames = pad_frames_bucket(
+                pcms, self.config.dsp.hop_size
+            )
+            band_lo, band_hi = match_jax.band_thresholds(lo, hi)
+            run = _fused_lattice_fn(self.config.dsp, samplerate)
+            best_d, count_d = run(
+                padded, jnp.asarray(n_frames),
+                self.store.value_map_for(view),
+                jnp.float32(tolerance), jnp.float32(band_lo),
+                jnp.float32(band_hi),
+            )
+            import jax
+
+            # one transfer for both outputs — a second readback would pay
+            # another full round trip on dispatch-bound transports
+            best, count = jax.device_get((best_d, count_d))
+        metrics.add("search.queries", len(pcms))
+        results: list[SearchResult] = []
+        for i in range(len(pcms)):
+            fc = int(n_frames[i])
+            b = int(best[i])
+            if b < 0 or b >= view.n_audios:
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+            else:
+                results.append(
+                    self._found(view.entries[b], fc, int(count[i]))
+                )
+        return results
+
+    def _resolve_search(
+        self,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        trunc_coef1: bool | None,
+        aligned: bool | None,
+    ) -> tuple[int, float, int, int, bool, bool]:
+        """Apply the config-default / clamp rules shared by every search
+        entry point (fp_handler.c:247-256; -1 band args = unspecified)."""
         mc: MatchConfig = self.config.match
         if aligned is None:
             aligned = mc.aligned
@@ -469,14 +571,42 @@ class Tiresias:
                 f"coefs must be in [1, {self.config.dsp.n_coefs}] "
                 "(fp_handler.c:247-250)"
             )
+        return (coefs, float(tolerance), freq_ignore_low, freq_ignore_high,
+                bool(trunc_coef1), bool(aligned))
+
+    def _resample_queries(
+        self, pcms: list[np.ndarray], samplerate: int
+    ) -> tuple[list[np.ndarray], int]:
+        """Force the configured analysis rate when set (DspConfig.samplerate
+        > 0; 0 = native rate, fp_handler.c:37,612)."""
         target = self.config.dsp.samplerate
         if target > 0 and int(samplerate) != target:
             from tiresias_tpu.utils.audio import ensure_samplerate
 
-            pcms = [
-                ensure_samplerate(p, samplerate, target)[0] for p in pcms
-            ]
+            pcms = [ensure_samplerate(p, samplerate, target)[0] for p in pcms]
             samplerate = target
+        return pcms, int(samplerate)
+
+    def _compute_votes(
+        self,
+        context: str | None,
+        pcms: list[np.ndarray],
+        samplerate: int,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        filter_context: bool,
+        trunc_coef1: bool | None,
+        aligned: bool | None = None,
+    ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
+        """(votes [B, A], view-ordered entries, n_frames [B])."""
+        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
+         aligned) = self._resolve_search(
+            coefs, tolerance, freq_ignore_low, freq_ignore_high,
+            trunc_coef1, aligned,
+        )
+        pcms, samplerate = self._resample_queries(pcms, samplerate)
         with phase("search.fingerprint"):
             # async: qfp stays on device; the matcher dispatches chain on it
             # without a host round trip (padding frames hold real silence
