@@ -171,6 +171,44 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
     return results[64]
 
 
+def bench_engine_search(n_tracks: int = 10_000) -> None:
+    """Full-stack search latency: the Tiresias engine's fused dialplan path
+    (host batching + one device dispatch + result attribution), not just
+    the kernel. Store populated by direct fingerprint injection."""
+    import tempfile
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.utils.audio import synth_tone
+
+    sr = 8000
+    eng = Tiresias(
+        TiresiasConfig(data_dir=tempfile.mkdtemp(prefix="tir_bench_eng")),
+        restore=False,
+    )
+    eng.create_context("c")
+    rng = np.random.default_rng(3)
+    for i in range(n_tracks):
+        fp = rng.uniform(-30, 25, size=(128, 2)).astype(np.float32)
+        eng.store.add_audio(f"t{i}", "c", fp, f"h{i:08d}")
+    q = synth_tone(440, 3.0, sr)
+    eng.search_pcm("c", q, sr)  # compile + view/lattice build
+    for batch in (1, 64):
+        qs = [q] * batch
+        eng.search_pcm_batch("c", qs, sr)
+        times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            eng.search_pcm_batch("c", qs, sr)
+            times.append((time.perf_counter() - t0) * 1e3 / batch)
+        print(
+            f"[bench] engine search @ {n_tracks} tracks, batch {batch}: "
+            f"p50={np.percentile(times, 50):.2f} ms/query full-stack "
+            "(host batching + fused dispatch + attribution, incl. tunnel RTT)",
+            file=sys.stderr,
+        )
+
+
 def bench_db_build(n_clips: int = 1000) -> None:
     """BASELINE config #2: wall-clock to build a DB from n_clips files
     (includes host decode, hashing, batching, device fingerprint, store)."""
@@ -290,6 +328,7 @@ def main() -> None:
     throughput = bench_fingerprint_throughput()
     for name, fn in (
         ("search", bench_search_latency),
+        ("engine search", bench_engine_search),
         ("db build", bench_db_build),
         ("streams", bench_streams),
     ):
