@@ -53,9 +53,9 @@ class TestUnreadableDirectory:
 
 
 class TestTornCheckpoint:
-    def test_mismatched_generation_falls_back(self, tmp_path):
-        """Finding 4: catalog/matrix from different generations (torn save)
-        must fall back to .bak, not crash every startup."""
+    def test_corrupt_current_falls_back_to_bak(self, tmp_path):
+        """Finding 4: a torn/corrupt current generation must fall back to
+        .bak, not crash every startup."""
         store = FingerprintStore(n_coefs=2)
         store.create_context("c")
         rng = np.random.default_rng(0)
@@ -63,17 +63,37 @@ class TestTornCheckpoint:
         store.save(str(tmp_path))
         store.add_audio("b", "c", rng.uniform(-30, 20, (5, 2)).astype(np.float32), "h2")
         store.save(str(tmp_path))
-        # tear: current catalog (2 entries) with gen-1 matrix (1 row)
-        os.replace(
-            str(tmp_path / "fingerprints.npz.bak"),
-            str(tmp_path / "fingerprints.npz"),
-        )
-        # both generations' catalogs now mismatch the single matrix...
-        # current: catalog(2)+matrix(1) -> corrupt -> try .bak: catalog(1)
-        # has no matching matrix file pair? catalog.json.bak(1)+missing npz.bak
+        # tear the current generation's catalog mid-write
+        with open(tmp_path / "catalog.json", "w") as f:
+            f.write('{"version": 3, "n_coefs": 2, "entr')
         loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
-        # must not raise; falls back as far as possible (empty acceptable)
-        assert len(loaded) in (0, 1)
+        assert len(loaded) == 1  # previous generation
+        assert loaded.get_audios_by_context("c")[0].name == "a"
+
+    def test_missing_segment_falls_back(self, tmp_path):
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        rng = np.random.default_rng(0)
+        store.add_audio("a", "c", rng.uniform(-30, 20, (5, 2)).astype(np.float32), "h1")
+        store.save(str(tmp_path))
+        store.add_audio("b", "c", rng.uniform(-30, 20, (5, 2)).astype(np.float32), "h2")
+        store.save(str(tmp_path))
+        import json
+
+        cat = json.load(open(tmp_path / "catalog.json"))
+        current_only = {
+            s[0] for segs in cat["tiers"].values() for s in segs
+        } - {
+            s[0]
+            for segs in json.load(
+                open(tmp_path / "catalog.json.bak")
+            )["tiers"].values()
+            for s in segs
+        }
+        for name in current_only:  # destroy the newest generation's data
+            os.unlink(tmp_path / name)
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(loaded) in (0, 1)  # falls back, never crashes
 
 
 class TestGpuGuard:

@@ -42,6 +42,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import re
 import threading
 from typing import Iterable
 
@@ -54,9 +55,13 @@ from tiresias_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-CHECKPOINT_VERSION = 2
+CHECKPOINT_VERSION = 3
 CATALOG_FILE = "catalog.json"
-MATRIX_FILE = "fingerprints.npz"
+MATRIX_FILE = "fingerprints.npz"  # v1/v2 checkpoints (still loadable)
+# v3 layout: immutable per-tier SEGMENT files (tier<t>_seg<i>.g<gen>.npy),
+# committed by the catalog rename; only segments touched since the last
+# save are rewritten, so per-ingest checkpoints cost O(batch), not O(DB).
+SEGMENT_ROWS = 2048
 
 # Device-view padding buckets: audio axis to multiples of 128 (one Pallas
 # match tile); frame tiers are 128·2^k.
@@ -112,6 +117,23 @@ def _bucket(n: int, multiple: int) -> int:
     return max(multiple, -(-n // multiple) * multiple)
 
 
+_SEG_GEN_RE = re.compile(r"^tier\d+_seg\d+\.g(\d+)\.npy$")
+
+
+def _max_seg_gen(directory: str) -> int:
+    """Highest generation number among segment files in a directory."""
+    best = 0
+    try:
+        names = os.listdir(directory)
+    except OSError:
+        return 0
+    for name in names:
+        m = _SEG_GEN_RE.match(name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best
+
+
 class _Tier:
     """One frame-capacity tier: dense matrix + row-ordered entries."""
 
@@ -121,6 +143,10 @@ class _Tier:
         self.matrix = np.full((0, tier_frames, n_coefs), PAD_VALUE, np.float32)
         self.entries: list[AudioEntry] = []
         self.rows: dict[str, int] = {}  # uuid -> matrix row (== list index)
+        # first row whose content changed since the last checkpoint save
+        # (rows only ever change from some index to the end: appends at the
+        # end, deletes shift everything after the hole)
+        self.dirty_from = 0
 
     def ensure_capacity(self, n_rows: int) -> None:
         cap = self.matrix.shape[0]
@@ -141,6 +167,7 @@ class _Tier:
         self.matrix[row, : entry.n_frames] = fingerprint
         self.rows[entry.uuid] = row
         self.entries.append(entry)
+        self.dirty_from = min(self.dirty_from, row)
 
     def row_of(self, uuid: str) -> int | None:
         return self.rows.get(uuid)
@@ -158,6 +185,7 @@ class _Tier:
         del self.entries[i]
         for later in self.entries[i:]:
             self.rows[later.uuid] -= 1
+        self.dirty_from = min(self.dirty_from, i)
         return e
 
 
@@ -196,6 +224,11 @@ class FingerprintStore:
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
         self._uuid_tier: dict[str, int] = {}
         self._by_uuid: dict[str, AudioEntry] = {}
+        # incremental-checkpoint state: last save's directory, generation
+        # counter, and per-tier segment manifest [[filename, n_rows], ...]
+        self._save_dir: str | None = None
+        self._save_gen = 0
+        self._seg_manifest: dict[int, list[list]] = {}
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -525,39 +558,106 @@ class FingerprintStore:
     # ------------------------------------------------------------------ #
 
     def save(self, directory: str) -> None:
-        """Atomic, versioned checkpoint: {catalog.json, fingerprints.npz}
-        via tmp+rename, with the previous generation kept as ``*.bak`` —
-        a corrupted write can always fall back one generation (PARITY.md
-        D2; the reference loses everything on any mid-write crash)."""
+        """Atomic, versioned, INCREMENTAL checkpoint (v3).
+
+        Fingerprints live in immutable per-tier segment files
+        (``tier<t>_seg<i>.g<gen>.npy``, ≤ SEGMENT_ROWS rows each); the
+        catalog JSON lists exactly which files+row-counts form each tier
+        and is the single atomic commit point (tmp+rename, previous
+        generation kept as ``.bak``). Only segments whose rows changed
+        since the last save are rewritten — per-ingest checkpoints cost
+        O(new rows), not O(whole DB) (rows change only from ``dirty_from``
+        to the end: appends append, deletes shift). A crash at any point
+        leaves both catalog generations referencing fully-written files
+        (files are never modified in place). Replaces the reference's
+        save-only-at-unload SQLite backup (PARITY.md D2;
+        /root/reference/src/db_ctx_handler.c:673-717)."""
         with self._lock:
             os.makedirs(directory, exist_ok=True)
+            fresh = directory != self._save_dir
+            if fresh:
+                # never collide with files an unrelated lineage in this
+                # directory may still reference (immutability invariant)
+                self._save_gen = max(self._save_gen, _max_seg_gen(directory))
+            self._save_gen += 1
+            gen = self._save_gen
+            manifest: dict[int, list[list]] = {}
+            for t, tier in sorted(self._tiers.items()):
+                n = len(tier.entries)
+                if n == 0:
+                    continue
+                old = [] if fresh else self._seg_manifest.get(t, [])
+                dirty_from = 0 if fresh else tier.dirty_from
+                segs: list[list] = []
+                for s in range(-(-n // SEGMENT_ROWS)):
+                    lo = s * SEGMENT_ROWS
+                    hi = min(lo + SEGMENT_ROWS, n)
+                    if (
+                        hi <= dirty_from
+                        and s < len(old)
+                        and old[s][1] == hi - lo
+                        and os.path.exists(os.path.join(directory, old[s][0]))
+                    ):
+                        segs.append([old[s][0], hi - lo])  # unchanged
+                        continue
+                    fname = f"tier{t}_seg{s}.g{gen}.npy"
+                    tmp = os.path.join(directory, fname + ".tmp")
+                    with open(tmp, "wb") as f:  # np.save(path) appends .npy
+                        np.save(f, tier.matrix[lo:hi])
+                    os.replace(tmp, os.path.join(directory, fname))
+                    segs.append([fname, hi - lo])
+                manifest[t] = segs
             catalog = {
                 "version": CHECKPOINT_VERSION,
                 "n_coefs": self.n_coefs,
+                "gen": gen,
                 "contexts": self.contexts,
                 "entries": [e.to_dict() for e in self.entries],
+                "tiers": {str(t): segs for t, segs in manifest.items()},
             }
-            arrays = {
-                f"tier_{t}": tier.matrix[: len(tier.entries)]
-                for t, tier in sorted(self._tiers.items())
-                if tier.entries
-            }
-            mat_path = os.path.join(directory, MATRIX_FILE)
             cat_path = os.path.join(directory, CATALOG_FILE)
-            mat_tmp = mat_path + ".tmp"
             cat_tmp = cat_path + ".tmp"
-            with open(mat_tmp, "wb") as f:
-                np.savez_compressed(f, **arrays)
             with open(cat_tmp, "w") as f:
                 json.dump(catalog, f, indent=1)
-            # rotate the previous generation, then matrix first / catalog
-            # last so a live catalog always has its matrix
-            for path in (mat_path, cat_path):
-                if os.path.exists(path):
-                    os.replace(path, path + ".bak")
-            os.replace(mat_tmp, mat_path)
+            if os.path.exists(cat_path):
+                os.replace(cat_path, cat_path + ".bak")
             os.replace(cat_tmp, cat_path)
+            self._seg_manifest = manifest
+            self._save_dir = directory
+            for tier in self._tiers.values():
+                tier.dirty_from = len(tier.entries)
+            self._gc_segments(directory)
             log.debug("checkpointed %d audios to %s", len(self.entries), directory)
+
+    @staticmethod
+    def _referenced_segments(cat_path: str) -> set[str]:
+        try:
+            with open(cat_path) as f:
+                cat = json.load(f)
+            return {
+                seg[0]
+                for segs in cat.get("tiers", {}).values()
+                for seg in segs
+            }
+        except Exception:  # noqa: BLE001 - unreadable generation
+            return set()
+
+    def _gc_segments(self, directory: str) -> None:
+        """Unlink segment files referenced by neither catalog generation."""
+        cat_path = os.path.join(directory, CATALOG_FILE)
+        live = self._referenced_segments(cat_path) | self._referenced_segments(
+            cat_path + ".bak"
+        )
+        for name in os.listdir(directory):
+            if (
+                name.startswith("tier")
+                and (name.endswith(".npy") or name.endswith(".npy.tmp"))
+                and name not in live
+            ):
+                try:
+                    os.unlink(os.path.join(directory, name))
+                except OSError:
+                    pass
 
     @staticmethod
     def load(
@@ -569,12 +669,11 @@ class FingerprintStore:
         store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
         for suffix in ("", ".bak"):
             cat_path = os.path.join(directory, CATALOG_FILE + suffix)
-            mat_path = os.path.join(directory, MATRIX_FILE + suffix)
-            if not (os.path.exists(cat_path) and os.path.exists(mat_path)):
+            if not os.path.exists(cat_path):
                 continue
             try:
-                return FingerprintStore._load_files(
-                    cat_path, mat_path, n_coefs, mesh
+                return FingerprintStore._load_catalog(
+                    directory, cat_path, suffix, n_coefs, mesh
                 )
             except CheckpointIncompatible:
                 raise  # incompatible checkpoint: fail loudly, don't mask
@@ -586,12 +685,14 @@ class FingerprintStore:
         return store
 
     @staticmethod
-    def _load_files(cat_path, mat_path, n_coefs, mesh) -> "FingerprintStore":
+    def _load_catalog(
+        directory, cat_path, suffix, n_coefs, mesh
+    ) -> "FingerprintStore":
         store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
         with open(cat_path) as f:
             catalog = json.load(f)
         version = catalog.get("version")
-        if version not in (1, CHECKPOINT_VERSION):
+        if version not in (1, 2, CHECKPOINT_VERSION):
             raise CheckpointIncompatible(
                 f"unsupported checkpoint version {version}"
             )
@@ -601,36 +702,73 @@ class FingerprintStore:
             )
         entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store.contexts = dict(catalog["contexts"])
-        with np.load(mat_path) as data:
-            if version == 1:
-                # v1: one dense matrix in global insertion order
-                matrix = data["matrix"].astype(np.float32)
-                if matrix.shape[0] != len(entries):
-                    # torn generations (crash between the two renames):
-                    # corruption, not incompatibility — caller falls back
-                    raise ValueError("checkpoint catalog/matrix row count mismatch")
-                for i, e in enumerate(entries):
-                    store._restore_entry(e, matrix[i, : e.n_frames])
-            else:
-                # v2: one matrix per tier; rows in per-tier insertion order,
-                # reconstructed by walking the flat catalog
-                cursors: dict[int, int] = {}
-                tiers = {
-                    int(k.split("_", 1)[1]): data[k].astype(np.float32)
-                    for k in data.files
-                }
-                for e in entries:
-                    t = tier_for(e.n_frames)
-                    row = cursors.get(t, 0)
-                    if t not in tiers or row >= tiers[t].shape[0]:
+        if version == 3:
+            # v3: per-tier segment files listed by the catalog manifest
+            tiers: dict[int, np.ndarray] = {}
+            for t_str, segs in catalog["tiers"].items():
+                parts = []
+                for fname, n_rows in segs:
+                    arr = np.load(os.path.join(directory, fname))
+                    if arr.shape[0] != n_rows:
                         raise ValueError(
-                            "checkpoint catalog/matrix tier mismatch"
+                            f"segment {fname}: {arr.shape[0]} rows, "
+                            f"manifest says {n_rows}"
                         )
-                    store._restore_entry(e, tiers[t][row, : e.n_frames])
-                    cursors[t] = row + 1
+                    parts.append(arr.astype(np.float32))
+                tiers[int(t_str)] = (
+                    np.concatenate(parts)
+                    if parts
+                    else np.zeros((0, int(t_str), store.n_coefs), np.float32)
+                )
+            FingerprintStore._walk_tiered(store, entries, tiers)
+            # a current-generation restore can extend its own manifest on
+            # the next save; a .bak restore must not reuse newer-gen files
+            if suffix == "":
+                store._save_dir = directory
+                store._save_gen = int(catalog.get("gen", 0))
+                store._seg_manifest = {
+                    int(t): [list(s) for s in segs]
+                    for t, segs in catalog["tiers"].items()
+                }
+                for tier in store._tiers.values():
+                    tier.dirty_from = len(tier.entries)
+        else:
+            mat_path = os.path.join(directory, MATRIX_FILE + suffix)
+            with np.load(mat_path) as data:
+                if version == 1:
+                    # v1: one dense matrix in global insertion order
+                    matrix = data["matrix"].astype(np.float32)
+                    if matrix.shape[0] != len(entries):
+                        # torn generations (crash between the two renames):
+                        # corruption, not incompatibility — caller falls back
+                        raise ValueError(
+                            "checkpoint catalog/matrix row count mismatch"
+                        )
+                    for i, e in enumerate(entries):
+                        store._restore_entry(e, matrix[i, : e.n_frames])
+                else:
+                    # v2: one matrix per tier, rows in tier insertion order
+                    tiers = {
+                        int(k.split("_", 1)[1]): data[k].astype(np.float32)
+                        for k in data.files
+                    }
+                    FingerprintStore._walk_tiered(store, entries, tiers)
         store._dirty = True
         log.debug("restored %d audios from %s", len(store.entries), cat_path)
         return store
+
+    @staticmethod
+    def _walk_tiered(store, entries, tiers) -> None:
+        """Restore a flat catalog whose fingerprints sit in per-tier
+        matrices, rows in per-tier insertion order."""
+        cursors: dict[int, int] = {}
+        for e in entries:
+            t = tier_for(e.n_frames)
+            row = cursors.get(t, 0)
+            if t not in tiers or row >= tiers[t].shape[0]:
+                raise ValueError("checkpoint catalog/matrix tier mismatch")
+            store._restore_entry(e, tiers[t][row, : e.n_frames])
+            cursors[t] = row + 1
 
     def _restore_entry(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
         t = tier_for(entry.n_frames)
