@@ -149,3 +149,81 @@ class TestCheckpoint:
         # corrupt both → empty store, no crash
         (tmp_path / "catalog.json.bak").write_text("junk")
         assert len(FingerprintStore.load(str(tmp_path), n_coefs=2)) == 0
+
+
+class TestIncrementalViews:
+    """Append-only mutations update device views in place (only new rows
+    cross host->device); deletes fall back to a full rebuild. Results must
+    be indistinguishable from a rebuilt view."""
+
+    def _store_with(self, n):
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        for i in range(n):
+            store.add_audio(
+                f"a{i}", "c",
+                rng.uniform(-30, 20, (8, 2)).astype(np.float32), f"h{i}",
+            )
+        return store, rng
+
+    def test_append_reuses_buffer_rows(self):
+        import numpy as np
+
+        store, rng = self._store_with(5)
+        v1 = store.search_views()[0]
+        from tiresias_tpu.ops.match_lattice import build_value_map  # noqa: F401
+        store.value_map_for(v1)  # force lattice map so the update covers it
+        fp = rng.uniform(-30, 20, (8, 2)).astype(np.float32)
+        e = store.add_audio("new", "c", fp, "hnew")
+        v2 = store.search_views()[0]
+        assert v2.n_audios == 6
+        # content equals a from-scratch rebuild
+        fresh = FingerprintStore(n_coefs=2)
+        fresh.create_context("c")
+        for entry in store.iter_entries():
+            fresh.add_audio(entry.name, "c", store.get_fingerprint(entry.uuid),
+                            entry.hash, uuid=entry.uuid)
+        v_ref = fresh.search_views()[0]
+        np.testing.assert_array_equal(np.asarray(v2.db), np.asarray(v_ref.db))
+        np.testing.assert_array_equal(np.asarray(v2.mask), np.asarray(v_ref.mask))
+        # the incrementally-updated lattice map matches a fresh build too
+        vm_ref = fresh.value_map_for(v_ref)
+        np.testing.assert_array_equal(
+            np.asarray(v2.value_map), np.asarray(vm_ref)
+        )
+        assert e.uuid in [x.uuid for x in v2.entries]
+
+    def test_delete_forces_rebuild_and_stays_correct(self):
+        import numpy as np
+
+        store, rng = self._store_with(5)
+        store.search_views()
+        victim = store.get_audios_by_context("c")[1]
+        store.delete_audio(victim.uuid)
+        v = store.search_views()[0]
+        assert v.n_audios == 4
+        assert victim.uuid not in [x.uuid for x in v.entries]
+        # row i of the view matches entry i's fingerprint
+        for i, entry in enumerate(v.entries):
+            np.testing.assert_array_equal(
+                np.asarray(v.db)[i, : entry.n_frames],
+                store.get_fingerprint(entry.uuid),
+            )
+
+    def test_capacity_growth_rebuilds(self):
+        store, rng = self._store_with(2)
+        v1 = store.search_views()[0]
+        import numpy as np
+
+        # push past the 128-row bucket: capacity grows, full rebuild
+        for i in range(130):
+            store.add_audio(
+                f"g{i}", "c",
+                rng.uniform(-30, 20, (8, 2)).astype(np.float32), f"hg{i}",
+            )
+        v2 = store.search_views()[0]
+        assert v2.db.shape[0] > v1.db.shape[0]
+        assert v2.n_audios == 132

@@ -120,6 +120,28 @@ def _bucket(n: int, multiple: int) -> int:
 _SEG_GEN_RE = re.compile(r"^tier\d+_seg\d+\.g(\d+)\.npy$")
 
 
+_update_rows_jit = None
+
+
+def _update_rows(buf, rows, index: int):
+    """``buf[index:index+len(rows)] = rows`` as a NEW device array: only
+    ``rows`` crosses host→device; the rest is an on-device HBM copy (~1 ms
+    per GB — vs seconds to re-upload through a host link). Deliberately
+    not donated: a concurrent search may still hold the previous view, and
+    donation would invalidate its buffers mid-flight. The start index is
+    traced, so one executable serves every offset."""
+    global _update_rows_jit
+    import jax
+
+    if _update_rows_jit is None:
+        def upd(b, r, i):
+            start = (i,) + (0,) * (b.ndim - 1)
+            return jax.lax.dynamic_update_slice(b, r.astype(b.dtype), start)
+
+        _update_rows_jit = jax.jit(upd)
+    return _update_rows_jit(buf, rows, index)
+
+
 def _max_seg_gen(directory: str) -> int:
     """Highest generation number among segment files in a directory."""
     best = 0
@@ -147,6 +169,10 @@ class _Tier:
         # (rows only ever change from some index to the end: appends at the
         # end, deletes shift everything after the hole)
         self.dirty_from = 0
+        # same tracking relative to the last device-view build: appends keep
+        # this == the old row count (incremental view update); deletes drop
+        # it below (full view rebuild)
+        self.view_clean_from = 0
 
     def ensure_capacity(self, n_rows: int) -> None:
         cap = self.matrix.shape[0]
@@ -168,6 +194,7 @@ class _Tier:
         self.rows[entry.uuid] = row
         self.entries.append(entry)
         self.dirty_from = min(self.dirty_from, row)
+        self.view_clean_from = min(self.view_clean_from, row)
 
     def row_of(self, uuid: str) -> int | None:
         return self.rows.get(uuid)
@@ -186,6 +213,7 @@ class _Tier:
         for later in self.entries[i:]:
             self.rows[later.uuid] -= 1
         self.dirty_from = min(self.dirty_from, i)
+        self.view_clean_from = min(self.view_clean_from, i)
         return e
 
 
@@ -410,10 +438,19 @@ class FingerprintStore:
         """Per-tier device views (tiers ascending). Cached until the store
         mutates; padding keeps jit recompiles bounded. A search scans every
         view and concatenates votes — exact, since audios are whole within
-        one tier."""
+        one tier.
+
+        Append-only mutations update the previous view IN PLACE on device
+        (``dynamic_update_slice`` into donated buffers): only the new rows
+        cross host→device, so live ingest against a large serving DB costs
+        O(delta), not a full re-upload. Deletes or capacity growth fall
+        back to a full rebuild."""
         with self._lock:
             if not self._dirty and self._views is not None:
                 return self._views
+            prev = {
+                v.tier_frames: v for v in (self._views or [])
+            }
             views: list[TierView] = []
             for t in sorted(self._tiers):
                 tier = self._tiers[t]
@@ -421,25 +458,77 @@ class FingerprintStore:
                 if a == 0:
                     continue
                 a_pad = self._a_pad(a)
-                db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, np.float32)
-                db[:a] = tier.matrix[:a]
-                n_frames = np.zeros(a_pad, dtype=np.int32)
-                n_frames[:a] = [e.n_frames for e in tier.entries]
-                mask = np.arange(t)[None, :] < n_frames[:, None]
-                db_j, mask_j = self._device_put(db, mask)
-                views.append(
-                    TierView(
-                        tier_frames=t,
-                        db=db_j,
-                        mask=mask_j,
-                        n_audios=a,
-                        entries=list(tier.entries),
+                old = prev.get(t)
+                if (
+                    old is not None
+                    and old.db.shape[0] == a_pad
+                    and a >= old.n_audios
+                    and tier.view_clean_from >= old.n_audios
+                ):
+                    views.append(self._extend_view(tier, old, a))
+                else:
+                    db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, np.float32)
+                    db[:a] = tier.matrix[:a]
+                    n_frames = np.zeros(a_pad, dtype=np.int32)
+                    n_frames[:a] = [e.n_frames for e in tier.entries]
+                    mask = np.arange(t)[None, :] < n_frames[:, None]
+                    db_j, mask_j = self._device_put(db, mask)
+                    views.append(
+                        TierView(
+                            tier_frames=t,
+                            db=db_j,
+                            mask=mask_j,
+                            n_audios=a,
+                            entries=list(tier.entries),
+                        )
                     )
-                )
+                tier.view_clean_from = a
             self._views = views
             self._view_rank = None  # rebuilt lazily with the new views
             self._dirty = False
             return views
+
+    def _extend_view(self, tier: "_Tier", old: TierView, a: int) -> TierView:
+        """Append rows [old.n_audios, a) of a tier into its existing device
+        view without re-uploading the rest (donated-buffer update)."""
+        import jax
+        import jax.numpy as jnp
+
+        t = tier.t
+        lo = old.n_audios
+        if a == lo:  # mutation elsewhere (e.g. another tier) — reuse as-is
+            return old
+        # pad the delta row count to a power-of-two bucket (PAD rows are
+        # masked out) so XLA compiles a bounded set of update shapes
+        k_pad = 1
+        while k_pad < a - lo:
+            k_pad *= 2
+        k_pad = min(k_pad, old.db.shape[0] - lo)
+        hi = lo + k_pad
+        new_rows = np.full((k_pad, t, self.n_coefs), PAD_VALUE, np.float32)
+        new_rows[: a - lo] = tier.matrix[lo:a]
+        n_frames = np.zeros(k_pad, dtype=np.int32)
+        n_frames[: a - lo] = [e.n_frames for e in tier.entries[lo:a]]
+        new_mask = np.arange(t)[None, :] < n_frames[:, None]
+        db = _update_rows(old.db, jnp.asarray(new_rows), lo)
+        mask = _update_rows(old.mask, jnp.asarray(new_mask), lo)
+        value_map = old.value_map
+        if value_map is not None:
+            # the lattice map is row-independent: build only the new rows
+            from tiresias_tpu.ops.match_lattice import build_value_map
+
+            vm_rows = build_value_map(
+                jnp.asarray(new_rows[..., 0]), jnp.asarray(new_mask)
+            )
+            value_map = _update_rows(value_map, vm_rows, lo)
+        return TierView(
+            tier_frames=t,
+            db=db,
+            mask=mask,
+            n_audios=a,
+            entries=list(tier.entries),
+            value_map=value_map,
+        )
 
     def view_insertion_rank(self) -> np.ndarray:
         """Global insertion rank of every concatenated-view entry, in view
