@@ -105,7 +105,19 @@ class TestQuickstartExample:
         proc = subprocess.run(
             [sys.executable, os.path.join(EXAMPLES, "quickstart.py")],
             capture_output=True, text=True, timeout=300,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            env={
+                **os.environ,
+                "JAX_PLATFORMS": "cpu",
+                # The example must import tiresias_tpu even when the package
+                # is not pip-installed (script dir, not repo root, lands on
+                # sys.path for a direct `python examples/quickstart.py` run).
+                "PYTHONPATH": os.pathsep.join(
+                    p for p in (
+                        os.path.abspath(os.path.join(EXAMPLES, "..")),
+                        os.environ.get("PYTHONPATH", ""),
+                    ) if p
+                ),
+            },
         )
         assert proc.returncode == 0, proc.stdout + proc.stderr
         assert "file search: FOUND prompt2.wav" in proc.stdout
