@@ -259,14 +259,33 @@ def bench_db_build(n_clips: int = 1000) -> None:
         finally:
             shutil.rmtree(warm_dir, ignore_errors=True)
             shutil.rmtree(warm_data, ignore_errors=True)
-        t0 = time.perf_counter()
-        report = eng.sync()
-        elapsed = time.perf_counter() - t0
+        # Median of 3 trials: the dev-tunnel's host<->device RTT jitters by
+        # >2x run to run (observed 1.4-3.2 s for identical work), so a single
+        # trial measures the tunnel's mood, not the pipeline. Each trial is a
+        # full cold sync (fresh engine + data_dir) over the same corpus.
+        trials = [(time.perf_counter(), eng.sync(), time.perf_counter())]
+        extra_data = []
+        for _ in range(2):
+            d = tempfile.mkdtemp(prefix="tir_bench_data")
+            extra_data.append(d)
+            e = Tiresias(
+                TiresiasConfig(
+                    contexts=(ContextConfig("bench", directory),), data_dir=d
+                ),
+                restore=False,
+            )
+            trials.append((time.perf_counter(), e.sync(), time.perf_counter()))
+        for d in extra_data:
+            shutil.rmtree(d, ignore_errors=True)
+        timed = sorted((t1 - t0, r) for t0, r, t1 in trials)
+        elapsed, report = timed[len(timed) // 2]
         print(
             f"[bench] db build: {report.created} clips x 3 s ingested in "
             f"{elapsed:.1f}s -> {report.created / elapsed:.0f} clips/s "
             f"({report.created * 3.0 / elapsed:.0f} audio-hrs/hr end-to-end "
-            "incl. host decode+hash, steady-state ingest shapes pre-compiled)",
+            "incl. host decode+hash; median of 3 cold syncs, steady-state "
+            "ingest shapes pre-compiled; trial spread "
+            f"{timed[0][0]:.1f}-{timed[-1][0]:.1f}s is dev-tunnel RTT jitter)",
             file=sys.stderr,
         )
     finally:
