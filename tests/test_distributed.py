@@ -122,3 +122,73 @@ print("DISTRIBUTED_OK")
         )
         assert proc.returncode == 0, proc.stdout + proc.stderr
         assert "DISTRIBUTED_OK" in proc.stdout
+
+    def test_two_process_cluster_end_to_end(self):
+        """A REAL 2-process multi-controller cluster (4 virtual CPU devices
+        per process, Gloo collectives across processes): both processes run
+        the same program — global mesh over 8 devices, store sharded on the
+        ``db`` axis so each process addresses only half the DB, one sharded
+        search — and must agree on the FOUND result. This is the actual
+        multi-host code path (put_global's callback placement, cross-process
+        vote gather), not a single-process simulation."""
+        import socket
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        code = f"""
+import sys, tempfile
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1])
+from tiresias_tpu.parallel import initialize_distributed, is_multiprocess
+initialize_distributed("127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2
+assert is_multiprocess()
+assert len(jax.local_devices()) == 4 and len(jax.devices()) == 8
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import TiresiasConfig
+from tiresias_tpu.utils.audio import synth_tone
+eng = Tiresias(TiresiasConfig(data_dir=tempfile.mkdtemp()), restore=False,
+               mesh="global")
+eng.create_context("c")
+for i in range(4):
+    eng.add_audio_pcm("c", f"t{{i}}", synth_tone(200 + 40 * i, 0.5, 8000), 8000)
+r = eng.search_pcm("c", synth_tone(240, 0.5, 8000), 8000, coefs=2,
+                   tolerance=0.05, trunc_coef1=False)
+assert r.status == "FOUND" and r.name == "t1", (r.status, r.name)
+print(f"PROC{{pid}}_OK name={{r.name}} votes={{r.match_count}}/{{r.frame_count}}")
+"""
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        flags = [
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ]
+        flags.append("--xla_force_host_platform_device_count=4")
+        env["XLA_FLAGS"] = " ".join(flags)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "-c", code, str(i)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=300)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"process {i} failed:\n{out}"
+            assert f"PROC{i}_OK" in out, out
+        # both controllers must report the identical result
+        votes = [line for out in outs for line in out.splitlines()
+                 if "_OK name=" in line]
+        assert votes[0].split("OK ")[1] == votes[1].split("OK ")[1], votes
