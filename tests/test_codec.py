@@ -99,6 +99,56 @@ class TestMixedFormatIngest:
             assert r.name == name, name
         eng.close()
 
+    def test_mulaw_wav_container_falls_back_to_codec(self, tmp_path):
+        """A mu-law WAV (format tag 7) — the standard telephony container
+        the reference decodes via aubio's libav backend — is a RIFF/WAVE
+        file the stdlib/native PCM readers cannot parse; read_audio must
+        fall through to the ffmpeg codec instead of raising wave.Error."""
+        import struct
+
+        pcm = _chirp(30)
+        i16 = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int16)
+        # G.711 mu-law encode (inline; audioop is gone in Python 3.13)
+        x = i16.astype(np.int32)
+        sign = np.where(x < 0, 0x80, 0)
+        mag = np.minimum(np.abs(x), 32635) + 0x84
+        exponent = np.floor(np.log2(mag)).astype(np.int32) - 7
+        mantissa = (mag >> (exponent + 3)) & 0x0F
+        ulaw = (~(sign | (exponent << 4) | mantissa) & 0xFF).astype(
+            np.uint8
+        ).tobytes()
+        fmt = struct.pack("<HHIIHHH", 7, 1, SR, SR, 1, 8, 0)
+        path = str(tmp_path / "prompt.wav")
+        with open(path, "wb") as f:
+            riff_size = 4 + (8 + len(fmt)) + (8 + len(ulaw))
+            f.write(b"RIFF" + struct.pack("<I", riff_size) + b"WAVE")
+            f.write(b"fmt " + struct.pack("<I", len(fmt)) + fmt)
+            f.write(b"data" + struct.pack("<I", len(ulaw)) + ulaw)
+
+        dec, sr = read_audio(path)
+        assert sr == SR
+        m = min(len(dec), len(pcm))
+        corr = np.corrcoef(dec[500 : m - 500], pcm[500 : m - 500])[0, 1]
+        assert corr > 0.95, corr
+
+        # and it ingests + self-matches through the engine like any format
+        directory = tmp_path / "media"
+        directory.mkdir()
+        os.link(path, str(directory / "prompt.wav"))
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("media", str(directory)),),
+                data_dir=str(tmp_path / "data"),
+            ),
+            restore=False,
+        )
+        assert eng.sync().created == 1
+        r = eng.search_file(
+            "media", path, coefs=2, tolerance=0.01, trunc_coef1=False
+        )
+        assert (r.status, r.name) == ("FOUND", "prompt.wav")
+        eng.close()
+
     def test_wav_only_env_skips_compressed(self, tmp_path, monkeypatch):
         """Without the codec library, non-WAV files skip-with-warning and
         WAVs still ingest (the documented degraded mode)."""

@@ -29,15 +29,23 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
     the format is unsupported (codec library absent or undecodable file).
     """
     if _is_riff_wave(path):
-        return read_wav(path)
+        try:
+            return read_wav(path)
+        except (wave.Error, EOFError, ValueError):
+            # RIFF/WAVE container with a compressed codec (mu-law, A-law,
+            # ADPCM, GSM...) — stdlib wave and the native fast path read
+            # only PCM; standard telephony WAVs like these decode through
+            # the ffmpeg codec below, same as non-WAV formats.
+            pass
     from tiresias_tpu.utils import native
 
     decoded = native.decode_audio(path)
     if decoded is None:
         if not native.codec_available():
             raise ValueError(
-                f"cannot decode {path}: not a WAV file and the native codec "
-                "library (libtiresias_codec.so, ffmpeg-backed) is not built"
+                f"cannot decode {path}: not an uncompressed PCM WAV and the "
+                "native codec library (libtiresias_codec.so, ffmpeg-backed) "
+                "is not built"
             )
         raise ValueError(f"cannot decode {path}: unsupported audio format")
     return decoded
