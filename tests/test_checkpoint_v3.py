@@ -129,6 +129,43 @@ class TestIncrementalSave:
         reloaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
         np.testing.assert_array_equal(reloaded.get_fingerprint("u-1"), fp)
 
+    def test_v2_upgrade_keeps_bak_pair_consistent(self, tmp_path):
+        """The first v3 save over a v2 layout must rotate the legacy
+        matrix alongside the catalog: if the fresh v3 generation is then
+        corrupted, the .bak fallback must restore the LAST v2 state, not
+        pair the newest v2 catalog with an older matrix."""
+        rng = np.random.default_rng(6)
+        fp = _fp(rng, n=6)
+        entry = {
+            "uuid": "u-1", "name": "old.wav", "context": "c",
+            "hash": "deadbeef", "n_frames": 6,
+        }
+        catalog = {
+            "version": 2, "n_coefs": 2, "contexts": {"c": ""},
+            "entries": [entry],
+        }
+        with open(tmp_path / "catalog.json", "w") as f:
+            json.dump(catalog, f)
+        tier = np.full((1, 128, 2), -1e6, np.float32)
+        tier[0, :6] = fp
+        np.savez_compressed(tmp_path / "fingerprints.npz", tier_128=tier)
+        # stale .bak pair from an older v2 generation (different row count)
+        with open(tmp_path / "catalog.json.bak", "w") as f:
+            json.dump({**catalog, "entries": []}, f)
+        np.savez_compressed(
+            tmp_path / "fingerprints.npz.bak",
+            tier_128=np.zeros((0, 128, 2), np.float32),
+        )
+
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        loaded.save(str(tmp_path))  # upgrade to v3
+
+        # corrupt the fresh v3 generation -> load must fall back to .bak
+        (tmp_path / "catalog.json").write_text("{corrupt")
+        recovered = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(recovered) == 1
+        np.testing.assert_array_equal(recovered.get_fingerprint("u-1"), fp)
+
     def test_two_lineages_do_not_collide(self, tmp_path):
         """A different store saving into the same directory must not
         overwrite files the existing generations reference."""

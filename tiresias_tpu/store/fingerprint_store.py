@@ -92,9 +92,16 @@ class AudioEntry:
     context: str
     hash: str
     n_frames: int
+    # monotonic per-store insertion sequence (assigned by _restore_entry;
+    # not persisted — the catalog's entry order encodes it). Immutable once
+    # assigned, so a snapshot's D5 tiebreak stays correct even if the store
+    # mutates concurrently.
+    seq: int = dataclasses.field(default=-1, compare=False)
 
     def to_dict(self) -> dict:
-        return dataclasses.asdict(self)
+        d = dataclasses.asdict(self)
+        d.pop("seq")
+        return d
 
     @staticmethod
     def from_dict(d: dict) -> "AudioEntry":
@@ -121,25 +128,47 @@ _SEG_GEN_RE = re.compile(r"^tier\d+_seg\d+\.g(\d+)\.npy$")
 
 
 _update_rows_jit = None
+_update_rows_sharded: dict = {}  # (mesh, ndim) -> sharded update executable
 
 
-def _update_rows(buf, rows, index: int):
+def _update_rows(buf, rows, index: int, mesh=None):
     """``buf[index:index+len(rows)] = rows`` as a NEW device array: only
     ``rows`` crosses host→device; the rest is an on-device HBM copy (~1 ms
     per GB — vs seconds to re-upload through a host link). Deliberately
     not donated: a concurrent search may still hold the previous view, and
     donation would invalidate its buffers mid-flight. The start index is
-    traced, so one executable serves every offset."""
+    traced, so one executable serves every offset.
+
+    On a mesh, ``rows`` must already be a global (replicated) array and the
+    output is pinned back to the view's row sharding (``P('db', ...)``) —
+    without ``out_shardings`` GSPMD may gather the updated buffer, silently
+    un-sharding the DB after the first live append."""
     global _update_rows_jit
     import jax
 
-    if _update_rows_jit is None:
+    if mesh is None:
+        if _update_rows_jit is None:
+            def upd(b, r, i):
+                start = (i,) + (0,) * (b.ndim - 1)
+                return jax.lax.dynamic_update_slice(b, r.astype(b.dtype), start)
+
+            _update_rows_jit = jax.jit(upd)
+        return _update_rows_jit(buf, rows, index)
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    key = (mesh, buf.ndim)
+    fn = _update_rows_sharded.get(key)
+    if fn is None:
+        spec = PartitionSpec("db", *([None] * (buf.ndim - 1)))
+
         def upd(b, r, i):
             start = (i,) + (0,) * (b.ndim - 1)
             return jax.lax.dynamic_update_slice(b, r.astype(b.dtype), start)
 
-        _update_rows_jit = jax.jit(upd)
-    return _update_rows_jit(buf, rows, index)
+        fn = jax.jit(upd, out_shardings=NamedSharding(mesh, spec))
+        _update_rows_sharded[key] = fn
+    return fn(buf, rows, index)
 
 
 def _max_seg_gen(directory: str) -> int:
@@ -248,8 +277,9 @@ class FingerprintStore:
         self.contexts: dict[str, str] = {}  # name -> directory
         self._tiers: dict[int, _Tier] = {}
         self._views: list[TierView] | None = None  # cached per-tier views
-        self._view_rank: np.ndarray | None = None  # cached D5 tiebreak key
+        self._next_seq = 0  # insertion sequence counter (AudioEntry.seq)
         self._hash_index: dict[tuple[str, str], AudioEntry] = {}  # (ctx, md5)
+        self._hash_count: dict[tuple[str, str], int] = {}  # dup-hash counts
         self._uuid_tier: dict[str, int] = {}
         self._by_uuid: dict[str, AudioEntry] = {}
         # incremental-checkpoint state: last save's directory, generation
@@ -289,7 +319,9 @@ class FingerprintStore:
                 return False
             doomed = [e.uuid for e in self.entries if e.context == name]
             for uuid in doomed:
-                self._delete_audio_locked(uuid)
+                self._delete_audio_locked(uuid, _bulk=True)
+            # one O(N) rebuild instead of len(doomed) O(N) list removals
+            self.entries = [e for e in self.entries if e.context != name]
             del self.contexts[name]
             return True
 
@@ -369,31 +401,43 @@ class FingerprintStore:
         with self._lock:
             return self._delete_audio_locked(uuid)
 
-    def _delete_audio_locked(self, uuid: str) -> bool:
+    def _delete_audio_locked(self, uuid: str, _bulk: bool = False) -> bool:
         t = self._uuid_tier.pop(uuid, None)
         if t is None:
             return False
         entry = self._tiers[t].delete(uuid)
         if entry is None:  # index out of sync — should not happen
             return False
-        self.entries.remove(entry)
+        if not _bulk:  # bulk callers rebuild self.entries in one pass
+            self.entries.remove(entry)
         self._by_uuid.pop(uuid, None)
         # Duplicate-hash entries can exist (add_audio with dedupe=False);
         # keep the index pointing at a surviving duplicate so find_by_hash
-        # and sync-time dedupe stay correct.
+        # and sync-time dedupe stay correct. The per-key count makes the
+        # unique-hash case (always, in practice) O(1) — the survivor scan
+        # runs only when a duplicate actually survives.
         key = (entry.context, entry.hash)
-        if self._hash_index.get(key) is entry:
-            survivor = next(
-                (
-                    e for e in self.entries
-                    if e.context == entry.context and e.hash == entry.hash
-                ),
-                None,
-            )
-            if survivor is None:
-                self._hash_index.pop(key, None)
-            else:
-                self._hash_index[key] = survivor
+        remaining = self._hash_count.get(key, 1) - 1
+        if remaining <= 0:
+            self._hash_count.pop(key, None)
+            self._hash_index.pop(key, None)
+        else:
+            self._hash_count[key] = remaining
+            if self._hash_index.get(key) is entry:
+                survivor = next(
+                    (
+                        e for e in self.entries
+                        if e is not entry
+                        and e.context == entry.context
+                        and e.hash == entry.hash
+                    ),
+                    None,
+                )
+                if survivor is None:  # count drift — never leave a stale ref
+                    self._hash_index.pop(key, None)
+                    self._hash_count.pop(key, None)
+                else:
+                    self._hash_index[key] = survivor
         self._dirty = True
         return True
 
@@ -484,7 +528,6 @@ class FingerprintStore:
                     )
                 tier.view_clean_from = a
             self._views = views
-            self._view_rank = None  # rebuilt lazily with the new views
             self._dirty = False
             return views
 
@@ -510,17 +553,30 @@ class FingerprintStore:
         n_frames = np.zeros(k_pad, dtype=np.int32)
         n_frames[: a - lo] = [e.n_frames for e in tier.entries[lo:a]]
         new_mask = np.arange(t)[None, :] < n_frames[:, None]
-        db = _update_rows(old.db, jnp.asarray(new_rows), lo)
-        mask = _update_rows(old.mask, jnp.asarray(new_mask), lo)
+
+        def to_dev(arr: np.ndarray):
+            # meshed (possibly multi-host) views: the delta must be a
+            # GLOBAL replicated array — a process-local jnp.asarray mixed
+            # with a global buffer is rejected in multi-controller mode
+            if self.mesh is None:
+                return jnp.asarray(arr)
+            from jax.sharding import PartitionSpec
+
+            from tiresias_tpu.parallel.distributed import put_global
+
+            return put_global(arr, self.mesh, PartitionSpec())
+
+        db = _update_rows(old.db, to_dev(new_rows), lo, self.mesh)
+        mask = _update_rows(old.mask, to_dev(new_mask), lo, self.mesh)
         value_map = old.value_map
         if value_map is not None:
             # the lattice map is row-independent: build only the new rows
             from tiresias_tpu.ops.match_lattice import build_value_map
 
             vm_rows = build_value_map(
-                jnp.asarray(new_rows[..., 0]), jnp.asarray(new_mask)
+                to_dev(new_rows[..., 0]), to_dev(new_mask)
             )
-            value_map = _update_rows(value_map, vm_rows, lo)
+            value_map = _update_rows(value_map, vm_rows, lo, self.mesh)
         return TierView(
             tier_frames=t,
             db=db,
@@ -529,24 +585,6 @@ class FingerprintStore:
             entries=list(tier.entries),
             value_map=value_map,
         )
-
-    def view_insertion_rank(self) -> np.ndarray:
-        """Global insertion rank of every concatenated-view entry, in view
-        row order (the D5 top-1 tiebreak key). Cached until the next store
-        mutation — avoids an O(A) dict rebuild on every search."""
-        with self._lock:
-            views = self.search_views()
-            if self._view_rank is None:
-                rank = {e.uuid: i for i, e in enumerate(self.entries)}
-                self._view_rank = np.array(
-                    [
-                        rank.get(e.uuid, len(rank))
-                        for v in views
-                        for e in v.entries
-                    ],
-                    dtype=np.int64,
-                )
-            return self._view_rank
 
     def value_map_for(self, view: TierView):
         """Lazily-built lattice distance map for one view (MXU fast path);
@@ -709,6 +747,8 @@ class FingerprintStore:
             with open(cat_tmp, "w") as f:
                 json.dump(catalog, f, indent=1)
             if os.path.exists(cat_path):
+                if fresh:
+                    self._pair_legacy_backup(directory, cat_path)
                 os.replace(cat_path, cat_path + ".bak")
             os.replace(cat_tmp, cat_path)
             self._seg_manifest = manifest
@@ -717,6 +757,35 @@ class FingerprintStore:
                 tier.dirty_from = len(tier.entries)
             self._gc_segments(directory)
             log.debug("checkpointed %d audios to %s", len(self.entries), directory)
+
+    @staticmethod
+    def _pair_legacy_backup(directory: str, cat_path: str) -> None:
+        """Keep the ``.bak`` (catalog, matrix) PAIR consistent when the
+        first v3 save rotates a v1/v2 catalog.
+
+        Legacy saves rotated ``catalog.json`` and ``fingerprints.npz``
+        together; a v3 save rotates only the catalog, which would pair the
+        newest legacy catalog with the second-newest legacy matrix — a
+        broken (or, worse, silently wrong) fallback generation. Copy (not
+        move: a crash mid-upgrade must leave the current legacy pair
+        intact) the matrix the rotating catalog references to ``.bak``.
+        Runs only on the first save into a directory (``fresh``), so
+        steady-state saves never re-read the catalog."""
+        legacy = os.path.join(directory, MATRIX_FILE)
+        if not os.path.exists(legacy):
+            return
+        try:
+            with open(cat_path) as f:
+                old_version = json.load(f).get("version", 0)
+        except Exception:  # noqa: BLE001 - unreadable old catalog
+            return
+        if old_version not in (1, 2):
+            return
+        import shutil
+
+        tmp = legacy + ".bak.tmp"
+        shutil.copyfile(legacy, tmp)
+        os.replace(tmp, legacy + ".bak")
 
     @staticmethod
     def _referenced_segments(cat_path: str) -> set[str]:
@@ -860,13 +929,17 @@ class FingerprintStore:
             cursors[t] = row + 1
 
     def _restore_entry(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
+        entry.seq = self._next_seq
+        self._next_seq += 1
         t = tier_for(entry.n_frames)
         tier = self._tiers.get(t)
         if tier is None:
             tier = self._tiers[t] = _Tier(t, self.n_coefs)
         tier.add(entry, fingerprint[:, : self.n_coefs])
         self.entries.append(entry)
-        self._hash_index[(entry.context, entry.hash)] = entry
+        key = (entry.context, entry.hash)
+        self._hash_index[key] = entry
+        self._hash_count[key] = self._hash_count.get(key, 0) + 1
         self._uuid_tier[entry.uuid] = t
         self._by_uuid[entry.uuid] = entry
 
