@@ -315,4 +315,11 @@ class TestReload:
         )
         with pytest.raises(ValueError, match="DSP"):
             eng.reload(cfg3)
+        # data_dir changes are rejected — the store and checkpoint_dir are
+        # bound to the old directory; accepting would checkpoint wrongly
+        cfg4 = TiresiasConfig(
+            contexts=cfg2.contexts, data_dir=str(tmp_path / "other")
+        )
+        with pytest.raises(ValueError, match="data_dir"):
+            eng.reload(cfg4)
         eng.close()

@@ -146,22 +146,44 @@ class TestSecondReviewRound:
         # but D5 requires the earlier-inserted long audio to win
         assert r.uuid == first.uuid, (r.name, r.match_count)
 
-    def test_pack_batches_bounds_padding(self):
+    def test_ingest_batches_bound_padding(self, tmp_path, monkeypatch):
         """Review-2 finding 2: one long file must not blow up every
-        batch's padding."""
-        from tiresias_tpu.engine.sync import (
-            MAX_BATCH_PADDED_SAMPLES,
-            pack_batches,
-        )
+        batch's padding. Exercises the LIVE batcher in ingest_files via
+        its shared bound predicate (batch_exceeds), not a copy of it."""
+        from tiresias_tpu.engine import sync as sync_mod
+        from tiresias_tpu.store import FingerprintStore
 
-        items = [np.zeros(8000)] * 100 + [np.zeros(MAX_BATCH_PADDED_SAMPLES)]
-        batches = pack_batches(items, len)
-        for b in batches:
-            assert len(b) * max(len(x) for x in b) <= MAX_BATCH_PADDED_SAMPLES
-        assert sum(len(b) for b in batches) == 101
-        # the long file sits alone
-        assert any(len(b) == 1 and len(b[0]) == MAX_BATCH_PADDED_SAMPLES
-                   for b in batches)
+        # shrink the caps so the test corpus is tiny: ≤4 signals per batch
+        # and ≤4 x 1 s of padded samples per batch
+        monkeypatch.setattr(sync_mod, "INGEST_BATCH", 4)
+        monkeypatch.setattr(sync_mod, "MAX_BATCH_PADDED_SAMPLES", 4 * SR)
+        dispatched: list[tuple[int, int]] = []
+        real_fingerprint = sync_mod.fingerprint_signals_async
+
+        def spy(pcms, samplerate, dsp, **kw):
+            lens = [len(p) for p in pcms if len(p)]
+            dispatched.append((len(lens), max(lens)))
+            return real_fingerprint(pcms, samplerate, dsp, **kw)
+
+        monkeypatch.setattr(sync_mod, "fingerprint_signals_async", spy)
+
+        directory = tmp_path / "media"
+        directory.mkdir()
+        for i in range(9):
+            write_wav(str(directory / f"s{i}.wav"), synth_tone(300 + 10 * i, 1.0, SR), SR)
+        write_wav(str(directory / "long.wav"), synth_tone(220, 4.0, SR), SR)
+
+        store = FingerprintStore()
+        store.create_context("c", str(directory))
+        report = sync_mod.ingest_files(
+            store, "c", [str(p) for p in sorted(directory.iterdir())]
+        )
+        assert report.created == 10 and report.failed == 0
+        for count, longest in dispatched:
+            assert count <= 4
+            assert count * longest <= 4 * SR, dispatched
+        # the long file sits alone in its batch
+        assert any(count == 1 and longest == 4 * SR for count, longest in dispatched)
 
     def test_topk_rejects_unknown_kwargs(self, tmp_path):
         """Review-2 finding 6: typos must raise, not silently default."""
@@ -257,3 +279,27 @@ class TestViewConsistentAttribution:
         # a fresh view reflects the delete
         eng.store.device_db()
         assert [e.uuid for e in eng.store.view_entries()] == names[1:]
+
+
+class TestSnapshotTiebreakRace:
+    def test_rank_immune_to_concurrent_replace(self, tmp_path):
+        """The D5 tiebreak rank must come from the captured snapshot, not
+        the live store: a delete+add between vote computation and ranking
+        keeps the entry count equal but shifts every positional rank."""
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+        eng.create_context("c")
+        uuids = []
+        for i in range(4):
+            e = eng.add_audio_pcm("c", f"t{i}", synth_tone(300 + 150 * i, 1.0, SR), SR)
+            uuids.append(e.uuid)
+        eng.store.search_views()
+        snapshot = eng.store.view_entries()
+        # concurrent sync replaces one file: count unchanged, rows shifted
+        eng.delete_audio(uuids[1])
+        eng.add_audio_pcm("c", "t9", synth_tone(950, 1.0, SR), SR)
+        rank = eng._insertion_order(snapshot)
+        # the snapshot's own insertion order, not the live store's
+        assert list(rank) == [0, 1, 2, 3]
+        # and equal-vote ties in a live search still break deterministically
+        r = eng.search_pcm("c", synth_tone(300, 0.8, SR), SR, tolerance=1.0)
+        assert r.found

@@ -235,6 +235,15 @@ class Tiresias:
                     "fingerprints were computed under the old chain; "
                     "rebuild with a fresh data_dir"
                 )
+            if config.expanded_data_dir != self.config.expanded_data_dir:
+                # the restored store and checkpoint_dir are bound to the
+                # old directory; silently keeping them while self.config
+                # says otherwise would checkpoint to the wrong place
+                raise ValueError(
+                    "reload cannot change data_dir — the store is bound "
+                    "to the old checkpoint directory; construct a new "
+                    "Tiresias for a different data_dir"
+                )
             self.config = config
         return self.sync()
 
@@ -449,17 +458,19 @@ class Tiresias:
             if votes[i] > 0
         ]
 
-    def _insertion_order(self, entries: list[AudioEntry]) -> np.ndarray:
-        """Global insertion rank of each view-ordered entry (D5 tiebreak).
-        Cached by the store until the next mutation."""
-        rank = self.store.view_insertion_rank()
-        if len(rank) == len(entries):
-            return rank
-        # fallback for callers with a filtered entry list
-        full = {e.uuid: i for i, e in enumerate(self.store.iter_entries())}
-        return np.array(
-            [full.get(e.uuid, len(full)) for e in entries], dtype=np.int64
+    @staticmethod
+    def _insertion_order(entries: list[AudioEntry]) -> np.ndarray:
+        """Dense global-insertion rank of a view-ordered snapshot (the D5
+        tiebreak key). Derived from each entry's immutable insertion
+        sequence number, so it stays aligned with THIS snapshot even if a
+        concurrent sync deletes/adds entries between vote computation and
+        ranking (a live store's positional ranks would not)."""
+        seqs = np.fromiter(
+            (e.seq for e in entries), dtype=np.int64, count=len(entries)
         )
+        rank = np.empty(len(entries), dtype=np.int64)
+        rank[np.argsort(seqs, kind="stable")] = np.arange(len(entries))
+        return rank
 
     @staticmethod
     def _found(e: AudioEntry, frame_count: int, match_count: int) -> SearchResult:

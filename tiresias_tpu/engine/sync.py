@@ -58,26 +58,12 @@ MAX_BATCH_PADDED_SAMPLES = 64 * 30 * 8000
 HOST_DECODE_THREADS = 8
 
 
-def pack_batches(items: list, length_of) -> list[list]:
-    """Greedily pack length-sorted items into batches bounded by both
-    INGEST_BATCH count and MAX_BATCH_PADDED_SAMPLES of padding-inclusive
-    samples (batch cost = count x longest member)."""
-    items = sorted(items, key=length_of)
-    batches: list[list] = []
-    batch: list = []
-    for it in items:
-        n = length_of(it)
-        if batch and (
-            len(batch) >= INGEST_BATCH
-            or (len(batch) + 1) * max(n, length_of(batch[-1]))
-            > MAX_BATCH_PADDED_SAMPLES
-        ):
-            batches.append(batch)
-            batch = []
-        batch.append(it)
-    if batch:
-        batches.append(batch)
-    return batches
+def batch_exceeds(count: int, longest: int) -> bool:
+    """Would a batch of ``count`` signals padded to ``longest`` samples
+    exceed either ingest bound (signal count, padding-inclusive samples —
+    batch cost = count x longest member)? The single source of truth for
+    the pipelined batcher in :func:`ingest_files`."""
+    return count > INGEST_BATCH or count * longest > MAX_BATCH_PADDED_SAMPLES
 
 
 @dataclasses.dataclass
@@ -265,11 +251,9 @@ def ingest_files(
                 continue
             seen_hashes.add((context, digest))
             items = buckets.setdefault(int(samplerate), [])
-            if items and (
-                len(items) >= INGEST_BATCH
-                or (len(items) + 1)
-                * max(len(pcm), *(len(it[2]) for it in items))
-                > MAX_BATCH_PADDED_SAMPLES
+            if items and batch_exceeds(
+                len(items) + 1,
+                max(len(pcm), *(len(it[2]) for it in items)),
             ):
                 dispatch(int(samplerate), items)
                 items = buckets[int(samplerate)] = []
