@@ -63,6 +63,24 @@ class TestSingleChannel:
         assert res.frame_count == 0 and res.match_count == 0
         assert rec.process_ready() == {}
 
+    def test_hangup_after_full_window_scores(self, engine):
+        """A hangup racing the scorer tick must not discard a COMPLETE
+        window: the reference searches once duration is reached, so a
+        client that sends its last frame and immediately hangs up gets a
+        real result, not HANGUP."""
+        seen = {}
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open(
+            "chan-h", context="media", duration_ms=1000,
+            on_result=lambda cid, r: seen.setdefault(cid, r),
+        )
+        rec.push("chan-h", synth_tone(500, 1.0, SR))  # exactly one window
+        res = rec.hangup("chan-h")  # no process_ready tick in between
+        assert res.status == STATUS_FOUND and res.name == "tone1.wav"
+        assert res.frame_count > 0
+        assert seen["chan-h"].status == STATUS_FOUND
+        assert rec.n_channels == 0 and rec.process_ready() == {}
+
     def test_zero_duration_uses_default(self, engine):
         rec = StreamingRecognizer(engine, samplerate=SR)
         rec.open("chan-3", context="media", duration_ms=0)

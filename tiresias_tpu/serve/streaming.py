@@ -206,16 +206,53 @@ class StreamingRecognizer:
 
     def hangup(self, channel_id: str) -> SearchResult | None:
         """Channel died. Mid-recording → HANGUP status, no search
-        (/root/reference/src/application_handler.c:165-176)."""
+        (/root/reference/src/application_handler.c:165-176).
+
+        A channel whose buffer already holds a FULL window is scored, not
+        discarded: the reference searches as soon as ``duration`` is
+        reached, so a hangup op racing the next scorer tick (client sends
+        the last frame then hangs up immediately) must not turn a complete
+        recording into ``HANGUP``."""
         with self._lock:
             state = self._channels.pop(channel_id, None)
+            window = None
+            if (
+                state is not None
+                and not state.closed
+                and state.buffered >= state.needed_samples
+            ):
+                pcm = np.concatenate(state.chunks)
+                window = pcm[: state.needed_samples]
         if state is None or state.closed:
             return None
-        result = SearchResult(
-            status=STATUS_HANGUP,
-            frame_count=0,
-            match_count=0,
-        )
+        if window is not None:
+            try:
+                with phase("serve.hangup_flush_search"):
+                    result = self.engine.search_pcm(
+                        state.context,
+                        window,
+                        self.samplerate,
+                        coefs=state.coefs,
+                        tolerance=state.tolerance,
+                        freq_ignore_low=state.freq_ignore_low,
+                        freq_ignore_high=state.freq_ignore_high,
+                        filter_context=state.filter_context,
+                        trunc_coef1=state.trunc_coef1,
+                        aligned=state.aligned,
+                    )
+            except Exception:  # noqa: BLE001 - same degradation as a tick
+                log.exception("hangup flush search failed for %s", channel_id)
+                metrics.add("serve.search_errors", 1)
+                result = SearchResult(
+                    status=STATUS_NOTFOUND, frame_count=0, match_count=0
+                )
+            metrics.add("serve.windows_scored", 1)
+        else:
+            result = SearchResult(
+                status=STATUS_HANGUP,
+                frame_count=0,
+                match_count=0,
+            )
         if state.on_result:
             state.on_result(channel_id, result)
         return result
