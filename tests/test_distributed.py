@@ -159,6 +159,12 @@ for i in range(4):
 r = eng.search_pcm("c", synth_tone(240, 0.5, 8000), 8000, coefs=2,
                    tolerance=0.05, trunc_coef1=False)
 assert r.status == "FOUND" and r.name == "t1", (r.status, r.name)
+# live append AFTER the views exist: the incremental device-view update
+# must work across processes (global replicated delta + sharded update)
+eng.add_audio_pcm("c", "t9", synth_tone(620, 0.5, 8000), 8000)
+r2 = eng.search_pcm("c", synth_tone(620, 0.5, 8000), 8000, coefs=2,
+                    tolerance=0.05, trunc_coef1=False)
+assert r2.status == "FOUND" and r2.name == "t9", (r2.status, r2.name)
 print(f"PROC{{pid}}_OK name={{r.name}} votes={{r.match_count}}/{{r.frame_count}}")
 """
         env = dict(os.environ)

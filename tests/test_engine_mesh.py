@@ -95,3 +95,52 @@ def test_sharded_engine_matches_single(tmp_path, mesh_shape):
         assert [(r.name, r.match_count, r.frame_count) for r in rs] == [
             (r.name, r.match_count, r.frame_count) for r in r1
         ], kwargs
+
+
+def test_live_append_keeps_views_sharded(tmp_path):
+    """A live add_audio after the first search must take the incremental
+    view-update path WITHOUT un-sharding the device views (the update is
+    pinned back to P('db')), and post-append searches must match a fresh
+    single-device engine."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = make_mesh(4, 2)
+    eng = _build(tmp_path / "a", mesh)
+    # first search builds + caches the views (and the lattice value map)
+    r = eng.search_pcm("m", synth_tone(390, 0.7, SR), SR, tolerance=1.0)
+    assert r.found
+    views_before = eng.store.search_views()
+
+    for i in range(10, 14):
+        eng.add_audio_pcm("m", f"clip{i}", synth_tone(250 + 140 * i, 1.0, SR), SR)
+    # prove the append goes through the incremental path: a full rebuild
+    # would call _device_put, which is forbidden for the next rebuild
+    def _no_rebuild(*a, **k):
+        raise AssertionError("append fell back to a full view rebuild")
+
+    eng.store._device_put = _no_rebuild
+    views = eng.store.search_views()
+    del eng.store._device_put  # restore the class method for later queries
+    # incremental path taken: the padded buffer object was updated, not rebuilt
+    assert views[0].n_audios == views_before[0].n_audios + 4
+    for v in views:
+        assert v.db.sharding == NamedSharding(mesh, PartitionSpec("db", None, None)), (
+            v.db.sharding
+        )
+        assert v.mask.sharding == NamedSharding(mesh, PartitionSpec("db", None))
+        if v.value_map is not None:
+            assert "db" in str(v.value_map.sharding), v.value_map.sharding
+
+    single = _build(tmp_path / "b", None)
+    for i in range(10, 14):
+        single.add_audio_pcm("m", f"clip{i}", synth_tone(250 + 140 * i, 1.0, SR), SR)
+    queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (2, 11, 13)]
+    for kwargs in (
+        dict(tolerance=1.0),  # lattice path exercises the value-map update
+        dict(coefs=2, tolerance=0.01, trunc_coef1=False),
+    ):
+        rs = eng.search_pcm_batch("m", queries, SR, **kwargs)
+        r1 = single.search_pcm_batch("m", queries, SR, **kwargs)
+        assert [(r.name, r.match_count) for r in rs] == [
+            (r.name, r.match_count) for r in r1
+        ], kwargs
