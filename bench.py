@@ -58,7 +58,12 @@ def bench_fingerprint_throughput() -> float:
     return throughput
 
 
-def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
+def bench_search_latency(
+    n_tracks: int = 10_000,
+    n_rounds: int = 20,
+    batches: tuple = (1, 64),
+    time_build: bool = False,
+) -> float:
     """p50 per-query latency (ms) of 3-s recognition vs an n-track DB.
 
     One fused jit dispatch runs fingerprint → lattice match → top-1 for the
@@ -89,8 +94,18 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
     mask = np.arange(t)[None, :] < n_frames[:, None]
     db = np.where(mask, db, PAD_VALUE).astype(np.float32)
 
-    value_map = build_value_map(jnp.asarray(db), jnp.asarray(mask))
+    t_build0 = time.perf_counter()
+    # host arrays: the chunked fixed-shape build — one compile per tier
+    value_map = build_value_map(db, mask)
     float(np.asarray(value_map[0, 0]))  # sync
+    if time_build:
+        vm_mb = value_map.size * value_map.dtype.itemsize / 2**20
+        print(
+            f"[bench] lattice build @ {n_tracks} tracks: "
+            f"{time.perf_counter() - t_build0:.1f}s for a {vm_mb:.0f} MB "
+            "distance map (exact O(A*(T+K)) transform, incl. H2D)",
+            file=sys.stderr,
+        )
 
     window, mel_t, dct_t = dsp_constants(dsp, sr)
     w, m, d = jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
@@ -108,7 +123,7 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
     n = 3 * sr - (3 * sr) % dsp.hop_size
     tol = jnp.float32(0.5)
     results = {}
-    for batch in (1, 64):
+    for batch in batches:
         pcm = jnp.asarray(
             (0.3 * rng.standard_normal((batch, n))).astype(np.float32)
         )
@@ -168,7 +183,15 @@ def bench_search_latency(n_tracks: int = 10_000, n_rounds: int = 20) -> float:
         f"{np.percentile(seq_times, 50):.1f} ms incl. one tunnel RTT)",
         file=sys.stderr,
     )
-    return results[64]
+    return results.get(64, results.get("device", 0.0))
+
+
+def bench_search_scale(n_tracks: int = 100_000) -> None:
+    """10x the BASELINE DB size: device-time recognition latency and
+    lattice-map build cost at 100k tracks (~930 h of stored audio)."""
+    bench_search_latency(
+        n_tracks=n_tracks, n_rounds=10, batches=(), time_build=True
+    )
 
 
 def bench_engine_search(n_tracks: int = 10_000) -> None:
@@ -347,6 +370,7 @@ def main() -> None:
     throughput = bench_fingerprint_throughput()
     for name, fn in (
         ("search", bench_search_latency),
+        ("search scale", bench_search_scale),
         ("engine search", bench_engine_search),
         ("db build", bench_db_build),
         ("streams", bench_streams),

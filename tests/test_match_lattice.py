@@ -142,3 +142,25 @@ class TestDistanceTransformBuild:
             self._brute_force(jnp.asarray(db), jnp.asarray(mask), K_MIN, K_SIZE)
         )
         np.testing.assert_array_equal(fast, slow)
+
+
+def test_chunked_build_matches_single_block(monkeypatch):
+    """The fixed-chunk build (one compile for any DB size) must be bitwise
+    identical to a single whole-array block, including the padded tail."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_lattice as ml
+
+    rng = np.random.default_rng(11)
+    a, t = 150, 64  # not a multiple of the chunk -> exercises tail padding
+    db = rng.uniform(-40, 30, size=(a, t)).astype(np.float32)
+    nf = rng.integers(1, t, size=a)
+    mask = np.arange(t)[None, :] < nf[:, None]
+    db = np.where(mask, db, -1e6).astype(np.float32)
+
+    whole = np.asarray(
+        ml._build_value_map_block(jnp.asarray(db), jnp.asarray(mask))
+    )
+    monkeypatch.setattr(ml, "_BUILD_CHUNK", 64)
+    chunked = np.asarray(ml.build_value_map(jnp.asarray(db), jnp.asarray(mask)))
+    np.testing.assert_array_equal(whole, chunked)

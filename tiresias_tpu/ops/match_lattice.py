@@ -52,16 +52,57 @@ K_MIN = -512
 K_SIZE = 640  # covers [-512, 127]
 
 
-@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
 def build_value_map(
     db0: jax.Array, db_mask: jax.Array, k_min: int = K_MIN, k_size: int = K_SIZE
 ) -> jax.Array:
     """``M [A, K]``: distance from each lattice integer to the nearest stored
     max1 frame of each audio. Masked/padding frames are excluded.
 
-    Built once per DB mutation. Exact 1-D distance transform in
-    O(A·(T + K)) instead of the brute-force O(A·T·K): bucket each value by
-    ``floor(v)``, keep the per-bucket min and max VALUE (not fraction), then
+    Built once per DB mutation (see :func:`_build_value_map_block` for the
+    exact distance-transform math). Rows are independent, so large HOST
+    (numpy) inputs are processed in FIXED-shape chunks of ``_BUILD_CHUNK``
+    rows: ONE compiled executable serves every DB size (per frame-tier),
+    instead of a fresh — and, over remote-compile transports, unboundedly
+    slow — XLA compile each time the padded audio count grows, and each
+    chunk's H2D upload overlaps the previous chunk's compute. Device-array
+    inputs stay single-call: sharded arrays are already row-partitioned by
+    GSPMD, and slicing a device array at Python level would itself compile
+    one gather per offset.
+    """
+    a = db0.shape[0]
+    if not isinstance(db0, np.ndarray) or a <= _BUILD_CHUNK:
+        return _build_value_map_block(db0, db_mask, k_min=k_min, k_size=k_size)
+    parts = []
+    for lo in range(0, a, _BUILD_CHUNK):
+        hi = min(lo + _BUILD_CHUNK, a)
+        blk, msk = db0[lo:hi], np.asarray(db_mask)[lo:hi]
+        if hi - lo < _BUILD_CHUNK:
+            pad = _BUILD_CHUNK - (hi - lo)
+            blk = np.pad(blk, ((0, pad), (0, 0)))
+            msk = np.pad(msk, ((0, pad), (0, 0)))  # pad rows: all-masked
+        parts.append(
+            _build_value_map_block(
+                jnp.asarray(blk), jnp.asarray(msk), k_min=k_min, k_size=k_size
+            )
+        )
+    return jnp.concatenate(parts, axis=0)[:a]
+
+
+# Fixed row-chunk size for the chunked build: large enough that the O(A·K)
+# scatter/cummin work dominates dispatch overhead, small enough to compile
+# in seconds. 8192 rows x 1024 frames is a 32 MB input block.
+_BUILD_CHUNK = 8192
+
+
+@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
+def _build_value_map_block(
+    db0: jax.Array, db_mask: jax.Array, k_min: int = K_MIN, k_size: int = K_SIZE
+) -> jax.Array:
+    """One fixed-shape block of :func:`build_value_map`.
+
+    Exact 1-D distance transform in O(A·(T + K)) instead of the brute-force
+    O(A·T·K): bucket each value by ``floor(v)``, keep the per-bucket min and
+    max VALUE (not fraction), then
 
         M[a, k] = min( fl(suffix_min_{j>=k}(vmin[a,j]) − k),
                        fl(k − prefix_max_{j<k}(vmax[a,j])) )
@@ -73,7 +114,8 @@ def build_value_map(
     in buckets < k satisfy v < k symmetrically. Out-of-lattice values clip
     to the edge BUCKET but keep their true value, so their distances stay
     exact. 40-100x faster at 10k-100k tracks (the post-ingest first-search
-    stall this build used to cause).
+    stall this build used to cause). All-masked rows (chunk padding) yield
+    +inf distances everywhere — they can never be within tolerance.
     """
     a, t = db0.shape
     pos_inf = jnp.float32(jnp.inf)

@@ -588,12 +588,31 @@ class FingerprintStore:
 
     def value_map_for(self, view: TierView):
         """Lazily-built lattice distance map for one view (MXU fast path);
-        cached on the view, which lives until the next mutation."""
+        cached on the view, which lives until the next mutation.
+
+        Single-device stores build from the HOST tier matrix: the chunked
+        fixed-shape build compiles once per frame tier, ever, instead of
+        once per padded audio count (a multi-second stall after every
+        capacity step on remote-compile transports). Meshed stores build
+        from the sharded device view — GSPMD row-partitions the build."""
         with self._lock:
             if view.value_map is None:
                 from tiresias_tpu.ops.match_lattice import build_value_map
 
-                view.value_map = build_value_map(view.db[..., 0], view.mask)
+                if self.mesh is not None:
+                    view.value_map = build_value_map(
+                        view.db[..., 0], view.mask
+                    )
+                else:
+                    t = view.tier_frames
+                    tier = self._tiers[t]
+                    a_pad, n = view.db.shape[0], view.n_audios
+                    db0 = np.full((a_pad, t), PAD_VALUE, np.float32)
+                    db0[:n] = tier.matrix[:n, :, 0]
+                    n_frames = np.zeros(a_pad, np.int32)
+                    n_frames[:n] = [e.n_frames for e in view.entries[:n]]
+                    mask = np.arange(t)[None, :] < n_frames[:, None]
+                    view.value_map = build_value_map(db0, mask)
             return view.value_map
 
     def view_entries(self) -> list[AudioEntry]:
