@@ -1,0 +1,225 @@
+"""Production-style soak test: many live TCP clients against `serve`.
+
+Reproduces the soak reported in docs/performance.md: N concurrent socket
+clients stream real-time-paced 20 ms frames of a known corpus tone into a
+RecognitionServer, each on a continuous window, and every scored window is
+checked against the clip the client is actually playing.
+
+Run (defaults: 128 channels, 60 s, 3 s window / 1.5 s hop):
+
+    python tools/soak.py [--channels 128] [--seconds 60] [--hop-ms 1500]
+
+Prints one summary line:
+
+    soak: <windows> windows, <correct_pct>% correct, <rate>/s sustained,
+    <errors> errors
+
+The corpus is synthetic tones (like tests/test_server.py) so correctness
+is unambiguous: a window is "correct" when TIRSTATUS=FOUND names the
+client's own clip. Windows spanning a clip's loop seam may legitimately
+mismatch — the loop is seamless for pure tones, so any miss here is real.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import base64
+import json
+import socket
+import sys
+import tempfile
+import threading
+import time
+
+import numpy as np
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import MatchConfig, TiresiasConfig
+from tiresias_tpu.serve.server import RecognitionServer, warmup_batch_sizes
+from tiresias_tpu.utils.audio import synth_tone
+
+SR = 8000
+FRAME_MS = 20
+N_CLIPS = 16
+
+
+def build_engine() -> Tiresias:
+    eng = Tiresias(
+        TiresiasConfig(
+            match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+            data_dir=tempfile.mkdtemp(prefix="tir_soak"),
+        ),
+        restore=False,
+    )
+    eng.create_context("m")
+    for i in range(N_CLIPS):
+        pcm = synth_tone(250 + 130 * i, 3.0, SR)
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        eng.add_audio_pcm("m", f"tone{i}", i16.astype(np.float32) / 32768.0, SR)
+    return eng
+
+
+def client(
+    port: int,
+    channel: int,
+    clip: int,
+    seconds: float,
+    duration_ms: int,
+    hop_ms: int,
+    stats: dict,
+    lock: threading.Lock,
+) -> None:
+    pcm = synth_tone(250 + 130 * clip, 3.0, SR)
+    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    frame = SR * FRAME_MS // 1000
+    expected = f"tone{clip}"
+
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=30.0) as s:
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+            f.write(json.dumps({
+                "op": "open", "channel": f"c{channel}", "context": "m",
+                "duration_ms": duration_ms, "continuous": True,
+                "hop_ms": hop_ms,
+            }) + "\n")
+            f.flush()
+            assert json.loads(f.readline()).get("opened")
+
+            done = time.monotonic() + seconds
+            results: list[dict] = []
+
+            def reader():
+                try:
+                    for line in f:
+                        msg = json.loads(line)
+                        if "result" in msg:
+                            results.append(msg["result"])
+                except (OSError, ValueError):
+                    pass
+
+            rt = threading.Thread(target=reader, daemon=True)
+            rt.start()
+            off = 0
+            next_t = time.monotonic()
+            while time.monotonic() < done:
+                chunk = np.take(  # seamless loop over the clip
+                    i16, range(off, off + frame), mode="wrap"
+                ).astype("<i2")
+                off = (off + frame) % len(i16)
+                f.write(json.dumps({
+                    "op": "pcm", "channel": f"c{channel}",
+                    "pcm": base64.b64encode(chunk.tobytes()).decode(),
+                }) + "\n")
+                f.flush()
+                next_t += FRAME_MS / 1000
+                delay = next_t - time.monotonic()
+                if delay > 0:
+                    time.sleep(delay)
+            f.write(json.dumps({"op": "hangup", "channel": f"c{channel}"}) + "\n")
+            f.flush()
+            time.sleep(0.3)  # drain the last result
+        # the final hangup legitimately answers HANGUP when the last window
+        # is still partial — that is contract behavior, not a scored window
+        results = [r for r in results if r.get("TIRSTATUS") != "HANGUP"]
+        correct = sum(
+            1 for r in results
+            if r.get("TIRSTATUS") == "FOUND" and r.get("TIRFILENAME") == expected
+        )
+        if stats.get("debug"):
+            for r in results:
+                if r.get("TIRFILENAME") != expected:
+                    print(
+                        f"MISS ch{channel} want={expected} got="
+                        f"{r.get('TIRSTATUS')}/{r.get('TIRFILENAME')} "
+                        f"{r.get('TIRMATCHCOUNT')}/{r.get('TIRFRAMECOUNT')}",
+                        file=sys.stderr,
+                    )
+        with lock:
+            stats["windows"] += len(results)
+            stats["correct"] += correct
+    except Exception as exc:  # noqa: BLE001 - a failed client is an error stat
+        with lock:
+            stats["errors"] += 1
+        print(f"client {channel} failed: {exc}", file=sys.stderr)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--channels", type=int, default=128)
+    ap.add_argument("--seconds", type=float, default=60.0)
+    ap.add_argument("--duration-ms", type=int, default=3000)
+    ap.add_argument("--hop-ms", type=int, default=1500)
+    ap.add_argument("--debug", action="store_true")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="force the CPU backend (the config API, not JAX_PLATFORMS — "
+        "an installed TPU plugin ignores the env var)",
+    )
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    eng = build_engine()
+    for b in warmup_batch_sizes(args.channels):
+        eng.warmup(samplerate=SR, batch_sizes=(b,))
+
+    holder: dict = {}
+    started = threading.Event()
+
+    def runner():
+        async def amain():
+            srv = RecognitionServer(eng, port=0, samplerate=SR)
+            await srv.start()
+            holder["server"] = srv
+            holder["loop"] = asyncio.get_running_loop()
+            started.set()
+            try:
+                await srv.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(amain())
+
+    threading.Thread(target=runner, daemon=True).start()
+    assert started.wait(30)
+    port = holder["server"].port
+
+    stats = {"windows": 0, "correct": 0, "errors": 0, "debug": args.debug}
+    lock = threading.Lock()
+    t0 = time.monotonic()
+    threads = [
+        threading.Thread(
+            target=client,
+            args=(port, i, i % N_CLIPS, args.seconds, args.duration_ms,
+                  args.hop_ms, stats, lock),
+            daemon=True,
+        )
+        for i in range(args.channels)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    elapsed = time.monotonic() - t0
+    asyncio.run_coroutine_threadsafe(holder["server"].stop(), holder["loop"])
+
+    pct = 100.0 * stats["correct"] / max(1, stats["windows"])
+    print(
+        f"soak: {stats['windows']} windows, {pct:.1f}% correct, "
+        f"{stats['windows'] / elapsed:.1f}/s sustained, "
+        f"{stats['errors']} errors "
+        f"({args.channels} channels x {args.seconds:.0f}s, "
+        f"{args.duration_ms} ms window / {args.hop_ms} ms hop)"
+    )
+    return 0 if stats["errors"] == 0 and pct > 95.0 else 1
+
+
+if __name__ == "__main__":
+    main_rc = main()
+    sys.exit(main_rc)
