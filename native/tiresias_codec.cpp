@@ -152,7 +152,7 @@ int tir_decode_audio(const char* path, float** out, long* n_samples,
 
   float* buf = static_cast<float*>(malloc(pcm.size() * sizeof(float)));
   if (!buf && !pcm.empty()) return 16;
-  memcpy(buf, pcm.data(), pcm.size() * sizeof(float));
+  if (!pcm.empty()) memcpy(buf, pcm.data(), pcm.size() * sizeof(float));
   *out = buf;
   *n_samples = (long)pcm.size();
   *samplerate = c.dec->sample_rate;

@@ -214,3 +214,55 @@ class TestWarmupBatchSizes:
         assert warmup_batch_sizes(1) == (1,)
         # non-power-of-two cap: the scorer pads 100 channels to 128
         assert warmup_batch_sizes(100) == (1, 2, 4, 8, 16, 32, 64, 128)
+
+
+class TestHangupRaces:
+    def test_last_frame_then_hangup_gets_result(self, server):
+        """Client sends a full window then hangs up immediately: whichever
+        side wins (the 20 ms scorer tick or the hangup op), a real result
+        must arrive — never silence, never HANGUP."""
+        for trial in range(4):
+            pcm = synth_tone(500, 1.0, SR)  # tone1, exactly one window
+            msgs = [
+                {"op": "open", "channel": f"r{trial}", "context": "m",
+                 "duration_ms": 1000},
+                {"op": "pcm", "channel": f"r{trial}", "pcm": _pcm_b64(pcm)},
+                {"op": "hangup", "channel": f"r{trial}"},
+            ]
+            replies = _talk(server.port, msgs, expect_lines=2, timeout=30.0)
+            assert replies[1]["result"]["TIRSTATUS"] == "FOUND", replies
+            assert replies[1]["result"]["TIRFILENAME"] == "tone1"
+
+    def test_scorer_wins_interleaving_still_delivers(self, server, monkeypatch):
+        """Force the scorer-takes-the-window-first interleaving by slowing
+        process_ready: the hangup op must not pop the writer out from under
+        the in-flight search."""
+        import time as _time
+
+        rec = server.recognizer
+        real = rec.process_ready
+
+        def slow_process_ready():
+            out = real()
+            if out:
+                _time.sleep(0.3)  # hold the result while the hangup lands
+            return out
+
+        monkeypatch.setattr(rec, "process_ready", slow_process_ready)
+        import socket
+
+        pcm = synth_tone(700, 1.0, SR)  # tone2
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30.0) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"op": "open", "channel": "sw", "context": "m",
+                                "duration_ms": 1000}) + "\n")
+            f.write(json.dumps({"op": "pcm", "channel": "sw",
+                                "pcm": _pcm_b64(pcm)}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["opened"] is True
+            _time.sleep(0.15)  # let the scorer tick take the window
+            f.write(json.dumps({"op": "hangup", "channel": "sw"}) + "\n")
+            f.flush()
+            result = json.loads(f.readline())
+            assert result["result"]["TIRSTATUS"] == "FOUND", result
+            assert result["result"]["TIRFILENAME"] == "tone2"

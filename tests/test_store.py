@@ -227,3 +227,78 @@ class TestIncrementalViews:
         v2 = store.search_views()[0]
         assert v2.db.shape[0] > v1.db.shape[0]
         assert v2.n_audios == 132
+
+
+class TestBulkDelete:
+    def _fp(self, rng, n):
+        return rng.uniform(-40, 20, size=(n, 2)).astype(np.float32)
+
+    def test_delete_audios_matches_per_entry_deletes(self):
+        rng = np.random.default_rng(21)
+        a = FingerprintStore(n_coefs=2)
+        b = FingerprintStore(n_coefs=2)
+        for s in (a, b):
+            s.create_context("c")
+            s.create_context("keep")
+        uuids = []
+        for i in range(12):
+            n = 5 + (i % 3) * 130  # spans two frame tiers
+            fp = self._fp(rng, n)
+            ctx = "keep" if i % 4 == 0 else "c"
+            ea = a.add_audio(f"t{i}", ctx, fp, f"h{i}")
+            b.add_audio(f"t{i}", ctx, fp, f"h{i}", uuid=ea.uuid)
+            uuids.append(ea.uuid)
+        doomed = [u for i, u in enumerate(uuids) if i % 4 != 0 and i % 3 != 2]
+        assert a.delete_audios(doomed) == len(doomed)
+        for u in doomed:
+            assert b.delete_audio(u)
+        assert [e.uuid for e in a.entries] == [e.uuid for e in b.entries]
+        for e in a.entries:
+            np.testing.assert_array_equal(
+                a.get_fingerprint(e.uuid), b.get_fingerprint(e.uuid)
+            )
+        # unknown uuids are a no-op, not an error
+        assert a.delete_audios(["nope"]) == 0
+
+    def test_delete_context_bulk_keeps_dup_hash_index(self):
+        rng = np.random.default_rng(22)
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("gone")
+        store.create_context("stay")
+        fp = self._fp(rng, 8)
+        store.add_audio("d1", "gone", fp, "samehash", dedupe=False)
+        store.add_audio("d2", "gone", fp, "samehash", dedupe=False)
+        kept = store.add_audio("k", "stay", fp, "samehash", dedupe=False)
+        assert store.delete_context("gone")
+        assert store.get_contexts_all() == [
+            {"name": "stay", "directory": ""}
+        ]
+        # the (stay, samehash) index survives untouched
+        assert store.find_by_hash("stay", "samehash") is kept
+        assert store.find_by_hash("gone", "samehash") is None
+        assert len(store) == 1
+
+
+class TestValueMapSnapshotIsolation:
+    def test_stale_view_builds_from_its_own_buffer(self):
+        """A lattice map built for a STALE view (store mutated since the
+        snapshot) must describe the view's rows, not the compacted live
+        tier — otherwise votes are attributed to the wrong audios."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_value_map
+
+        rng = np.random.default_rng(23)
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        fps = [rng.uniform(-40, 20, size=(6, 2)).astype(np.float32) for _ in range(3)]
+        entries = [
+            store.add_audio(f"t{i}", "c", fps[i], f"h{i}") for i in range(3)
+        ]
+        view = store.search_views()[0]
+        store.delete_audio(entries[0].uuid)  # compacts live tier rows
+        vm = np.asarray(store.value_map_for(view))
+        expected = np.asarray(
+            build_value_map(jnp.asarray(view.db[..., 0]), jnp.asarray(view.mask))
+        )
+        np.testing.assert_array_equal(vm, expected)

@@ -33,6 +33,7 @@ from tiresias_tpu.ops.mfcc_jax import (
     mask_fingerprints,
 )
 from tiresias_tpu.store.fingerprint_store import FingerprintStore
+from tiresias_tpu.utils import next_pow2
 from tiresias_tpu.utils.audio import ensure_samplerate, read_audio, read_wav_i16
 from tiresias_tpu.utils.hashing import file_md5
 from tiresias_tpu.utils.logging import get_logger
@@ -130,22 +131,21 @@ def delete_removed_audio(
         if hashes is None:
             return 0
         disk_hashes = set(hashes.values())
-    deleted = 0
-    for entry in store.get_audios_by_context(context):
-        if entry.hash not in disk_hashes:
-            store.delete_audio(entry.uuid)
-            deleted += 1
-            log.info("deleted stale audio %s (%s)", entry.name, entry.uuid)
+    stale = [
+        entry
+        for entry in store.get_audios_by_context(context)
+        if entry.hash not in disk_hashes
+    ]
+    deleted = store.delete_audios(e.uuid for e in stale)
+    for entry in stale:
+        log.info("deleted stale audio %s (%s)", entry.name, entry.uuid)
     return deleted
 
 
 def _batch_bucket(n: int, cap: int = INGEST_BATCH) -> int:
     """Round a batch size up to a power of two (capped) so XLA compiles at
     most log2(cap) batch shapes per frame bucket instead of one per count."""
-    b = 1
-    while b < n and b < cap:
-        b *= 2
-    return b
+    return next_pow2(n, cap)
 
 
 def ingest_files(

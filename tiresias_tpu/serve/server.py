@@ -27,6 +27,7 @@ import json
 
 import numpy as np
 
+from tiresias_tpu.utils import next_pow2
 from tiresias_tpu.api.engine import SearchResult, Tiresias
 from tiresias_tpu.serve.streaming import StreamingRecognizer
 from tiresias_tpu.utils.logging import get_logger
@@ -163,10 +164,11 @@ class RecognitionServer:
             pass
         finally:
             # a dropped socket mid-recognition is a hangup (reference
-            # semantics: channel death before duration → HANGUP, no search)
+            # semantics: channel death before duration → HANGUP, no search);
+            # no flush — there is no one left to deliver a result to
             for channel_id in opened:
                 self._writers.pop(channel_id, None)
-                self.recognizer.hangup(channel_id)
+                self.recognizer.hangup(channel_id, flush=False)
             writer.close()
 
     async def _dispatch_op(
@@ -216,11 +218,21 @@ class RecognitionServer:
             )
             await writer.drain()
         elif op == "hangup":
-            result = self.recognizer.hangup(cid(channel))
+            # off the event loop: hangup may flush-score a complete window
+            # (a device search — milliseconds to seconds), which must not
+            # stall every other connection's IO
+            result = await asyncio.get_running_loop().run_in_executor(
+                None, self.recognizer.hangup, cid(channel)
+            )
+            opened.discard(cid(channel))
             if result is not None:
                 await self._send_result_direct(writer, channel, result)
-            opened.discard(cid(channel))
-            self._writers.pop(cid(channel), None)
+                self._writers.pop(cid(channel), None)
+            # result None + writer still registered means the scorer took
+            # the channel's window first and its search is in flight: keep
+            # the writer so _send_result can deliver (it pops closed
+            # channels itself); the connection's finally-block is the
+            # backstop if the client disconnects before that.
         else:
             writer.write(
                 (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()
@@ -243,13 +255,14 @@ class RecognitionServer:
 
 def warmup_batch_sizes(max_channels: int) -> tuple[int, ...]:
     """The power-of-two batch buckets the scorer actually pads to
-    (StreamingRecognizer.process_ready): 1, 2, 4, ... up to max_channels."""
+    (StreamingRecognizer.process_ready, via the same next_pow2 rule):
+    1, 2, 4, ... up to next_pow2(max_channels)."""
+    top = next_pow2(max_channels)
     sizes = []
     b = 1
-    while b < max_channels:
+    while b <= top:
         sizes.append(b)
         b *= 2
-    sizes.append(b)
     return tuple(sizes)
 
 

@@ -37,6 +37,7 @@ from tiresias_tpu.api.engine import (
     Tiresias,
 )
 from tiresias_tpu.config import DEF_DURATION_MS
+from tiresias_tpu.utils import next_pow2
 from tiresias_tpu.utils.logging import get_logger
 from tiresias_tpu.utils.tracing import metrics, phase
 
@@ -204,20 +205,28 @@ class StreamingRecognizer:
             state.chunks.append(pcm)
             state.buffered += len(pcm)
 
-    def hangup(self, channel_id: str) -> SearchResult | None:
+    def hangup(
+        self, channel_id: str, flush: bool = True
+    ) -> SearchResult | None:
         """Channel died. Mid-recording → HANGUP status, no search
         (/root/reference/src/application_handler.c:165-176).
 
-        A channel whose buffer already holds a FULL window is scored, not
-        discarded: the reference searches as soon as ``duration`` is
-        reached, so a hangup op racing the next scorer tick (client sends
-        the last frame then hangs up immediately) must not turn a complete
-        recording into ``HANGUP``."""
+        With ``flush`` (default), a channel whose buffer already holds a
+        FULL window is scored, not discarded: the reference searches as
+        soon as ``duration`` is reached, so a hangup op racing the next
+        scorer tick (client sends the last frame then hangs up
+        immediately) must not turn a complete recording into ``HANGUP``.
+        Pass ``flush=False`` when there is nobody left to deliver to (e.g.
+        the socket already dropped) — the buffered audio is discarded
+        without paying for a search. Returns None when the channel is
+        unknown — including when the scorer already took its window; that
+        in-flight search still delivers through the normal result path."""
         with self._lock:
             state = self._channels.pop(channel_id, None)
             window = None
             if (
-                state is not None
+                flush
+                and state is not None
                 and not state.closed
                 and state.buffered >= state.needed_samples
             ):
@@ -328,9 +337,7 @@ class StreamingRecognizer:
             # XLA compiles at most log2(max_channels) batch shapes instead of
             # one per concurrent-channel count (results sliced back below)
             pcms = [pcm for _, pcm in items]
-            b_pad = 1
-            while b_pad < len(pcms):
-                b_pad *= 2
+            b_pad = next_pow2(len(pcms))
             pcms += [np.zeros_like(pcms[0])] * (b_pad - len(pcms))
             try:
                 with phase("serve.batch_search"):

@@ -245,6 +245,28 @@ class _Tier:
         self.view_clean_from = min(self.view_clean_from, i)
         return e
 
+    def delete_many(self, uuids) -> list[AudioEntry]:
+        """Delete every row whose uuid is in ``uuids`` with ONE compaction
+        pass — k per-row :meth:`delete` calls would each memmove the rest
+        of the matrix (O(k·N) data movement; a 10k-audio context in a
+        100k-row tier shuffles tens of GB). Returns the removed entries in
+        row order."""
+        doomed = sorted(r for u, r in self.rows.items() if u in uuids)
+        if not doomed:
+            return []
+        n = len(self.entries)
+        keep = np.ones(n, bool)
+        keep[doomed] = False
+        removed = [self.entries[i] for i in doomed]
+        keep_idx = np.flatnonzero(keep)
+        self.matrix[: len(keep_idx)] = self.matrix[keep_idx]
+        self.matrix[len(keep_idx) : n] = PAD_VALUE
+        self.entries = [self.entries[i] for i in keep_idx]
+        self.rows = {e.uuid: i for i, e in enumerate(self.entries)}
+        self.dirty_from = min(self.dirty_from, doomed[0])
+        self.view_clean_from = min(self.view_clean_from, doomed[0])
+        return removed
+
 
 @dataclasses.dataclass
 class TierView:
@@ -317,11 +339,9 @@ class FingerprintStore:
         with self._lock:
             if name not in self.contexts:
                 return False
-            doomed = [e.uuid for e in self.entries if e.context == name]
-            for uuid in doomed:
-                self._delete_audio_locked(uuid, _bulk=True)
-            # one O(N) rebuild instead of len(doomed) O(N) list removals
-            self.entries = [e for e in self.entries if e.context != name]
+            self.delete_audios(
+                e.uuid for e in self.entries if e.context == name
+            )
             del self.contexts[name]
             return True
 
@@ -401,21 +421,52 @@ class FingerprintStore:
         with self._lock:
             return self._delete_audio_locked(uuid)
 
-    def _delete_audio_locked(self, uuid: str, _bulk: bool = False) -> bool:
+    def delete_audios(self, uuids) -> int:
+        """Bulk delete: ONE matrix compaction per tier and ONE catalog
+        rebuild, instead of per-uuid memmoves/list removals (O(k·N) data
+        movement for k deletions). Returns the number actually deleted."""
+        uuids = set(uuids)
+        with self._lock:
+            by_tier: dict[int, set[str]] = {}
+            for u in uuids:
+                t = self._uuid_tier.get(u)
+                if t is not None:
+                    by_tier.setdefault(t, set()).add(u)
+            removed_uuids: set[str] = set()
+            for t, us in by_tier.items():
+                for entry in self._tiers[t].delete_many(us):
+                    self._uuid_tier.pop(entry.uuid, None)
+                    self._by_uuid.pop(entry.uuid, None)
+                    self._forget_hash(entry)
+                    removed_uuids.add(entry.uuid)
+            if removed_uuids:
+                self.entries = [
+                    e for e in self.entries if e.uuid not in removed_uuids
+                ]
+                self._dirty = True
+            return len(removed_uuids)
+
+    def _delete_audio_locked(self, uuid: str) -> bool:
         t = self._uuid_tier.pop(uuid, None)
         if t is None:
             return False
         entry = self._tiers[t].delete(uuid)
         if entry is None:  # index out of sync — should not happen
             return False
-        if not _bulk:  # bulk callers rebuild self.entries in one pass
-            self.entries.remove(entry)
+        self.entries.remove(entry)
         self._by_uuid.pop(uuid, None)
+        self._forget_hash(entry)
+        self._dirty = True
+        return True
+
+    def _forget_hash(self, entry: AudioEntry) -> None:
         # Duplicate-hash entries can exist (add_audio with dedupe=False);
         # keep the index pointing at a surviving duplicate so find_by_hash
         # and sync-time dedupe stay correct. The per-key count makes the
         # unique-hash case (always, in practice) O(1) — the survivor scan
-        # runs only when a duplicate actually survives.
+        # runs only when a duplicate actually survives. During a bulk
+        # delete the chosen survivor may itself be doomed; its own
+        # _forget_hash later re-points or pops the key, so this converges.
         key = (entry.context, entry.hash)
         remaining = self._hash_count.get(key, 1) - 1
         if remaining <= 0:
@@ -438,8 +489,6 @@ class FingerprintStore:
                     self._hash_count.pop(key, None)
                 else:
                     self._hash_index[key] = survivor
-        self._dirty = True
-        return True
 
     # ------------------------------------------------------------------ #
     # device views
@@ -543,10 +592,9 @@ class FingerprintStore:
             return old
         # pad the delta row count to a power-of-two bucket (PAD rows are
         # masked out) so XLA compiles a bounded set of update shapes
-        k_pad = 1
-        while k_pad < a - lo:
-            k_pad *= 2
-        k_pad = min(k_pad, old.db.shape[0] - lo)
+        from tiresias_tpu.utils import next_pow2
+
+        k_pad = min(next_pow2(a - lo), old.db.shape[0] - lo)
         hi = lo + k_pad
         new_rows = np.full((k_pad, t, self.n_coefs), PAD_VALUE, np.float32)
         new_rows[: a - lo] = tier.matrix[lo:a]
@@ -594,12 +642,24 @@ class FingerprintStore:
         fixed-shape build compiles once per frame tier, ever, instead of
         once per padded audio count (a multi-second stall after every
         capacity step on remote-compile transports). Meshed stores build
-        from the sharded device view — GSPMD row-partitions the build."""
+        from the sharded device view — GSPMD row-partitions the build.
+
+        Snapshot isolation: the host fast path reads the LIVE tier matrix,
+        which is only row-identical to the view while the view is still
+        current. If the store has mutated since the snapshot was taken
+        (e.g. a concurrent delete compacted rows), build from the view's
+        own immutable device buffer instead — slower (per-shape compile)
+        but always consistent with ``view.entries`` attribution."""
         with self._lock:
             if view.value_map is None:
                 from tiresias_tpu.ops.match_lattice import build_value_map
 
-                if self.mesh is not None:
+                is_current = (
+                    not self._dirty
+                    and self._views is not None
+                    and any(v is view for v in self._views)
+                )
+                if self.mesh is not None or not is_current:
                     view.value_map = build_value_map(
                         view.db[..., 0], view.mask
                     )

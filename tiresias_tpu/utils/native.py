@@ -195,6 +195,12 @@ def decode_audio(path: str) -> tuple[np.ndarray, int] | None:
     )
     if rc != 0:
         return None
+    if n.value <= 0:
+        # zero decodable samples (e.g. a metadata-only file): malloc(0) may
+        # legally return NULL, which np.ctypeslib.as_array rejects — return
+        # an empty signal (callers treat it as a skip) instead of raising
+        lib.tir_buffer_free(out)
+        return np.zeros(0, np.float32), samplerate.value
     try:
         pcm = np.ctypeslib.as_array(out, shape=(n.value,)).copy()
     finally:
