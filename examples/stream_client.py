@@ -34,7 +34,9 @@ def main() -> int:
         pcm = wf.readframes(wf.getnframes())
 
     frame_bytes = SAMPLERATE * 2 * FRAME_MS // 1000
-    with socket.create_connection((host, port)) as sock:
+    with socket.create_connection((host, port), timeout=30.0) as sock:
+        # the timeout bounds the result wait: a lost connection or server
+        # fault raises instead of blocking the read loop forever
         f = sock.makefile("rw", encoding="utf-8", newline="\n")
         f.write(json.dumps({
             "op": "open", "channel": "demo", "context": context,
