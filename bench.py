@@ -63,6 +63,7 @@ def bench_search_latency(
     n_rounds: int = 20,
     batches: tuple = (1, 64),
     time_build: bool = False,
+    track_frames: int = 1024,
 ) -> float:
     """p50 per-query latency (ms) of 3-s recognition vs an n-track DB.
 
@@ -88,7 +89,7 @@ def bench_search_latency(
     dsp = DspConfig()
     sr = 8000
     rng = np.random.default_rng(1)
-    t = 1024  # ~33 s of stored audio per track at hop 256 / 8 kHz
+    t = track_frames  # 1024 ≈ 33 s of stored audio/track at hop 256, 8 kHz
     db = rng.uniform(-30, 25, size=(n_tracks, t)).astype(np.float32)
     n_frames = rng.integers(t // 2, t, size=n_tracks)
     mask = np.arange(t)[None, :] < n_frames[:, None]
@@ -186,11 +187,16 @@ def bench_search_latency(
     return results.get(64, results.get("device", 0.0))
 
 
-def bench_search_scale(n_tracks: int = 100_000) -> None:
-    """10x the BASELINE DB size: device-time recognition latency and
-    lattice-map build cost at 100k tracks (~930 h of stored audio)."""
+def bench_search_scale() -> None:
+    """Beyond the BASELINE DB size: device-time recognition latency and
+    lattice-map build cost at 10x (100k long tracks, ~930 h of stored
+    audio) and 100x (1M telephony-length clips, ~890 h)."""
     bench_search_latency(
-        n_tracks=n_tracks, n_rounds=10, batches=(), time_build=True
+        n_tracks=100_000, n_rounds=10, batches=(), time_build=True
+    )
+    bench_search_latency(
+        n_tracks=1_000_000, n_rounds=10, batches=(), time_build=True,
+        track_frames=128,  # ~4 s prompts — the telephony corpus shape
     )
 
 
@@ -368,17 +374,10 @@ def main() -> None:
 
     enable_compilation_cache()
     throughput = bench_fingerprint_throughput()
-    for name, fn in (
-        ("search", bench_search_latency),
-        ("search scale", bench_search_scale),
-        ("engine search", bench_engine_search),
-        ("db build", bench_db_build),
-        ("streams", bench_streams),
-    ):
-        try:
-            fn()
-        except Exception as exc:  # noqa: BLE001 - secondary metrics must not kill bench
-            print(f"[bench] {name} bench failed: {exc}", file=sys.stderr)
+    # the headline JSON goes out FIRST: the dev tunnel's remote-compile
+    # service occasionally degrades to minutes per program, and a bench
+    # killed mid-way through the secondary sections must still have
+    # reported its one machine-readable line
     baseline = 1000.0  # audio-hours/hour north star (BASELINE.md)
     print(
         json.dumps(
@@ -388,8 +387,20 @@ def main() -> None:
                 "unit": "audio_hours_per_hour_per_chip",
                 "vs_baseline": round(throughput / baseline, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    for name, fn in (
+        ("search", bench_search_latency),
+        ("engine search", bench_engine_search),
+        ("db build", bench_db_build),
+        ("streams", bench_streams),
+        ("search scale", bench_search_scale),
+    ):
+        try:
+            fn()
+        except Exception as exc:  # noqa: BLE001 - secondary metrics must not kill bench
+            print(f"[bench] {name} bench failed: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -111,11 +111,16 @@ class TestQuickstartExample:
                 # The example must import tiresias_tpu even when the package
                 # is not pip-installed (script dir, not repo root, lands on
                 # sys.path for a direct `python examples/quickstart.py` run).
+                # Drop any TPU-plugin site dirs (e.g. axon): an installed
+                # plugin ignores JAX_PLATFORMS, and this test must run on
+                # CPU regardless of the TPU backend's health.
                 "PYTHONPATH": os.pathsep.join(
-                    p for p in (
-                        os.path.abspath(os.path.join(EXAMPLES, "..")),
-                        os.environ.get("PYTHONPATH", ""),
-                    ) if p
+                    [os.path.abspath(os.path.join(EXAMPLES, ".."))]
+                    + [
+                        p
+                        for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                        if p and "axon" not in p
+                    ]
                 ),
             },
         )

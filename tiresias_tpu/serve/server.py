@@ -78,7 +78,12 @@ class RecognitionServer:
     async def stop(self) -> None:
         if self._server is not None:
             self._server.close()
-            await self._server.wait_closed()
+            # Python 3.12's wait_closed also waits for every client handler
+            # to finish; connections whose peers linger would hang an
+            # operator's shutdown forever — bound the wait and proceed
+            # (handlers die with the process anyway)
+            with contextlib.suppress(asyncio.TimeoutError):
+                await asyncio.wait_for(self._server.wait_closed(), timeout=5)
         if self._scorer is not None:
             self._scorer.cancel()
             with contextlib.suppress(asyncio.CancelledError):

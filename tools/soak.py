@@ -207,16 +207,21 @@ def main() -> int:
     for t in threads:
         t.join()
     elapsed = time.monotonic() - t0
-    asyncio.run_coroutine_threadsafe(holder["server"].stop(), holder["loop"])
-
     pct = 100.0 * stats["correct"] / max(1, stats["windows"])
     print(
         f"soak: {stats['windows']} windows, {pct:.1f}% correct, "
         f"{stats['windows'] / elapsed:.1f}/s sustained, "
         f"{stats['errors']} errors "
         f"({args.channels} channels x {args.seconds:.0f}s, "
-        f"{args.duration_ms} ms window / {args.hop_ms} ms hop)"
+        f"{args.duration_ms} ms window / {args.hop_ms} ms hop)",
+        flush=True,
     )
+    # stop AFTER reporting; waiting also keeps the interpreter from tearing
+    # down the executor under the daemon threads ("cannot schedule new
+    # futures after interpreter shutdown")
+    asyncio.run_coroutine_threadsafe(
+        holder["server"].stop(), holder["loop"]
+    ).result(timeout=30)
     return 0 if stats["errors"] == 0 and pct > 95.0 else 1
 
 
