@@ -69,6 +69,14 @@ def dsp_constants(dsp: DspConfig, samplerate: int) -> tuple[np.ndarray, np.ndarr
     return window, mel_t, dct_t
 
 
+@functools.lru_cache(maxsize=32)
+def _device_dsp_constants(dsp: DspConfig, samplerate: int):
+    """Device-resident :func:`dsp_constants` — uploaded once per
+    (dsp, samplerate) instead of on every dispatch."""
+    window, mel_t, dct_t = dsp_constants(dsp, samplerate)
+    return jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
+
+
 def frames_from_pcm(pcm: jax.Array, hop_size: int, buf_size: int) -> jax.Array:
     """pvoc-style framing on device.
 
@@ -156,11 +164,10 @@ def fingerprint_padded_batch(
         from tiresias_tpu.ops.mfcc_pallas import fingerprint_padded_batch_pallas
 
         return fingerprint_padded_batch_pallas(pcm, samplerate, dsp)
-    window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
+    window, mel_t, dct_t = _device_dsp_constants(dsp, int(samplerate))
     pcm = jnp.asarray(pcm)  # int16 stays int16 (converted on device)
     return _fingerprint_padded(
-        pcm, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t),
-        dsp.hop_size, dsp.buf_size,
+        pcm, window, mel_t, dct_t, dsp.hop_size, dsp.buf_size
     )
 
 

@@ -85,6 +85,23 @@ def pallas_constants(
     return dft_re, dft_im, mel_t, dct_t
 
 
+@functools.lru_cache(maxsize=16)
+def _device_constants(dsp: DspConfig, samplerate: int):
+    """Device-resident copies of :func:`pallas_constants`.
+
+    The constants are ~3 MB; passing fresh host arrays to the jitted
+    kernel re-uploaded them on EVERY dispatch (≈21 ms over a ~140 MB/s
+    host link — more than the kernel itself for a typical batch). Cached
+    device arrays upload once per (dsp, samplerate)."""
+    dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, samplerate)
+    return (
+        jnp.asarray(dft_re),
+        jnp.asarray(dft_im),
+        jnp.asarray(mel_t),
+        jnp.asarray(dct_t),
+    )
+
+
 def _fast_mfcc() -> bool:
     """Opt-in reduced-precision mode (TIRESIAS_FAST_MFCC=1): default TPU
     matmul precision is ~25% faster end-to-end but drifts ±0.03 from the
@@ -180,7 +197,7 @@ def fingerprint_padded_batch_pallas(
     dsp = dsp or DspConfig()
     from tiresias_tpu.ops.mfcc_jax import to_float_pcm
 
-    dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, int(samplerate))
+    dft_re, dft_im, mel_t, dct_t = _device_constants(dsp, int(samplerate))
     pcm = to_float_pcm(jnp.asarray(pcm))
     b, s = pcm.shape
     f = s // dsp.hop_size
@@ -192,11 +209,6 @@ def fingerprint_padded_batch_pallas(
     if rows_pad != rows:
         frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
     out = _mfcc_rows(
-        frames,
-        jnp.asarray(dft_re),
-        jnp.asarray(dft_im),
-        jnp.asarray(mel_t),
-        jnp.asarray(dct_t),
-        interpret=interpret,
+        frames, dft_re, dft_im, mel_t, dct_t, interpret=interpret
     )
     return out[:rows, : dsp.n_coefs].reshape(b, f, dsp.n_coefs)
