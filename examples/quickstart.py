@@ -10,7 +10,7 @@ import tempfile
 
 from tiresias_tpu.api import Tiresias
 from tiresias_tpu.config import ContextConfig, TiresiasConfig
-from tiresias_tpu.utils.audio import synth_chirp, synth_tone, write_wav
+from tiresias_tpu.utils.audio import synth_chirp, write_wav
 
 SR = 8000
 

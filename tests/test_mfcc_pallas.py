@@ -89,3 +89,51 @@ class TestKernel:
         )
         ref = np.asarray(fingerprint_padded_batch(pcm, SR, dsp))
         np.testing.assert_allclose(got, ref, atol=1e-3)
+
+
+class TestFramedKernel:
+    """The in-kernel-framing variant (long signals) must match the
+    frame-materialising kernel and the XLA path exactly."""
+
+    def test_framed_path_matches_xla(self):
+        from tiresias_tpu.ops.mfcc_pallas import ROW_TILE, _device_constants
+        from tiresias_tpu.ops.mfcc_pallas import _fingerprint_framed
+
+        dsp = DspConfig()
+        rng = np.random.default_rng(7)
+        # 2 signals x 512 frames: two full row tiles each, zero padding
+        # waste -> the dispatcher would choose the framed path on TPU
+        f = 2 * ROW_TILE
+        s = f * dsp.hop_size
+        pcm = (0.3 * rng.standard_normal((2, s))).astype(np.float32)
+        consts = _device_constants(dsp, SR)
+        got = np.asarray(
+            _fingerprint_framed(
+                pcm, *consts, dsp.hop_size, dsp.buf_size, dsp.n_coefs,
+                interpret=True,
+            )
+        )
+        ref = np.asarray(fingerprint_padded_batch(pcm, SR, dsp))
+        assert got.shape == ref.shape == (2, f, dsp.n_coefs)
+        np.testing.assert_allclose(got, ref, atol=0.02, rtol=0)
+
+    def test_framed_partial_tile_and_halo(self):
+        """Frame 0's pre-t0 zero halo and a partial last tile (f not a
+        multiple of ROW_TILE) must both be handled."""
+        from tiresias_tpu.ops.mfcc_pallas import ROW_TILE, _device_constants
+        from tiresias_tpu.ops.mfcc_pallas import _fingerprint_framed
+
+        dsp = DspConfig()
+        rng = np.random.default_rng(8)
+        f = ROW_TILE + 37
+        s = f * dsp.hop_size
+        pcm = (0.3 * rng.standard_normal((1, s))).astype(np.float32)
+        consts = _device_constants(dsp, SR)
+        got = np.asarray(
+            _fingerprint_framed(
+                pcm, *consts, dsp.hop_size, dsp.buf_size, dsp.n_coefs,
+                interpret=True,
+            )
+        )
+        ref = np.asarray(fingerprint_padded_batch(pcm, SR, dsp))
+        np.testing.assert_allclose(got, ref, atol=0.02, rtol=0)

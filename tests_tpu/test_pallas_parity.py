@@ -100,3 +100,37 @@ def test_lattice_equals_xla_on_device(rng):
         jnp.asarray(db), jnp.asarray(mask), q, tolerance=1.5
     )
     np.testing.assert_array_equal(np.asarray(votes_l), np.asarray(votes_x))
+
+
+def test_framed_kernel_bitwise_equals_frame_materialising(rng):
+    """The in-kernel-framing variant (long signals) must be BITWISE equal
+    to the frame-materialising kernel when compiled by Mosaic — same dots,
+    same order, frames assembled in VMEM instead of HBM."""
+    from tiresias_tpu.ops.mfcc_pallas import (
+        ROW_TILE,
+        _device_constants,
+        _fingerprint_framed,
+        _mfcc_rows,
+        _pad_to,
+    )
+    from tiresias_tpu.ops.mfcc_jax import frames_from_pcm
+    import jax.numpy as jnp
+
+    dsp = DspConfig()
+    f = 2 * ROW_TILE + 37  # partial last tile + pre-t0 halo both exercised
+    s = f * dsp.hop_size
+    pcm = (0.3 * rng.standard_normal((3, s))).astype(np.float32)
+    consts = _device_constants(dsp, SR)
+    framed = np.asarray(
+        _fingerprint_framed(
+            jnp.asarray(pcm), *consts, dsp.hop_size, dsp.buf_size,
+            dsp.n_coefs,
+        )
+    )
+    frames = frames_from_pcm(
+        jnp.asarray(pcm), dsp.hop_size, dsp.buf_size
+    ).reshape(3 * f, dsp.buf_size)
+    rows_pad = _pad_to(3 * f, ROW_TILE)
+    frames = jnp.pad(frames, ((0, rows_pad - 3 * f), (0, 0)))
+    ref = np.asarray(_mfcc_rows(frames, *consts))[: 3 * f, : dsp.n_coefs]
+    np.testing.assert_array_equal(framed.reshape(3 * f, dsp.n_coefs), ref)

@@ -21,7 +21,6 @@ the TPU-native equivalent of the NCCL/MPI layer a GPU framework would hand
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
