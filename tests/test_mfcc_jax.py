@@ -132,3 +132,31 @@ def test_nondefault_dsp_profile():
     ours = np.asarray(mfcc_jax.fingerprint_signal(pcm, SR, dsp))
     golden = rdsp.fingerprint_signal(np.asarray(pcm, dtype=np.float64), SR, dsp)
     assert_fp_close(ours, golden, fp_error_bound(pcm, dsp))
+
+
+def test_device_constant_cache_safe_under_tracing():
+    """Populating the device-constant caches INSIDE a jit trace must not
+    leak tracers into later eager calls (the first engine search on a
+    fresh process traces the whole fingerprint chain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.config import DspConfig
+    from tiresias_tpu.ops import mfcc_jax
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    dsp = DspConfig(n_filters=20, n_coefs=2)  # unique key -> fresh cache
+    assert (dsp, 8000) not in mfcc_jax._device_consts_cache
+    pcm = np.zeros((1, 2048), np.float32)
+
+    @jax.jit
+    def traced(p):
+        return fingerprint_padded_batch(p, 8000, dsp)
+
+    traced(pcm)  # populates nothing (tracers must not be cached)
+    assert all(
+        not isinstance(o, jax.core.Tracer)
+        for o in mfcc_jax._device_consts_cache.get((dsp, 8000), ())
+    )
+    out = fingerprint_padded_batch(pcm, 8000, dsp)  # eager: must not raise
+    assert np.asarray(out).shape == (1, 8, 2)

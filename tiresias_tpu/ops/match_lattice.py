@@ -181,10 +181,15 @@ def lattice_votes(
     kvals = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)
     in_band = (kvals >= band_lo) & (kvals <= band_hi)
     c = c * in_band[None, :].astype(jnp.float32)
-    # hit map H[k, a] and the single MXU matmul
-    h = (value_map <= tol).astype(jnp.float32).T  # [K, A]
-    votes = jnp.matmul(
-        c, h, preferred_element_type=jnp.float32,
+    # hit map H[a, k] and the single MXU contraction. Contract on k of BOTH
+    # operands (no transpose): materialising H.T through HBM cost ~25x the
+    # matmul itself at 1M tracks (measured 77 ms vs 3 ms device time);
+    # without the transpose XLA fuses the tolerance compare into the
+    # matmul's operand read.
+    h = (value_map <= tol).astype(jnp.float32)  # [A, K]
+    votes = jax.lax.dot_general(
+        c, h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
     return votes.astype(jnp.int32)

@@ -91,21 +91,32 @@ def pallas_constants(
     return dft_re, dft_im, mel_t, dct_t
 
 
-@functools.lru_cache(maxsize=16)
+_device_consts_cache: dict = {}
+
+
 def _device_constants(dsp: DspConfig, samplerate: int):
     """Device-resident copies of :func:`pallas_constants`.
 
     The constants are ~3 MB; passing fresh host arrays to the jitted
     kernel re-uploaded them on EVERY dispatch (≈21 ms over a ~140 MB/s
     host link — more than the kernel itself for a typical batch). Cached
-    device arrays upload once per (dsp, samplerate)."""
+    device arrays upload once per (dsp, samplerate). Calls under a jit
+    trace get (uncached) tracers — caching one would leak it out of its
+    trace; the enclosing jaxpr embeds the constants instead."""
+    key = (dsp, samplerate)
+    hit = _device_consts_cache.get(key)
+    if hit is not None:
+        return hit
     dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, samplerate)
-    return (
+    out = (
         jnp.asarray(dft_re),
         jnp.asarray(dft_im),
         jnp.asarray(mel_t),
         jnp.asarray(dct_t),
     )
+    if not any(isinstance(o, jax.core.Tracer) for o in out):
+        _device_consts_cache[key] = out
+    return out
 
 
 def _fast_mfcc() -> bool:
