@@ -137,3 +137,18 @@ class TestFramedKernel:
         )
         ref = np.asarray(fingerprint_padded_batch(pcm, SR, dsp))
         np.testing.assert_allclose(got, ref, atol=0.02, rtol=0)
+
+    def test_non_2x_overlap_config_stays_on_generic_path(self):
+        """DSP configs whose window is not exactly two hops (legal: only
+        divisibility is required) must not route to the framed kernel,
+        which hard-codes 2-chunk frames."""
+        dsp = DspConfig(hop_size=128, buf_size=512)
+        rng = np.random.default_rng(9)
+        s = 600 * dsp.hop_size  # long enough to pass the padding test
+        pcm = (0.3 * rng.standard_normal((1, s))).astype(np.float32)
+        got = np.asarray(
+            fingerprint_padded_batch_pallas(pcm, SR, dsp, interpret=True)
+        )
+        ref = np.asarray(fingerprint_padded_batch(pcm, SR, dsp))
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(got, ref, atol=0.02, rtol=0)

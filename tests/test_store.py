@@ -302,3 +302,18 @@ class TestValueMapSnapshotIsolation:
             build_value_map(jnp.asarray(view.db[..., 0]), jnp.asarray(view.mask))
         )
         np.testing.assert_array_equal(vm, expected)
+
+    def test_bulk_delete_repoints_dup_index_to_live_entry(self):
+        """Deleting {d1, d3} of three same-hash duplicates must leave the
+        hash index on the LIVE d2 — never on an already-deleted entry."""
+        rng = np.random.default_rng(24)
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        fp = rng.uniform(-40, 20, size=(8, 2)).astype(np.float32)
+        d1 = store.add_audio("d1", "c", fp, "same", dedupe=False)
+        d2 = store.add_audio("d2", "c", fp, "same", dedupe=False)
+        d3 = store.add_audio("d3", "c", fp, "same", dedupe=False)
+        assert store.delete_audios([d1.uuid, d3.uuid]) == 2
+        survivor = store.find_by_hash("c", "same")
+        assert survivor is d2
+        assert store.get_audio(survivor.uuid) is d2

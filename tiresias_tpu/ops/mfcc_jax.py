@@ -69,26 +69,39 @@ def dsp_constants(dsp: DspConfig, samplerate: int) -> tuple[np.ndarray, np.ndarr
     return window, mel_t, dct_t
 
 
+def cache_device_constants(cache: dict, key, build, maxsize: int = 16):
+    """Shared device-constant cache (used here and by mfcc_pallas).
+
+    NOT an lru_cache: under a jit trace ``jnp.asarray`` of a host array
+    yields a constant tracer, and caching one leaks it out of its trace
+    (observed UnexpectedTracerError on the next call). Traced calls embed
+    the constants into the enclosing jaxpr and are never cached. Bounded:
+    oldest entry evicted past ``maxsize`` (native-rate corpora can touch
+    many samplerates)."""
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
+    out = build()
+    if not any(isinstance(o, jax.core.Tracer) for o in out):
+        if len(cache) >= maxsize:
+            cache.pop(next(iter(cache)))
+        cache[key] = out
+    return out
+
+
 _device_consts_cache: dict = {}
 
 
 def _device_dsp_constants(dsp: DspConfig, samplerate: int):
     """Device-resident :func:`dsp_constants` — uploaded once per
-    (dsp, samplerate) instead of on every dispatch.
+    (dsp, samplerate) instead of on every dispatch."""
+    def build():
+        window, mel_t, dct_t = dsp_constants(dsp, samplerate)
+        return jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t)
 
-    NOT an lru_cache: under a jit trace ``jnp.asarray`` yields tracers,
-    and caching one leaks it out of its trace (UnexpectedTracerError on
-    the next call). Traced calls embed the constants into the enclosing
-    jaxpr and are never cached."""
-    key = (dsp, samplerate)
-    hit = _device_consts_cache.get(key)
-    if hit is not None:
-        return hit
-    window, mel_t, dct_t = dsp_constants(dsp, samplerate)
-    out = (jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t))
-    if not any(isinstance(o, jax.core.Tracer) for o in out):
-        _device_consts_cache[key] = out
-    return out
+    return cache_device_constants(
+        _device_consts_cache, (dsp, samplerate), build
+    )
 
 
 def frames_from_pcm(pcm: jax.Array, hop_size: int, buf_size: int) -> jax.Array:

@@ -100,23 +100,22 @@ def _device_constants(dsp: DspConfig, samplerate: int):
     The constants are ~3 MB; passing fresh host arrays to the jitted
     kernel re-uploaded them on EVERY dispatch (≈21 ms over a ~140 MB/s
     host link — more than the kernel itself for a typical batch). Cached
-    device arrays upload once per (dsp, samplerate). Calls under a jit
-    trace get (uncached) tracers — caching one would leak it out of its
-    trace; the enclosing jaxpr embeds the constants instead."""
-    key = (dsp, samplerate)
-    hit = _device_consts_cache.get(key)
-    if hit is not None:
-        return hit
-    dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, samplerate)
-    out = (
-        jnp.asarray(dft_re),
-        jnp.asarray(dft_im),
-        jnp.asarray(mel_t),
-        jnp.asarray(dct_t),
+    device arrays upload once per (dsp, samplerate); tracer/eviction
+    semantics in :func:`mfcc_jax.cache_device_constants`."""
+    from tiresias_tpu.ops.mfcc_jax import cache_device_constants
+
+    def build():
+        dft_re, dft_im, mel_t, dct_t = pallas_constants(dsp, samplerate)
+        return (
+            jnp.asarray(dft_re),
+            jnp.asarray(dft_im),
+            jnp.asarray(mel_t),
+            jnp.asarray(dct_t),
+        )
+
+    return cache_device_constants(
+        _device_consts_cache, (dsp, samplerate), build
     )
-    if not any(isinstance(o, jax.core.Tracer) for o in out):
-        _device_consts_cache[key] = out
-    return out
 
 
 def _fast_mfcc() -> bool:
@@ -134,17 +133,21 @@ def _fast_mfcc() -> bool:
     )
 
 
-def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
-    # HIGHEST precision on every dot: default TPU matmul truncates inputs
-    # to bf16, visible as ±0.03 in the log-log fingerprint domain — the
-    # same requirement as the XLA path (mfcc_jax.py / PARITY.md §2).
-    # TIRESIAS_FAST_MFCC trades that for throughput (see _fast_mfcc).
+def _mfcc_chain(frames, dft_re_ref, dft_im_ref, mel_ref, dct_ref):
+    """The shared windowed-DFT → |·| → mel → log → DCT → 10·log10|·| body
+    of BOTH kernels (frame-materialising and in-kernel-framing) — one
+    definition so a numerics change cannot silently break their bitwise
+    equivalence.
+
+    HIGHEST precision on every dot: default TPU matmul truncates inputs
+    to bf16, visible as ±0.03 in the log-log fingerprint domain — the
+    same requirement as the XLA path (mfcc_jax.py / PARITY.md §2).
+    TIRESIAS_FAST_MFCC trades that for throughput (see _fast_mfcc)."""
     hi = (
         jax.lax.Precision.DEFAULT if _fast_mfcc() else jax.lax.Precision.HIGHEST
     )
-    f = frames_ref[...]
-    re = jnp.dot(f, dft_re_ref[...], preferred_element_type=jnp.float32, precision=hi)
-    im = jnp.dot(f, dft_im_ref[...], preferred_element_type=jnp.float32, precision=hi)
+    re = jnp.dot(frames, dft_re_ref[...], preferred_element_type=jnp.float32, precision=hi)
+    im = jnp.dot(frames, dft_im_ref[...], preferred_element_type=jnp.float32, precision=hi)
     mag = jnp.sqrt(re * re + im * im)
     mel = jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32, precision=hi)
     # safe_log10 robust to TPU subnormal flushing (mfcc_jax / PARITY.md §2)
@@ -155,10 +158,16 @@ def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
     )
     coefs = jnp.dot(logm, dct_ref[...], preferred_element_type=jnp.float32, precision=hi)
     ac = jnp.abs(coefs)
-    out_ref[...] = 10.0 * jnp.where(
+    return 10.0 * jnp.where(
         ac >= _FLOOR_THRESHOLD,
         jnp.log10(jnp.maximum(ac, _FLOOR_THRESHOLD)),
         _LOG10_FLOOR,
+    )
+
+
+def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
+    out_ref[...] = _mfcc_chain(
+        frames_ref[...], dft_re_ref, dft_im_ref, mel_ref, dct_ref
     )
 
 
@@ -222,25 +231,7 @@ def _framing_kernel(chunks_hbm, re_ref, im_ref, mel_ref, dct_ref, out_ref,
     frames = jnp.concatenate(
         [cur[:tile_f, :], shifted[:tile_f, :]], axis=1
     )
-    hi = (
-        jax.lax.Precision.DEFAULT if _fast_mfcc() else jax.lax.Precision.HIGHEST
-    )
-    re = jnp.dot(frames, re_ref[...], preferred_element_type=jnp.float32, precision=hi)
-    im = jnp.dot(frames, im_ref[...], preferred_element_type=jnp.float32, precision=hi)
-    mag = jnp.sqrt(re * re + im * im)
-    mel = jnp.dot(mag, mel_ref[...], preferred_element_type=jnp.float32, precision=hi)
-    logm = jnp.where(
-        mel >= _FLOOR_THRESHOLD,
-        jnp.log10(jnp.maximum(mel, _FLOOR_THRESHOLD)),
-        _LOG10_FLOOR,
-    )
-    coefs = jnp.dot(logm, dct_ref[...], preferred_element_type=jnp.float32, precision=hi)
-    ac = jnp.abs(coefs)
-    out_ref[...] = 10.0 * jnp.where(
-        ac >= _FLOOR_THRESHOLD,
-        jnp.log10(jnp.maximum(ac, _FLOOR_THRESHOLD)),
-        _LOG10_FLOOR,
-    )
+    out_ref[...] = _mfcc_chain(frames, re_ref, im_ref, mel_ref, dct_ref)
 
 
 @functools.partial(
@@ -331,7 +322,10 @@ def fingerprint_padded_batch_pallas(
     b, s = pcm.shape
     f = s // dsp.hop_size
     tiles = -(-f // ROW_TILE)
-    if tiles * ROW_TILE * 5 <= f * 6:  # ≤20% per-signal padding waste
+    if (
+        dsp.buf_size == 2 * dsp.hop_size  # kernel assembles 2-chunk frames
+        and tiles * ROW_TILE * 5 <= f * 6  # ≤20% per-signal padding waste
+    ):
         return _fingerprint_framed(
             pcm, dft_re, dft_im, mel_t, dct_t,
             dsp.hop_size, dsp.buf_size, dsp.n_coefs,

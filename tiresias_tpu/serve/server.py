@@ -229,15 +229,16 @@ class RecognitionServer:
             result = await asyncio.get_running_loop().run_in_executor(
                 None, self.recognizer.hangup, cid(channel)
             )
-            opened.discard(cid(channel))
             if result is not None:
                 await self._send_result_direct(writer, channel, result)
                 self._writers.pop(cid(channel), None)
+                opened.discard(cid(channel))
             # result None + writer still registered means the scorer took
             # the channel's window first and its search is in flight: keep
             # the writer so _send_result can deliver (it pops closed
-            # channels itself); the connection's finally-block is the
-            # backstop if the client disconnects before that.
+            # channels itself), and keep the channel in `opened` so the
+            # connection's finally-block remains the backstop that frees
+            # the writer if the client disconnects before delivery.
         else:
             writer.write(
                 (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()

@@ -432,19 +432,26 @@ class FingerprintStore:
                 t = self._uuid_tier.get(u)
                 if t is not None:
                     by_tier.setdefault(t, set()).add(u)
-            removed_uuids: set[str] = set()
+            removed: list[AudioEntry] = []
             for t, us in by_tier.items():
                 for entry in self._tiers[t].delete_many(us):
                     self._uuid_tier.pop(entry.uuid, None)
                     self._by_uuid.pop(entry.uuid, None)
-                    self._forget_hash(entry)
-                    removed_uuids.add(entry.uuid)
-            if removed_uuids:
+                    removed.append(entry)
+            if removed:
+                # filter the catalog BEFORE the hash bookkeeping: the
+                # duplicate-survivor scan in _forget_hash must only ever
+                # see live entries, or it could re-point the index at an
+                # already-deleted duplicate whose own _forget_hash ran
+                # earlier in this loop
+                removed_uuids = {e.uuid for e in removed}
                 self.entries = [
                     e for e in self.entries if e.uuid not in removed_uuids
                 ]
+                for entry in removed:
+                    self._forget_hash(entry)
                 self._dirty = True
-            return len(removed_uuids)
+            return len(removed)
 
     def _delete_audio_locked(self, uuid: str) -> bool:
         t = self._uuid_tier.pop(uuid, None)
@@ -464,9 +471,9 @@ class FingerprintStore:
         # keep the index pointing at a surviving duplicate so find_by_hash
         # and sync-time dedupe stay correct. The per-key count makes the
         # unique-hash case (always, in practice) O(1) — the survivor scan
-        # runs only when a duplicate actually survives. During a bulk
-        # delete the chosen survivor may itself be doomed; its own
-        # _forget_hash later re-points or pops the key, so this converges.
+        # runs only when a duplicate actually survives. Callers must have
+        # removed the deleted entries from self.entries BEFORE calling
+        # (delete_audios filters first), so the scan only sees live rows.
         key = (entry.context, entry.hash)
         remaining = self._hash_count.get(key, 1) - 1
         if remaining <= 0:

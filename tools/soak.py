@@ -218,10 +218,15 @@ def main() -> int:
     )
     # stop AFTER reporting; waiting also keeps the interpreter from tearing
     # down the executor under the daemon threads ("cannot schedule new
-    # futures after interpreter shutdown")
-    asyncio.run_coroutine_threadsafe(
-        holder["server"].stop(), holder["loop"]
-    ).result(timeout=30)
+    # futures after interpreter shutdown"). server.close() cancels
+    # serve_forever, which ends the loop's asyncio.run and may cancel the
+    # stop() task itself mid-await — a clean shutdown, not a failure.
+    try:
+        asyncio.run_coroutine_threadsafe(
+            holder["server"].stop(), holder["loop"]
+        ).result(timeout=30)
+    except (TimeoutError, asyncio.CancelledError):
+        pass
     return 0 if stats["errors"] == 0 and pct > 95.0 else 1
 
 
