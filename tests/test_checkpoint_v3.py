@@ -46,7 +46,13 @@ class TestIncrementalSave:
         assert segs2[1][0] != segs1[1][0]  # partial tail rewritten
         assert segs2[1][1] == 13
 
-    def test_delete_rewrites_following_rows_only(self, tmp_path):
+    def test_delete_tombstones_without_segment_rewrites(self, tmp_path):
+        """v4: a delete rewrites NO segment files — it only records the
+        dead row in the catalog; the row is dropped at load. After a
+        reload, the first save rewrites from the (compacted-away) dead row
+        on, since in-memory rows diverge from the old segments there."""
+        import json as _json
+
         rng = np.random.default_rng(2)
         store = FingerprintStore(n_coefs=2)
         store.create_context("c")
@@ -54,14 +60,30 @@ class TestIncrementalSave:
             store.add_audio(f"a{i}", "c", _fp(rng), f"h{i}")
         store.save(str(tmp_path))
         segs1 = _segments(tmp_path)["128"]
-        # delete an entry in the SECOND segment: segment 0 stays, 1+ rewrite
         victim = store.get_audios_by_context("c")[SEGMENT_ROWS + 7]
+        vfp = store.get_fingerprint(victim.uuid)
         assert store.delete_audio(victim.uuid)
         store.save(str(tmp_path))
         segs2 = _segments(tmp_path)["128"]
-        assert segs2[0] == segs1[0]
-        assert segs2[1][0] != segs1[1][0]
-        assert sum(s[1] for s in segs2) == 2 * SEGMENT_ROWS + 4
+        assert segs2 == segs1  # every segment reused verbatim
+        with open(tmp_path / "catalog.json") as f:
+            cat = _json.load(f)
+        assert cat["dead"] == {"128": [SEGMENT_ROWS + 7]}
+        # reload: the tombstoned row is gone, neighbours intact
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(loaded) == 2 * SEGMENT_ROWS + 4
+        assert loaded.get_audio(victim.uuid) is None
+        for e in loaded.iter_entries():
+            assert not np.array_equal(loaded.get_fingerprint(e.uuid), vfp)
+        # post-reload save: segment 0 reused, dirty tail rewritten, and the
+        # result round-trips
+        loaded.save(str(tmp_path))
+        segs3 = _segments(tmp_path)["128"]
+        assert segs3[0] == segs1[0]
+        assert segs3[1][0] != segs1[1][0]
+        assert sum(s[1] for s in segs3) == 2 * SEGMENT_ROWS + 4
+        again = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert len(again) == 2 * SEGMENT_ROWS + 4
 
     def test_round_trip_and_gc(self, tmp_path):
         rng = np.random.default_rng(3)
@@ -122,10 +144,10 @@ class TestIncrementalSave:
         loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
         assert len(loaded) == 1
         np.testing.assert_array_equal(loaded.get_fingerprint("u-1"), fp)
-        # and the next save upgrades it to v3
+        # and the next save upgrades it to the current version
         loaded.save(str(tmp_path))
         with open(tmp_path / "catalog.json") as f:
-            assert json.load(f)["version"] == 3
+            assert json.load(f)["version"] == 4
         reloaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
         np.testing.assert_array_equal(reloaded.get_fingerprint("u-1"), fp)
 

@@ -276,7 +276,12 @@ class TestViewConsistentAttribution:
         eng.delete_audio(names[0])
         # the snapshot still maps the OLD row order
         assert [e.uuid for e in view] == names
-        # a fresh view reflects the delete
+        # a fresh view keeps the tombstoned row slot (masked off) so row
+        # attribution never shifts without a rebuild...
+        eng.store.device_db()
+        assert [e.uuid for e in eng.store.view_entries()] == names
+        # ...and compaction reclaims it
+        eng.store.compact()
         eng.store.device_db()
         assert [e.uuid for e in eng.store.view_entries()] == names[1:]
 

@@ -196,22 +196,75 @@ class TestIncrementalViews:
         )
         assert e.uuid in [x.uuid for x in v2.entries]
 
-    def test_delete_forces_rebuild_and_stays_correct(self):
+    def test_delete_tombstones_in_place(self):
+        """A delete must NOT rebuild/re-upload the view buffer (round-3
+        incremental-delete contract): the db buffer is reused and only the
+        dead row's mask is scattered off."""
+        import numpy as np
+
+        store, rng = self._store_with(5)
+        v1 = store.search_views()[0]
+        store.value_map_for(v1)
+        victim = store.get_audios_by_context("c")[1]
+        store.delete_audio(victim.uuid)
+        v = store.search_views()[0]
+        assert v.db is v1.db  # same device buffer — no re-upload
+        assert v.n_audios == 5  # tombstoned row keeps its slot
+        assert v.dead_rows == frozenset({1})
+        mask = np.asarray(v.mask)
+        assert not mask[1].any()  # dead row fully masked
+        assert mask[0].any() and mask[2].any()
+        # the incrementally-updated lattice map can never match row 1
+        vm = np.asarray(v.value_map)
+        assert np.isinf(vm[1]).all()
+        # live rows still match their fingerprints
+        for i, entry in enumerate(v.entries):
+            if i == 1:
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(v.db)[i, : entry.n_frames],
+                store.get_fingerprint(entry.uuid),
+            )
+
+    def test_compaction_rebuilds_and_stays_correct(self):
         import numpy as np
 
         store, rng = self._store_with(5)
         store.search_views()
         victim = store.get_audios_by_context("c")[1]
         store.delete_audio(victim.uuid)
+        store.compact()  # force tombstone reclamation
         v = store.search_views()[0]
         assert v.n_audios == 4
         assert victim.uuid not in [x.uuid for x in v.entries]
-        # row i of the view matches entry i's fingerprint
         for i, entry in enumerate(v.entries):
             np.testing.assert_array_equal(
                 np.asarray(v.db)[i, : entry.n_frames],
                 store.get_fingerprint(entry.uuid),
             )
+
+    def test_tombstoned_audio_never_matches(self):
+        """End-to-end: search after a delete must not return the victim,
+        on both the general matcher and the lattice path."""
+        import numpy as np
+
+        from tiresias_tpu.ops import match_jax
+        from tiresias_tpu.ops.match_lattice import search_lattice
+
+        store, rng = self._store_with(4)
+        victim = store.get_audios_by_context("c")[2]
+        query = store.get_fingerprint(victim.uuid)[None]  # exact copy
+        store.search_views()
+        store.delete_audio(victim.uuid)
+        v = store.search_views()[0]
+        best, count, votes = match_jax.search_batch(
+            v.db, v.mask, query, None, coefs=2, tolerance=0.5,
+            trunc_coef1=False,
+        )
+        assert np.asarray(votes)[0, 2] == 0  # dead row votes nothing
+        vm = store.value_map_for(v)
+        _, _, lvotes = search_lattice(vm, query, None, tolerance=1.0)
+        assert np.asarray(lvotes)[0, 2] == 0
 
     def test_capacity_growth_rebuilds(self):
         store, rng = self._store_with(2)

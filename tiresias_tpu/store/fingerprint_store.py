@@ -55,12 +55,14 @@ from tiresias_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-CHECKPOINT_VERSION = 3
+CHECKPOINT_VERSION = 4
 CATALOG_FILE = "catalog.json"
 MATRIX_FILE = "fingerprints.npz"  # v1/v2 checkpoints (still loadable)
 # v3 layout: immutable per-tier SEGMENT files (tier<t>_seg<i>.g<gen>.npy),
 # committed by the catalog rename; only segments touched since the last
 # save are rewritten, so per-ingest checkpoints cost O(batch), not O(DB).
+# v4 = v3 plus an optional per-tier "dead" row list (tombstoned deletes are
+# persisted without rewriting segments; dead rows are dropped at load).
 SEGMENT_ROWS = 2048
 
 # Device-view padding buckets: audio axis to multiples of 128 (one Pallas
@@ -81,6 +83,29 @@ def tier_for(n_frames: int) -> int:
     while t < n_frames:
         t *= 2
     return t
+
+
+def split_frames(n_frames: int) -> list[int]:
+    """Per-segment frame counts for one audio: ``[n_frames]`` when it fits
+    a tier; otherwise MAX_TIER_FRAMES-sized chunks plus the tail.
+
+    The reference fingerprints unbounded-length files (its serial loop just
+    runs until the source ends, /root/reference/src/fp_handler.c:632-661);
+    dense tiers cap a row at ~18.6 h, so longer audios are auto-split into
+    segment ROWS that share one catalog entry. Votes merge per audio: the
+    lattice (dialplan) path merges EXACTLY — segment distance-map rows are
+    min-combined into the first row, which is precisely the reference's
+    ∃t-over-the-whole-audio semantics; the general matcher path sums
+    per-segment votes (additive — a query frame matching in two segments
+    counts twice; documented deviation, PARITY.md D10)."""
+    if n_frames <= MAX_TIER_FRAMES:
+        return [n_frames]
+    out = []
+    rem = n_frames
+    while rem > 0:
+        out.append(min(rem, MAX_TIER_FRAMES))
+        rem -= MAX_TIER_FRAMES
+    return out
 
 
 @dataclasses.dataclass
@@ -171,6 +196,42 @@ def _update_rows(buf, rows, index: int, mesh=None):
     return fn(buf, rows, index)
 
 
+_scatter_rows_fns: dict = {}  # (mesh, ndim, dtype) -> executable
+
+
+def _scatter_rows(buf, idx: np.ndarray, fill, mesh=None):
+    """``buf[idx] = fill`` (scalar) as a NEW device array — the tombstone
+    device update: only the k row indices cross host→device; the buffer is
+    copied on device with the rows overwritten. idx is padded to a
+    power-of-two bucket (repeats are harmless for a constant fill) so
+    compile shapes stay bounded. Not donated: a concurrent search may hold
+    the previous view. On a mesh the output is pinned back to the view's
+    ``P('db', ...)`` sharding (see _update_rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.utils import next_pow2
+
+    k_pad = next_pow2(len(idx))
+    idx_p = np.full(k_pad, idx[0], np.int32)
+    idx_p[: len(idx)] = idx
+    key = (mesh, buf.ndim, str(buf.dtype))
+    fn = _scatter_rows_fns.get(key)
+    if fn is None:
+        def upd(b, i, v):
+            return b.at[i].set(v.astype(b.dtype))
+
+        if mesh is None:
+            fn = jax.jit(upd)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec("db", *([None] * (buf.ndim - 1)))
+            fn = jax.jit(upd, out_shardings=NamedSharding(mesh, spec))
+        _scatter_rows_fns[key] = fn
+    return fn(buf, jnp.asarray(idx_p), jnp.asarray(fill))
+
+
 def _max_seg_gen(directory: str) -> int:
     """Highest generation number among segment files in a directory."""
     best = 0
@@ -194,14 +255,25 @@ class _Tier:
         self.matrix = np.full((0, tier_frames, n_coefs), PAD_VALUE, np.float32)
         self.entries: list[AudioEntry] = []
         self.rows: dict[str, int] = {}  # uuid -> matrix row (== list index)
+        # Tombstoned rows: deletes DO NOT move matrix rows — the row is
+        # marked dead and masked off the device view in O(deleted rows)
+        # device work (a compaction would force a full view re-upload, a
+        # ~20 s stall per delete on a 1M-track serving store). Dead rows are
+        # reclaimed by :meth:`compact` once they exceed the waste threshold.
+        self.dead: set[int] = set()
+        self.view_dead_pending: set[int] = set()  # dead since last view
         # first row whose content changed since the last checkpoint save
         # (rows only ever change from some index to the end: appends at the
-        # end, deletes shift everything after the hole)
+        # end; compaction shifts everything after the first hole)
         self.dirty_from = 0
         # same tracking relative to the last device-view build: appends keep
-        # this == the old row count (incremental view update); deletes drop
-        # it below (full view rebuild)
+        # this == the old row count (incremental view update); compaction
+        # drops it below (full view rebuild)
         self.view_clean_from = 0
+
+    @property
+    def n_live(self) -> int:
+        return len(self.entries) - len(self.dead)
 
     def ensure_capacity(self, n_rows: int) -> None:
         cap = self.matrix.shape[0]
@@ -229,55 +301,72 @@ class _Tier:
         return self.rows.get(uuid)
 
     def delete(self, uuid: str) -> AudioEntry | None:
+        """Tombstone one row: O(1) host work, matrix rows untouched. The
+        device view masks the row off incrementally (search_views)."""
         i = self.rows.pop(uuid, None)
         if i is None:
             return None
         e = self.entries[i]
-        # compact: shift following rows up to keep index == row (one
-        # memmove; entry rows after i renumber by -1)
-        self.matrix[i:-1] = self.matrix[i + 1 :]
-        if len(self.matrix):
-            self.matrix[-1] = PAD_VALUE
-        del self.entries[i]
-        for later in self.entries[i:]:
-            self.rows[later.uuid] -= 1
-        self.dirty_from = min(self.dirty_from, i)
-        self.view_clean_from = min(self.view_clean_from, i)
+        self.dead.add(i)
+        self.view_dead_pending.add(i)
         return e
 
     def delete_many(self, uuids) -> list[AudioEntry]:
-        """Delete every row whose uuid is in ``uuids`` with ONE compaction
-        pass — k per-row :meth:`delete` calls would each memmove the rest
-        of the matrix (O(k·N) data movement; a 10k-audio context in a
-        100k-row tier shuffles tens of GB). Returns the removed entries in
-        row order."""
+        """Tombstone every row whose uuid is in ``uuids``. Returns the
+        removed entries in row order."""
         doomed = sorted(r for u, r in self.rows.items() if u in uuids)
-        if not doomed:
-            return []
+        removed = [self.entries[i] for i in doomed]
+        for i in doomed:
+            self.rows.pop(self.entries[i].uuid, None)
+            self.dead.add(i)
+            self.view_dead_pending.add(i)
+        return removed
+
+    def should_compact(self) -> bool:
+        """Reclaim tombstones once they are both numerous (several view
+        rows' worth) and a large fraction of the tier — bounds wasted host
+        RAM/HBM at ~25% while keeping steady-state deletes O(1)."""
+        return (
+            len(self.dead) >= AUDIO_BUCKET
+            and 4 * len(self.dead) >= len(self.entries)
+        )
+
+    def compact(self) -> None:
+        """Physically remove tombstoned rows (one memmove pass). The next
+        :meth:`FingerprintStore.search_views` does a full view rebuild."""
+        if not self.dead:
+            return
+        doomed = sorted(self.dead)
         n = len(self.entries)
         keep = np.ones(n, bool)
         keep[doomed] = False
-        removed = [self.entries[i] for i in doomed]
         keep_idx = np.flatnonzero(keep)
         self.matrix[: len(keep_idx)] = self.matrix[keep_idx]
         self.matrix[len(keep_idx) : n] = PAD_VALUE
         self.entries = [self.entries[i] for i in keep_idx]
         self.rows = {e.uuid: i for i, e in enumerate(self.entries)}
+        self.dead.clear()
+        self.view_dead_pending.clear()
         self.dirty_from = min(self.dirty_from, doomed[0])
         self.view_clean_from = min(self.view_clean_from, doomed[0])
-        return removed
 
 
 @dataclasses.dataclass
 class TierView:
-    """A tier's device view — what one matcher invocation scans."""
+    """A tier's device view — what one matcher invocation scans.
+
+    ``entries`` may include tombstoned (deleted) rows; their ``mask`` rows
+    are all-False (and their lattice-map rows +inf), so they can never
+    receive a vote — attribution by row index stays aligned without
+    re-uploading the view on every delete."""
 
     tier_frames: int
     db: object  # jax [A_pad, T, C]
     mask: object  # jax [A_pad, T]
-    n_audios: int
+    n_audios: int  # view rows, INCLUDING tombstoned ones
     entries: list[AudioEntry]  # row order at view-build time
     value_map: object = None  # lazily-built lattice map [A_pad, K]
+    dead_rows: frozenset = frozenset()  # tombstoned row indices
 
 
 class FingerprintStore:
@@ -434,10 +523,13 @@ class FingerprintStore:
                     by_tier.setdefault(t, set()).add(u)
             removed: list[AudioEntry] = []
             for t, us in by_tier.items():
-                for entry in self._tiers[t].delete_many(us):
+                tier = self._tiers[t]
+                for entry in tier.delete_many(us):
                     self._uuid_tier.pop(entry.uuid, None)
                     self._by_uuid.pop(entry.uuid, None)
                     removed.append(entry)
+                if tier.should_compact():
+                    tier.compact()
             if removed:
                 # filter the catalog BEFORE the hash bookkeeping: the
                 # duplicate-survivor scan in _forget_hash must only ever
@@ -457,14 +549,26 @@ class FingerprintStore:
         t = self._uuid_tier.pop(uuid, None)
         if t is None:
             return False
-        entry = self._tiers[t].delete(uuid)
+        tier = self._tiers[t]
+        entry = tier.delete(uuid)
         if entry is None:  # index out of sync — should not happen
             return False
         self.entries.remove(entry)
         self._by_uuid.pop(uuid, None)
         self._forget_hash(entry)
+        if tier.should_compact():
+            tier.compact()
         self._dirty = True
         return True
+
+    def compact(self) -> None:
+        """Force tombstone reclamation in every tier (admin maintenance
+        op; normally automatic past the waste threshold)."""
+        with self._lock:
+            for tier in self._tiers.values():
+                if tier.dead:
+                    tier.compact()
+                    self._dirty = True
 
     def _forget_hash(self, entry: AudioEntry) -> None:
         # Duplicate-hash entries can exist (add_audio with dedupe=False);
@@ -508,7 +612,7 @@ class FingerprintStore:
     def frame_cap(self) -> int:
         """Largest live tier's frame capacity (0 when empty)."""
         with self._lock:
-            live = [t for t, tier in self._tiers.items() if tier.entries]
+            live = [t for t, tier in self._tiers.items() if tier.n_live]
             return max(live, default=0)
 
     def _device_put(self, db: np.ndarray, mask: np.ndarray):
@@ -541,10 +645,12 @@ class FingerprintStore:
         one tier.
 
         Append-only mutations update the previous view IN PLACE on device
-        (``dynamic_update_slice`` into donated buffers): only the new rows
+        (``dynamic_update_slice`` into new buffers): only the new rows
         cross host→device, so live ingest against a large serving DB costs
-        O(delta), not a full re-upload. Deletes or capacity growth fall
-        back to a full rebuild."""
+        O(delta), not a full re-upload. Deletes tombstone: the dead rows'
+        mask (and lattice-map) rows are scattered off on device — O(deleted)
+        work, never a re-upload. Only capacity growth or tombstone
+        compaction falls back to a full rebuild."""
         with self._lock:
             if not self._dirty and self._views is not None:
                 return self._views
@@ -554,7 +660,7 @@ class FingerprintStore:
             views: list[TierView] = []
             for t in sorted(self._tiers):
                 tier = self._tiers[t]
-                a = len(tier.entries)
+                a = len(tier.entries)  # rows incl. tombstoned
                 if a == 0:
                     continue
                 a_pad = self._a_pad(a)
@@ -565,12 +671,26 @@ class FingerprintStore:
                     and a >= old.n_audios
                     and tier.view_clean_from >= old.n_audios
                 ):
-                    views.append(self._extend_view(tier, old, a))
+                    view = old
+                    # rows tombstoned since the last view build: mask off on
+                    # device (rows >= old.n_audios are covered by the
+                    # extension's own dead check)
+                    pending = {
+                        r for r in tier.view_dead_pending if r < old.n_audios
+                    }
+                    if pending:
+                        view = self._mask_off_rows(view, pending)
+                    if a > view.n_audios:
+                        view = self._extend_view(tier, view, a)
+                    views.append(view)
                 else:
                     db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, np.float32)
                     db[:a] = tier.matrix[:a]
                     n_frames = np.zeros(a_pad, dtype=np.int32)
-                    n_frames[:a] = [e.n_frames for e in tier.entries]
+                    n_frames[:a] = [
+                        0 if i in tier.dead else e.n_frames
+                        for i, e in enumerate(tier.entries)
+                    ]
                     mask = np.arange(t)[None, :] < n_frames[:, None]
                     db_j, mask_j = self._device_put(db, mask)
                     views.append(
@@ -580,12 +700,33 @@ class FingerprintStore:
                             mask=mask_j,
                             n_audios=a,
                             entries=list(tier.entries),
+                            dead_rows=frozenset(tier.dead),
                         )
                     )
                 tier.view_clean_from = a
+                tier.view_dead_pending = set()
             self._views = views
             self._dirty = False
             return views
+
+    def _mask_off_rows(self, old: TierView, rows: set[int]) -> TierView:
+        """Tombstone deleted rows in an existing device view: one scatter
+        per buffer (mask all-False, lattice-map +inf) instead of a full
+        rebuild + re-upload (the round-2 delete stall)."""
+        idx = np.fromiter(rows, np.int32, count=len(rows))
+        mask = _scatter_rows(old.mask, idx, False, self.mesh)
+        vm = old.value_map
+        if vm is not None:
+            vm = _scatter_rows(vm, idx, np.float32(np.inf), self.mesh)
+        return TierView(
+            tier_frames=old.tier_frames,
+            db=old.db,
+            mask=mask,
+            n_audios=old.n_audios,
+            entries=old.entries,
+            value_map=vm,
+            dead_rows=old.dead_rows | frozenset(rows),
+        )
 
     def _extend_view(self, tier: "_Tier", old: TierView, a: int) -> TierView:
         """Append rows [old.n_audios, a) of a tier into its existing device
@@ -606,7 +747,12 @@ class FingerprintStore:
         new_rows = np.full((k_pad, t, self.n_coefs), PAD_VALUE, np.float32)
         new_rows[: a - lo] = tier.matrix[lo:a]
         n_frames = np.zeros(k_pad, dtype=np.int32)
-        n_frames[: a - lo] = [e.n_frames for e in tier.entries[lo:a]]
+        n_frames[: a - lo] = [
+            # a row appended and tombstoned between two view builds arrives
+            # here already dead — mask it off from the start
+            0 if (lo + i) in tier.dead else e.n_frames
+            for i, e in enumerate(tier.entries[lo:a])
+        ]
         new_mask = np.arange(t)[None, :] < n_frames[:, None]
 
         def to_dev(arr: np.ndarray):
@@ -639,6 +785,7 @@ class FingerprintStore:
             n_audios=a,
             entries=list(tier.entries),
             value_map=value_map,
+            dead_rows=frozenset(tier.dead),
         )
 
     def value_map_for(self, view: TierView):
@@ -657,29 +804,43 @@ class FingerprintStore:
         (e.g. a concurrent delete compacted rows), build from the view's
         own immutable device buffer instead — slower (per-shape compile)
         but always consistent with ``view.entries`` attribution."""
-        with self._lock:
-            if view.value_map is None:
-                from tiresias_tpu.ops.match_lattice import build_value_map
+        from tiresias_tpu.ops.match_lattice import build_value_map
 
-                is_current = (
-                    not self._dirty
-                    and self._views is not None
-                    and any(v is view for v in self._views)
-                )
-                if self.mesh is not None or not is_current:
-                    view.value_map = build_value_map(
-                        view.db[..., 0], view.mask
-                    )
-                else:
-                    t = view.tier_frames
-                    tier = self._tiers[t]
-                    a_pad, n = view.db.shape[0], view.n_audios
-                    db0 = np.full((a_pad, t), PAD_VALUE, np.float32)
-                    db0[:n] = tier.matrix[:n, :, 0]
-                    n_frames = np.zeros(a_pad, np.int32)
-                    n_frames[:n] = [e.n_frames for e in view.entries[:n]]
-                    mask = np.arange(t)[None, :] < n_frames[:, None]
-                    view.value_map = build_value_map(db0, mask)
+        with self._lock:
+            if view.value_map is not None:
+                return view.value_map
+            is_current = (
+                not self._dirty
+                and self._views is not None
+                and any(v is view for v in self._views)
+            )
+            if self.mesh is not None or not is_current:
+                # view.db/mask are immutable device buffers — safe to read
+                # outside the lock
+                inputs = (view.db[..., 0], view.mask)
+            else:
+                # snapshot (copy) the live tier rows under the lock; the
+                # multi-second chunked build at 100k-1M tracks then runs
+                # WITHOUT the store-wide lock, so concurrent pushes, adds,
+                # and searches don't block behind it
+                t = view.tier_frames
+                tier = self._tiers[t]
+                a_pad, n = view.db.shape[0], view.n_audios
+                db0 = np.full((a_pad, t), PAD_VALUE, np.float32)
+                db0[:n] = tier.matrix[:n, :, 0]
+                n_frames = np.zeros(a_pad, np.int32)
+                n_frames[:n] = [
+                    # tombstoned rows: all-masked -> +inf distances, so the
+                    # lattice path can never vote for a deleted audio
+                    0 if i in view.dead_rows else e.n_frames
+                    for i, e in enumerate(view.entries[:n])
+                ]
+                mask = np.arange(t)[None, :] < n_frames[:, None]
+                inputs = (db0, mask)
+        vm = build_value_map(*inputs)
+        with self._lock:
+            if view.value_map is None:  # a concurrent build may have won
+                view.value_map = vm
             return view.value_map
 
     def view_entries(self) -> list[AudioEntry]:
@@ -720,6 +881,8 @@ class FingerprintStore:
             for tv in sorted(self._tiers):
                 tier = self._tiers[tv]
                 for i, e in enumerate(tier.entries):
+                    if i in tier.dead:
+                        continue
                     db[len(order), : tier.t] = tier.matrix[i]
                     order.append(e)
             n_frames = np.array([e.n_frames for e in order], dtype=np.int32)
@@ -827,6 +990,13 @@ class FingerprintStore:
                 "contexts": self.contexts,
                 "entries": [e.to_dict() for e in self.entries],
                 "tiers": {str(t): segs for t, segs in manifest.items()},
+                # v4: tombstoned rows stay in their segments (no rewrite on
+                # delete — the save stays O(new rows)); load drops them
+                "dead": {
+                    str(t): sorted(self._tiers[t].dead)
+                    for t in manifest
+                    if self._tiers[t].dead
+                },
             }
             cat_path = os.path.join(directory, CATALOG_FILE)
             cat_tmp = cat_path + ".tmp"
@@ -936,7 +1106,7 @@ class FingerprintStore:
         with open(cat_path) as f:
             catalog = json.load(f)
         version = catalog.get("version")
-        if version not in (1, 2, CHECKPOINT_VERSION):
+        if version not in (1, 2, 3, 4):
             raise CheckpointIncompatible(
                 f"unsupported checkpoint version {version}"
             )
@@ -946,8 +1116,8 @@ class FingerprintStore:
             )
         entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store.contexts = dict(catalog["contexts"])
-        if version == 3:
-            # v3: per-tier segment files listed by the catalog manifest
+        if version in (3, 4):
+            # v3/v4: per-tier segment files listed by the catalog manifest
             tiers: dict[int, np.ndarray] = {}
             for t_str, segs in catalog["tiers"].items():
                 parts = []
@@ -964,7 +1134,11 @@ class FingerprintStore:
                     if parts
                     else np.zeros((0, int(t_str), store.n_coefs), np.float32)
                 )
-            FingerprintStore._walk_tiered(store, entries, tiers)
+            dead = {
+                int(t): set(rows)
+                for t, rows in catalog.get("dead", {}).items()
+            }
+            FingerprintStore._walk_tiered(store, entries, tiers, dead)
             # a current-generation restore can extend its own manifest on
             # the next save; a .bak restore must not reuse newer-gen files
             if suffix == "":
@@ -974,8 +1148,14 @@ class FingerprintStore:
                     int(t): [list(s) for s in segs]
                     for t, segs in catalog["tiers"].items()
                 }
-                for tier in store._tiers.values():
-                    tier.dirty_from = len(tier.entries)
+                for t, tier in store._tiers.items():
+                    # tombstones were compacted away during the walk: from
+                    # the first dead MANIFEST row on, in-memory rows no
+                    # longer match the segment files — rewrite from there
+                    d = dead.get(t)
+                    tier.dirty_from = (
+                        min(d) if d else len(tier.entries)
+                    )
         else:
             mat_path = os.path.join(directory, MATRIX_FILE + suffix)
             with np.load(mat_path) as data:
@@ -1002,13 +1182,19 @@ class FingerprintStore:
         return store
 
     @staticmethod
-    def _walk_tiered(store, entries, tiers) -> None:
+    def _walk_tiered(store, entries, tiers, dead=None) -> None:
         """Restore a flat catalog whose fingerprints sit in per-tier
-        matrices, rows in per-tier insertion order."""
+        matrices, rows in per-tier insertion order. ``dead`` maps tier ->
+        tombstoned row indices (v4); those rows are skipped (compacted
+        away) during the walk."""
+        dead = dead or {}
         cursors: dict[int, int] = {}
         for e in entries:
             t = tier_for(e.n_frames)
             row = cursors.get(t, 0)
+            dt = dead.get(t, ())
+            while row in dt:
+                row += 1
             if t not in tiers or row >= tiers[t].shape[0]:
                 raise ValueError("checkpoint catalog/matrix tier mismatch")
             store._restore_entry(e, tiers[t][row, : e.n_frames])
