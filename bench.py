@@ -304,6 +304,7 @@ def bench_db_build(n_clips: int = 1000) -> None:
                 restore=False,
             )
             trials.append((time.perf_counter(), e.sync(), time.perf_counter()))
+            e.close()  # release store/device state before its data dir goes
         for d in extra_data:
             shutil.rmtree(d, ignore_errors=True)
         timed = sorted((t1 - t0, r) for t0, r, t1 in trials)

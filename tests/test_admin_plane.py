@@ -1,0 +1,202 @@
+"""Live admin plane + single-writer data-dir ownership (round-3 item 1).
+
+The reference's CLI executes inside the live module process against its
+in-memory DB (/root/reference/src/cli_handler.c:26-31). Here: a running
+server owns the data dir (flock), exposes CRUD/sync over its protocol, and
+an offline CLI auto-detects it and proxies — while a second offline writer
+fails loudly instead of racing the checkpoints.
+"""
+
+import asyncio
+import os
+import threading
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import ContextConfig, MatchConfig, TiresiasConfig
+from tiresias_tpu.serve.admin import AdminClient, connect_for_data_dir
+from tiresias_tpu.serve.server import RecognitionServer
+from tiresias_tpu.utils.audio import synth_tone, write_wav
+from tiresias_tpu.utils.locking import (
+    DataDirLock,
+    DataDirLocked,
+    read_server_info,
+)
+
+SR = 8000
+
+
+@pytest.fixture()
+def served(tmp_path):
+    """A running server owning a data dir with one synced context."""
+    media = tmp_path / "media"
+    media.mkdir()
+    for i in range(3):
+        write_wav(str(media / f"tone{i}.wav"), synth_tone(300 + 200 * i, 1.0, SR), SR)
+    config = TiresiasConfig(
+        contexts=(ContextConfig("m", str(media)),),
+        match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+        data_dir=str(tmp_path / "data"),
+    )
+    eng = Tiresias(config, restore=False, exclusive=True)
+    eng.sync()
+    started = threading.Event()
+    holder = {}
+
+    def runner():
+        async def main():
+            srv = RecognitionServer(eng, port=0, samplerate=SR)
+            await srv.start()
+            holder["server"] = srv
+            holder["loop"] = asyncio.get_running_loop()
+            started.set()
+            try:
+                await srv.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(main())
+
+    thread = threading.Thread(target=runner, daemon=True)
+    thread.start()
+    assert started.wait(10)
+    yield holder["server"], eng, config, media
+    asyncio.run_coroutine_threadsafe(
+        holder["server"].stop(), holder["loop"]
+    ).result(timeout=10)
+
+
+class TestLock:
+    def test_exclusive_engine_rejects_second_writer(self, tmp_path):
+        cfg = TiresiasConfig(data_dir=str(tmp_path))
+        eng = Tiresias(cfg, restore=False, exclusive=True)
+        with pytest.raises(DataDirLocked):
+            Tiresias(cfg, restore=False, exclusive=True)
+        eng.close()
+        # released on close — a new writer may take over
+        eng2 = Tiresias(cfg, restore=False, exclusive=True)
+        eng2.close()
+
+    def test_default_engine_falls_back_readonly(self, tmp_path):
+        cfg = TiresiasConfig(data_dir=str(tmp_path))
+        owner = Tiresias(cfg, restore=False, exclusive=True)
+        ro = Tiresias(cfg, restore=False)  # default: degrade, don't raise
+        assert not ro.lock.held
+        with pytest.raises(DataDirLocked):
+            ro.save()
+        with pytest.raises(DataDirLocked):
+            ro.sync()
+        owner.close()
+
+    def test_lock_info_names_owner(self, tmp_path):
+        lock = DataDirLock(str(tmp_path)).acquire()
+        other = DataDirLock(str(tmp_path))
+        with pytest.raises(DataDirLocked) as exc_info:
+            other.acquire()
+        assert exc_info.value.owner.get("pid") == os.getpid()
+        lock.release()
+        # after release the dir is free again
+        other.acquire()
+        other.release()
+
+
+class TestAdminProtocol:
+    def test_show_and_remove_on_live_store(self, served):
+        server, eng, config, media = served
+        with AdminClient("127.0.0.1", server.port) as client:
+            contexts = client.admin("show_contexts")["contexts"]
+            assert [c["name"] for c in contexts] == ["m"]
+            audios = client.admin("show_audios", context="m")["audios"]
+            assert len(audios) == 3
+            victim = audios[0]
+            assert client.admin("remove_audio", uuid=victim["uuid"])["removed"]
+            # the LIVE store changed (no restart, no reload)
+            assert eng.get_audio(victim["uuid"]) is None
+            assert len(eng.store) == 2
+            # and the mutation was checkpointed by the owning engine
+            fresh = Tiresias(config, exclusive=False)
+            assert len(fresh.store) == 2
+            # removing again reports failure, not an exception
+            assert not client.admin("remove_audio", uuid=victim["uuid"])["removed"]
+
+    def test_sync_picks_up_new_files(self, served):
+        server, eng, config, media = served
+        write_wav(str(media / "new.wav"), synth_tone(950, 1.0, SR), SR)
+        with AdminClient("127.0.0.1", server.port) as client:
+            report = client.admin("sync", context="m")["sync"]
+            assert report["created"] == 1
+            names = [
+                a["name"] for a in client.admin("show_audios", context="m")["audios"]
+            ]
+        assert "new.wav" in names
+        # the new audio is immediately searchable on the live engine
+        r = eng.search_pcm("m", synth_tone(950, 1.0, SR), SR)
+        assert r.found and r.name == "new.wav"
+
+    def test_remove_context_and_unknown_cmd(self, served):
+        server, eng, config, media = served
+        with AdminClient("127.0.0.1", server.port) as client:
+            assert client.admin("remove_context", context="m")["removed"]
+            assert eng.store.get_context("m") is None
+            from tiresias_tpu.serve.admin import AdminError
+
+            with pytest.raises(AdminError):
+                client.admin("frobnicate")
+
+    def test_offline_writer_rejected_while_serving(self, served):
+        server, eng, config, media = served
+        with pytest.raises(DataDirLocked):
+            Tiresias(config, exclusive=True)
+        ro = Tiresias(config, exclusive=False)
+        with pytest.raises(DataDirLocked):
+            ro.save()
+
+    def test_server_info_lifecycle(self, served, tmp_path):
+        server, eng, config, media = served
+        info = read_server_info(config.expanded_data_dir)
+        assert info and info["port"] == server.port
+        client = connect_for_data_dir(config.expanded_data_dir)
+        assert client is not None
+        client.close()
+        # a dir nobody owns reports no server even with a stale file
+        stale = tmp_path / "stale"
+        stale.mkdir()
+        (stale / "server.json").write_text('{"host": "127.0.0.1", "port": 1}')
+        assert read_server_info(str(stale)) is None
+
+
+class TestCliProxy:
+    def test_cli_remove_proxies_to_live_server(self, served, capsys, tmp_path):
+        server, eng, config, media = served
+        import json as _json
+
+        from tiresias_tpu import cli
+
+        conf_path = tmp_path / "tiresias.conf"
+        conf_path.write_text(
+            f"[global]\ndata_dir={config.data_dir}\n"
+            f"[m]\ndirectory={media}\n"
+        )
+        victim = eng.get_audios("m")[0]
+        rc = cli.main(["-c", str(conf_path), "remove", "audio", victim.uuid])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert f"Removed the audio info. uuid[{victim.uuid}]" in out
+        assert eng.get_audio(victim.uuid) is None  # live store mutated
+
+    def test_cli_show_audios_proxies(self, served, capsys, tmp_path):
+        server, eng, config, media = served
+        from tiresias_tpu import cli
+
+        conf_path = tmp_path / "tiresias.conf"
+        conf_path.write_text(
+            f"[global]\ndata_dir={config.data_dir}\n"
+            f"[m]\ndirectory={media}\n"
+        )
+        rc = cli.main(["-c", str(conf_path), "show", "audios", "m"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        for a in eng.get_audios("m"):
+            assert a.uuid in out

@@ -266,3 +266,64 @@ class TestHangupRaces:
             result = json.loads(f.readline())
             assert result["result"]["TIRSTATUS"] == "FOUND", result
             assert result["result"]["TIRFILENAME"] == "tone2"
+
+
+class TestProtocolBounds:
+    """Robustness bounds on untrusted clients (VERDICT r2 item 7)."""
+
+    def test_duration_cap_rejected(self, server):
+        replies = _talk(
+            server.port,
+            [{"op": "open", "channel": "big", "context": "m",
+              "duration_ms": 3_600_000}],
+            expect_lines=1,
+        )
+        assert "error" in replies[0]
+        assert "duration_ms" in replies[0]["error"]
+
+    def test_buffer_overflow_rejected_connection_survives(self, server):
+        import socket
+
+        # duration 1000 ms -> cap = 2*8000 + 30*8000 = 256000 samples;
+        # one 40 s push (320000 samples) must be rejected outright
+        big = _pcm_b64(np.zeros(40 * SR, dtype=np.float32))
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"op": "open", "channel": "ov", "context": "m",
+                                "duration_ms": 1000, "continuous": True,
+                                "hop_ms": 500}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["opened"] is True
+            f.write(json.dumps({"op": "pcm", "channel": "ov", "pcm": big}) + "\n")
+            f.flush()
+            reply = json.loads(f.readline())
+            assert "error" in reply and "overflow" in reply["error"]
+            # the connection is still usable after the rejected push
+            f.write(json.dumps({"op": "open", "channel": "ok", "context": "m",
+                                "duration_ms": 500}) + "\n")
+            f.flush()
+            assert json.loads(f.readline()) == {"channel": "ok", "opened": True}
+
+    def test_unknown_channel_hangup_answers(self, server):
+        replies = _talk(
+            server.port,
+            [{"op": "hangup", "channel": "never-opened"}],
+            expect_lines=1,
+        )
+        assert "error" in replies[0]
+        assert "unknown channel" in replies[0]["error"]
+
+    def test_line_too_long_answers_and_closes(self, server):
+        import socket
+
+        from tiresias_tpu.serve.server import MAX_LINE_BYTES
+
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write('{"op": "pcm", "channel": "x", "pcm": "')
+            f.write("A" * (MAX_LINE_BYTES + 1024))
+            f.write('"}\n')
+            f.flush()
+            reply = json.loads(f.readline())
+            assert reply == {"error": "line too long"}
+            assert f.readline() == ""  # server closed the connection

@@ -164,6 +164,7 @@ class Tiresias:
         config: TiresiasConfig | None = None,
         restore: bool = True,
         mesh=None,
+        exclusive: bool | None = None,
     ) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; the
         fingerprint DB is then sharded across its devices and every search
@@ -172,11 +173,28 @@ class Tiresias:
         present (single-device hosts stay unsharded), or ``"global"`` to
         shard over ALL devices of a multi-host deployment (requires
         ``parallel.initialize_distributed()`` first; every process must
-        construct the engine identically — docs/distributed.md)."""
+        construct the engine identically — docs/distributed.md).
+
+        ``exclusive``: single-writer ownership of the data directory
+        (utils.locking). ``True`` — must own it; raises
+        :class:`tiresias_tpu.utils.locking.DataDirLocked` if another live
+        process (e.g. a running ``tiresias serve``) holds it. ``None``
+        (default) — try to own it; fall back to a READ-ONLY engine with a
+        warning when it is held (searches work, :meth:`save` raises).
+        ``False`` — read-only by choice (listing/search tools)."""
         from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+        from tiresias_tpu.utils.locking import DataDirLock
 
         enable_compilation_cache()
         self.config = config or TiresiasConfig()
+        self.lock = DataDirLock(self.config.expanded_data_dir)
+        if exclusive is not False:
+            try:
+                self.lock.acquire()
+            except Exception as exc:
+                if exclusive:
+                    raise
+                log.warning("engine is read-only: %s", exc)
         if mesh == "auto":
             import jax
 
@@ -215,7 +233,14 @@ class Tiresias:
 
     def sync(self) -> SyncReport:
         """Reconcile store with config + filesystem (init_context/init_audio,
-        /root/reference/src/app_tiresias.c:230-358)."""
+        /root/reference/src/app_tiresias.c:230-358). Requires data-dir
+        ownership — sync checkpoints after each context's ingest."""
+        if not self.lock.held:
+            from tiresias_tpu.utils.locking import DataDirLocked
+
+            raise DataDirLocked(
+                self.config.expanded_data_dir, self.lock.owner_info()
+            )
         with phase("engine.sync"):
             return sync_all(self.store, self.config, self.checkpoint_dir)
 
@@ -265,11 +290,23 @@ class Tiresias:
                 self.search_pcm_batch(None, [silence] * b, samplerate)
 
     def save(self) -> None:
+        if not self.lock.held:
+            from tiresias_tpu.utils.locking import DataDirLocked
+
+            # fail loudly: a read-only engine checkpointing under a live
+            # owner would race its generation rotation (two-writer hazard)
+            raise DataDirLocked(
+                self.config.expanded_data_dir, self.lock.owner_info()
+            )
         self.store.save(self.checkpoint_dir)
 
     def close(self) -> None:
         """fp_term equivalent (/root/reference/src/fp_handler.c:92-108)."""
-        self.save()
+        try:
+            if self.lock.held:
+                self.save()
+        finally:
+            self.lock.release()
 
     def __enter__(self) -> "Tiresias":
         return self

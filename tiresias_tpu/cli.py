@@ -45,55 +45,143 @@ def _find_config() -> str | None:
     return None
 
 
-def _engine(args) -> "Tiresias":
+def _config(args) -> TiresiasConfig:
+    path = args.config or _find_config()
+    return load_config(path) if path else TiresiasConfig()
+
+
+def _engine(args, exclusive: bool | None = None) -> "Tiresias":
     from tiresias_tpu.api import Tiresias
 
-    path = args.config or _find_config()
-    config = load_config(path) if path else TiresiasConfig()
-    return Tiresias(config)
+    return Tiresias(_config(args), exclusive=exclusive)
+
+
+def _proxy(config: TiresiasConfig):
+    """AdminClient for the live server owning this data dir, or None.
+
+    A running ``tiresias serve`` owns the data directory; admin commands
+    must execute against ITS store (reference live-CLI semantics,
+    /root/reference/src/cli_handler.c:26-31), never against a second
+    engine racing its checkpoints."""
+    from tiresias_tpu.serve.admin import connect_for_data_dir
+
+    return connect_for_data_dir(config.expanded_data_dir)
+
+
+def _locked_msg(exc) -> int:
+    print(
+        f"Data directory is owned by a live process and no admin server "
+        f"answered: {exc}",
+        file=sys.stderr,
+    )
+    return 1
 
 
 def cmd_show_contexts(args) -> int:
-    eng = _engine(args)
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        with proxy:
+            rows = proxy.admin("show_contexts")["contexts"]
+    else:
+        rows = Tiresias_readonly(config).get_contexts()
     print("%-36.36s %-70.70s" % ("Name", "Directory"))
-    for ctx in eng.get_contexts():
+    for ctx in rows:
         print("%-36.36s %-70.70s" % (ctx["name"], ctx["directory"]))
     return 0
 
 
+def Tiresias_readonly(config):
+    from tiresias_tpu.api import Tiresias
+
+    return Tiresias(config, exclusive=False)
+
+
 def cmd_show_audios(args) -> int:
-    eng = _engine(args)
-    if eng.store.get_context(args.context) is None:
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        from tiresias_tpu.serve.admin import AdminError
+
+        with proxy:
+            try:
+                rows = proxy.admin("show_audios", context=args.context)["audios"]
+            except AdminError:
+                rows = None
+    else:
+        eng = Tiresias_readonly(config)
+        rows = (
+            None
+            if eng.store.get_context(args.context) is None
+            else [
+                {"uuid": a.uuid, "name": a.name, "context": a.context,
+                 "hash": a.hash}
+                for a in eng.get_audios(args.context)
+            ]
+        )
+    if rows is None:
         # cli_handler.c:128
         print(f"Could not find context info. context[{args.context}]")
         return 1
     print(
         "%-36.36s %-45.45s %-36.36s %-36.36s" % ("Uuid", "Name", "Context", "Hash")
     )
-    for a in eng.get_audios(args.context):
+    for a in rows:
         print(
             "%-36.36s %-45.45s %-36.36s %-36.36s"
-            % (a.uuid, a.name, a.context, a.hash)
+            % (a["uuid"], a["name"], a["context"], a["hash"])
         )
     return 0
 
 
 def cmd_remove_audio(args) -> int:
-    eng = _engine(args)
-    if not eng.delete_audio(args.uuid):
+    from tiresias_tpu.utils.locking import DataDirLocked
+
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        with proxy:
+            ok = proxy.admin("remove_audio", uuid=args.uuid).get("removed")
+    else:
+        try:
+            eng = _engine(args, exclusive=True)
+        except DataDirLocked as exc:
+            return _locked_msg(exc)
+        try:
+            ok = eng.delete_audio(args.uuid)
+            if ok:
+                eng.save()
+        finally:
+            eng.lock.release()  # free the data dir for the next command
+    if not ok:
         print(f"Could not remove the audio info. uuid[{args.uuid}]")
         return 1
-    eng.save()
     print(f"Removed the audio info. uuid[{args.uuid}]")  # cli_handler.c:185
     return 0
 
 
 def cmd_remove_context(args) -> int:
-    eng = _engine(args)
-    if not eng.delete_context(args.name):
+    from tiresias_tpu.utils.locking import DataDirLocked
+
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        with proxy:
+            ok = proxy.admin("remove_context", context=args.name).get("removed")
+    else:
+        try:
+            eng = _engine(args, exclusive=True)
+        except DataDirLocked as exc:
+            return _locked_msg(exc)
+        try:
+            ok = eng.delete_context(args.name)
+            if ok:
+                eng.save()
+        finally:
+            eng.lock.release()
+    if not ok:
         print(f"Could not remove the context info. context[{args.name}]")
         return 1
-    eng.save()
     print(f"Removed the context info. context[{args.name}]")  # cli_handler.c:223
     return 0
 
@@ -101,20 +189,46 @@ def cmd_remove_context(args) -> int:
 def cmd_create(args) -> int:
     """Directory sync — the init_audio path the reference runs at module
     load (/root/reference/src/app_tiresias.c:324-358)."""
-    from tiresias_tpu.engine.sync import sync_context_audio
+    from tiresias_tpu.utils.locking import DataDirLocked
 
-    eng = _engine(args)
-    if args.context:
-        ctx = eng.store.get_context(args.context)
-        if ctx is None or not ctx["directory"]:
-            print(f"Could not find context info. context[{args.context}]")
-            return 1
-        report = sync_context_audio(
-            eng.store, args.context, ctx["directory"], eng.config.dsp
-        )
-        eng.save()
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        from tiresias_tpu.serve.admin import AdminError
+
+        with proxy:
+            try:
+                r = proxy.admin(
+                    "sync", **({"context": args.context} if args.context else {})
+                )["sync"]
+            except AdminError as exc:
+                print(f"Could not find context info. context[{args.context}]")
+                print(str(exc), file=sys.stderr)
+                return 1
+        from types import SimpleNamespace
+
+        report = SimpleNamespace(**r)
     else:
-        report = eng.sync()
+        from tiresias_tpu.engine.sync import sync_context_audio
+
+        try:
+            eng = _engine(args, exclusive=True)
+        except DataDirLocked as exc:
+            return _locked_msg(exc)
+        try:
+            if args.context:
+                ctx = eng.store.get_context(args.context)
+                if ctx is None or not ctx["directory"]:
+                    print(f"Could not find context info. context[{args.context}]")
+                    return 1
+                report = sync_context_audio(
+                    eng.store, args.context, ctx["directory"], eng.config.dsp
+                )
+                eng.save()
+            else:
+                report = eng.sync()
+        finally:
+            eng.lock.release()
     print(
         f"Sync complete. created[{report.created}] deduped[{report.deduped}] "
         f"deleted[{report.deleted}] failed[{report.failed}]"
@@ -123,7 +237,8 @@ def cmd_create(args) -> int:
 
 
 def cmd_search(args) -> int:
-    eng = _engine(args)
+    # read-only: a one-shot recognition must work alongside a live server
+    eng = _engine(args, exclusive=False)
     kwargs = dict(
         coefs=args.coefs,
         tolerance=args.tolerance,
@@ -155,8 +270,13 @@ def cmd_search(args) -> int:
 
 def cmd_serve(args) -> int:
     from tiresias_tpu.serve.server import run_server
+    from tiresias_tpu.utils.locking import DataDirLocked
 
-    eng = _engine(args)
+    try:
+        # the server must OWN the data dir: it checkpoints live mutations
+        eng = _engine(args, exclusive=True)
+    except DataDirLocked as exc:
+        return _locked_msg(exc)
     eng.sync()
     run_server(
         eng, host=args.host, port=args.port, samplerate=args.samplerate,

@@ -25,6 +25,7 @@ Design notes:
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -69,6 +70,9 @@ def dsp_constants(dsp: DspConfig, samplerate: int) -> tuple[np.ndarray, np.ndarr
     return window, mel_t, dct_t
 
 
+_device_consts_lock = threading.Lock()
+
+
 def cache_device_constants(cache: dict, key, build, maxsize: int = 16):
     """Shared device-constant cache (used here and by mfcc_pallas).
 
@@ -77,15 +81,20 @@ def cache_device_constants(cache: dict, key, build, maxsize: int = 16):
     (observed UnexpectedTracerError on the next call). Traced calls embed
     the constants into the enclosing jaxpr and are never cached. Bounded:
     oldest entry evicted past ``maxsize`` (native-rate corpora can touch
-    many samplerates)."""
+    many samplerates). The get/evict/insert sequence is locked: the serve
+    layer searches concurrently on executor threads (scorer tick + hangup
+    flush), and racing evictions on a plain dict can double-evict or raise
+    mid-iteration. ``build`` runs outside the lock — it may dispatch device
+    work; a duplicate concurrent build is harmless."""
     hit = cache.get(key)
     if hit is not None:
         return hit
     out = build()
     if not any(isinstance(o, jax.core.Tracer) for o in out):
-        if len(cache) >= maxsize:
-            cache.pop(next(iter(cache)))
-        cache[key] = out
+        with _device_consts_lock:
+            while len(cache) >= maxsize:
+                cache.pop(next(iter(cache)), None)
+            cache[key] = out
     return out
 
 

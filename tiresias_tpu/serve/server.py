@@ -12,6 +12,16 @@ per line:
     ← {"channel": "c1", "result": {"TIRSTATUS": "FOUND", ...,
        "CONFIDENCE": "0.96"}}
 
+plus a live ADMIN plane against this process's store (the reference's
+CLI-inside-the-module model, /root/reference/src/cli_handler.c:26-31):
+
+    → {"op": "admin", "cmd": "show_contexts" | "show_audios" |
+       "remove_audio" | "remove_context" | "sync" | "save" | "compact", ...}
+    ← {"admin": {...}} | {"error": "..."}
+
+The server owns the data directory (utils.locking single-writer flock);
+the CLI auto-detects it via server.json and proxies admin commands here.
+
 Scoring stays batched: a single scorer task drains every connection's full
 windows together through :class:`StreamingRecognizer.process_ready` — many
 sockets, one device pass per tick. Errors on one connection never affect
@@ -35,6 +45,10 @@ from tiresias_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 SCORE_INTERVAL_S = 0.02  # one batched device pass per tick at most
+# Longest accepted protocol line. 8 MiB of base64 ≈ 6 MB of int16 PCM ≈ 6+
+# minutes at 8 kHz — larger windows must arrive as multiple pcm ops. Bounds
+# per-connection read-buffer memory against hostile clients.
+MAX_LINE_BYTES = 8 * 2**20
 
 
 def _p50_ms(snapshot: dict, name: str) -> float | None:
@@ -63,11 +77,23 @@ class RecognitionServer:
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(
-            self._handle_client, self.host, self.port
+            self._handle_client, self.host, self.port, limit=MAX_LINE_BYTES
         )
         sock = self._server.sockets[0]
         self.port = sock.getsockname()[1]  # resolve port 0
         self._scorer = asyncio.create_task(self._score_loop())
+        # advertise the admin endpoint so an offline CLI on this data dir
+        # can proxy mutations here instead of racing the checkpoints
+        # (reference live-CLI semantics, cli_handler.c:26-31)
+        if self.engine.lock.held:
+            from tiresias_tpu.utils.locking import write_server_info
+
+            write_server_info(
+                self.engine.config.expanded_data_dir, self.host, self.port
+            )
+            self.engine.lock.annotate(
+                {"server": {"host": self.host, "port": self.port}}
+            )
         log.info("recognition server listening on %s:%d", self.host, self.port)
 
     async def serve_forever(self) -> None:
@@ -76,6 +102,9 @@ class RecognitionServer:
             await self._server.serve_forever()
 
     async def stop(self) -> None:
+        from tiresias_tpu.utils.locking import clear_server_info
+
+        clear_server_info(self.engine.config.expanded_data_dir)
         if self._server is not None:
             self._server.close()
             # Python 3.12's wait_closed also waits for every client handler
@@ -147,7 +176,16 @@ class RecognitionServer:
 
         try:
             while True:
-                line = await reader.readline()
+                try:
+                    line = await reader.readline()
+                except ValueError:
+                    # line exceeded MAX_LINE_BYTES; the stream cannot be
+                    # resynced mid-line — answer once and drop the connection
+                    writer.write(
+                        (json.dumps({"error": "line too long"}) + "\n").encode()
+                    )
+                    await writer.drain()
+                    break
                 if not line:
                     break
                 try:
@@ -233,17 +271,107 @@ class RecognitionServer:
                 await self._send_result_direct(writer, channel, result)
                 self._writers.pop(cid(channel), None)
                 opened.discard(cid(channel))
-            # result None + writer still registered means the scorer took
-            # the channel's window first and its search is in flight: keep
+            elif cid(channel) not in opened:
+                # a hangup for a channel this connection never opened gets
+                # an explicit error — silence would block a write-then-read
+                # client until its socket timeout
+                writer.write(
+                    (json.dumps({"error": f"unknown channel {channel!r}"})
+                     + "\n").encode()
+                )
+                await writer.drain()
+            # result None + channel in opened means the scorer took the
+            # channel's window first and its search is in flight: keep
             # the writer so _send_result can deliver (it pops closed
             # channels itself), and keep the channel in `opened` so the
             # connection's finally-block remains the backstop that frees
             # the writer if the client disconnects before delivery.
+        elif op == "admin":
+            # live admin plane: CRUD/sync against THIS process's store —
+            # the reference's CLI-inside-the-module operational model
+            # (/root/reference/src/cli_handler.c:26-31). Mutations persist
+            # via the engine's own checkpoint (it owns the data-dir lock).
+            reply = await self._dispatch_admin(msg)
+            writer.write((json.dumps(reply) + "\n").encode())
+            await writer.drain()
         else:
             writer.write(
                 (json.dumps({"error": f"unknown op {op!r}"}) + "\n").encode()
             )
             await writer.drain()
+
+    async def _dispatch_admin(self, msg: dict) -> dict:
+        cmd = msg.get("cmd")
+        eng = self.engine
+        loop = asyncio.get_running_loop()
+
+        def in_executor(fn):
+            return loop.run_in_executor(None, fn)
+
+        if cmd == "show_contexts":
+            return {"admin": {"contexts": eng.get_contexts()}}
+        if cmd == "show_audios":
+            context = str(msg["context"])
+            if eng.store.get_context(context) is None:
+                return {"error": f"unknown context {context!r}"}
+            return {"admin": {"audios": [
+                {"uuid": a.uuid, "name": a.name, "context": a.context,
+                 "hash": a.hash}
+                for a in eng.get_audios(context)
+            ]}}
+        if cmd == "remove_audio":
+            uuid = str(msg["uuid"])
+
+            def work():
+                removed = eng.delete_audio(uuid)
+                if removed:
+                    eng.save()
+                return removed
+
+            return {"admin": {"removed": bool(await in_executor(work))}}
+        if cmd == "remove_context":
+            name = str(msg["context"])
+
+            def work():
+                removed = eng.delete_context(name)
+                if removed:
+                    eng.save()
+                return removed
+
+            return {"admin": {"removed": bool(await in_executor(work))}}
+        if cmd == "sync":
+            context = msg.get("context")
+
+            def work():
+                if context is None:
+                    return eng.sync()
+                from tiresias_tpu.engine.sync import sync_context_audio
+
+                ctx = eng.store.get_context(str(context))
+                if ctx is None or not ctx["directory"]:
+                    raise ValueError(f"unknown context {context!r}")
+                report = sync_context_audio(
+                    eng.store, str(context), ctx["directory"], eng.config.dsp
+                )
+                eng.save()
+                return report
+
+            report = await in_executor(work)
+            return {"admin": {"sync": {
+                "created": report.created, "deduped": report.deduped,
+                "deleted": report.deleted, "failed": report.failed,
+            }}}
+        if cmd == "save":
+            await in_executor(eng.save)
+            return {"admin": {"saved": True}}
+        if cmd == "compact":
+            def work():
+                eng.store.compact()
+                eng.save()
+
+            await in_executor(work)
+            return {"admin": {"compacted": True}}
+        return {"error": f"unknown admin cmd {cmd!r}"}
 
     async def _send_result_direct(
         self, writer: asyncio.StreamWriter, channel: str, result: SearchResult

@@ -43,6 +43,16 @@ from tiresias_tpu.utils.tracing import metrics, phase
 
 log = get_logger(__name__)
 
+# Robustness bounds for untrusted callers (the TCP protocol). The reference
+# has no such bounds — its recording loop is naturally capped by wall-clock
+# real time (one frame per ast_waitfor tick); a socket client can push audio
+# arbitrarily faster than real time, so buffering must be explicit.
+MAX_DURATION_MS = 600_000  # 10 min — longest recognition window
+# Per-channel buffered-sample cap: a full window plus generous slack for
+# faster-than-real-time feeds (file streaming) and continuous-mode history.
+# A push that would exceed it raises — the caller answers a clean error.
+MAX_BUFFER_SLACK_S = 30
+
 
 def _to_bool(value, name: str) -> bool | None:
     """Coerce untrusted (e.g. JSON text protocol) booleans strictly."""
@@ -93,6 +103,13 @@ class ChannelState:
             return self.needed_samples  # tumbling windows
         return max(1, int(self.samplerate * self.hop_ms / 1000))
 
+    @property
+    def max_buffered(self) -> int:
+        """Per-channel buffered-sample bound: two full windows plus slack
+        — room for faster-than-real-time feeds between scorer ticks without
+        letting one client buffer unbounded memory."""
+        return 2 * self.needed_samples + MAX_BUFFER_SLACK_S * self.samplerate
+
 
 class StreamingRecognizer:
     """Batched sliding-window scorer over many concurrent channels."""
@@ -139,6 +156,11 @@ class StreamingRecognizer:
         duration_ms = int(duration_ms)
         if duration_ms <= 0:
             duration_ms = DEF_DURATION_MS
+        if duration_ms > MAX_DURATION_MS:
+            raise ValueError(
+                f"duration_ms {duration_ms} exceeds the maximum "
+                f"{MAX_DURATION_MS} (bound on per-channel buffering)"
+            )
         if hop_ms is not None:
             hop_ms = int(hop_ms)
             if hop_ms <= 0:
@@ -202,6 +224,12 @@ class StreamingRecognizer:
                 pcm = pcm[take:]
                 if not len(pcm):
                     return
+            if state.buffered + len(pcm) > state.max_buffered:
+                raise ValueError(
+                    f"channel buffer overflow: {state.buffered + len(pcm)} "
+                    f"samples exceeds the {state.max_buffered}-sample bound "
+                    "(client is pushing far ahead of scoring)"
+                )
             state.chunks.append(pcm)
             state.buffered += len(pcm)
 

@@ -1,0 +1,167 @@
+"""Single-writer ownership of a data directory.
+
+The reference runs its CLI inside the one Asterisk process that owns the
+in-memory DB (/root/reference/src/cli_handler.c:26-31), so two writers can
+never race on the checkpoint. The rebuild's CLI constructs engines in fresh
+processes, so ownership must be explicit: an ``owner.lock`` file under the
+data dir, held with a POSIX ``flock`` for as long as the owning engine
+lives. The kernel releases the lock when the process dies — no stale-lease
+cleanup, no heartbeats.
+
+The lock file's CONTENT is informational (owner pid + optional server
+address, JSON): a second writer that fails to acquire reads it to tell the
+operator who owns the directory — and, when the owner is a running
+``tiresias serve``, lets the CLI proxy the mutation to it over the admin
+protocol instead of failing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+LOCK_FILE = "owner.lock"
+SERVER_FILE = "server.json"  # written by a serving owner: {host, port, pid}
+
+
+class DataDirLocked(RuntimeError):
+    """Another live process owns this data directory."""
+
+    def __init__(self, directory: str, owner: dict | None) -> None:
+        self.directory = directory
+        self.owner = owner or {}
+        who = self.owner.get("pid", "unknown pid")
+        super().__init__(
+            f"data directory {directory!r} is owned by another process "
+            f"({who}); offline mutation would race its checkpoints"
+        )
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+class DataDirLock:
+    """Exclusive flock on ``<directory>/owner.lock``.
+
+    ``acquire`` is non-blocking: it either takes ownership or raises
+    :class:`DataDirLocked` with whatever owner info the holder recorded.
+    Platforms without ``fcntl`` (non-POSIX) degrade to no locking —
+    ownership is then advisory only, matching the reference's level of
+    protection there (none).
+    """
+
+    def __init__(self, directory: str) -> None:
+        self.directory = directory
+        self.path = os.path.join(directory, LOCK_FILE)
+        self._fd: int | None = None
+        self._degraded = False  # no fcntl on this platform
+
+    @property
+    def held(self) -> bool:
+        return self._fd is not None or self._degraded
+
+    def acquire(self, info: dict | None = None) -> "DataDirLock":
+        if self.held:
+            return self
+        try:
+            import fcntl
+        except ImportError:  # non-POSIX: degrade to advisory-only
+            self._degraded = True
+            return self
+        os.makedirs(self.directory, exist_ok=True)
+        fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            os.close(fd)
+            raise DataDirLocked(self.directory, self.owner_info()) from None
+        payload = {"pid": os.getpid(), **(info or {})}
+        os.ftruncate(fd, 0)
+        os.write(fd, json.dumps(payload).encode())
+        os.fsync(fd)
+        self._fd = fd
+        return self
+
+    def annotate(self, info: dict) -> None:
+        """Merge extra fields (e.g. a server address) into the lock file."""
+        if self._fd is None:
+            return
+        payload = {"pid": os.getpid(), **info}
+        os.lseek(self._fd, 0, os.SEEK_SET)
+        os.ftruncate(self._fd, 0)
+        os.write(self._fd, json.dumps(payload).encode())
+
+    def release(self) -> None:
+        self._degraded = False
+        if self._fd is None:
+            return
+        try:
+            import fcntl
+
+            # empty the file first: owner info must not outlive the lock
+            # (the flock itself vanishes with the fd either way)
+            os.ftruncate(self._fd, 0)
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+        except (ImportError, OSError):
+            pass
+        os.close(self._fd)
+        self._fd = None
+
+    def owner_info(self) -> dict | None:
+        """Best-effort info about the current holder (None if unreadable)."""
+        return _read_json(self.path)
+
+    def __enter__(self) -> "DataDirLock":
+        return self.acquire()
+
+    def __exit__(self, *exc) -> None:
+        self.release()
+
+
+def read_server_info(directory: str) -> dict | None:
+    """The running server's address for this data dir, or None.
+
+    Validated against liveness: the ``server.json`` is only trusted while
+    the owner lock is actually HELD by someone (a crashed server leaves the
+    file behind, but its flock died with it)."""
+    info = _read_json(os.path.join(directory, SERVER_FILE))
+    if not info:
+        return None
+    try:
+        import fcntl
+
+        fd = os.open(
+            os.path.join(directory, LOCK_FILE), os.O_RDWR | os.O_CREAT, 0o644
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            return info  # lock held by a live process — server info is fresh
+        else:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            return None  # nobody holds the lock — stale server.json
+        finally:
+            os.close(fd)
+    except ImportError:
+        return info
+
+
+def write_server_info(directory: str, host: str, port: int) -> None:
+    path = os.path.join(directory, SERVER_FILE)
+    os.makedirs(directory, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"host": host, "port": port, "pid": os.getpid()}, f)
+    os.replace(tmp, path)
+
+
+def clear_server_info(directory: str) -> None:
+    try:
+        os.unlink(os.path.join(directory, SERVER_FILE))
+    except OSError:
+        pass

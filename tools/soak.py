@@ -144,12 +144,64 @@ def client(
         print(f"client {channel} failed: {exc}", file=sys.stderr)
 
 
+def hostile_client(port: int, stats: dict, lock: threading.Lock) -> None:
+    """Abusive client exercising every protocol bound: over-cap duration,
+    buffer-overflow pushes, unknown-channel hangups, and an over-limit line.
+    Success = the server answers clean per-request errors (or drops the
+    connection for the unresyncable over-limit line) and keeps serving
+    everyone else."""
+    from tiresias_tpu.serve.server import MAX_LINE_BYTES
+
+    ok = 0
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=30.0) as s:
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+            f.write(json.dumps({"op": "open", "channel": "h", "context": "m",
+                                "duration_ms": 86_400_000}) + "\n")
+            f.flush()
+            ok += "error" in json.loads(f.readline())
+            f.write(json.dumps({"op": "hangup", "channel": "ghost"}) + "\n")
+            f.flush()
+            ok += "error" in json.loads(f.readline())
+            f.write(json.dumps({"op": "open", "channel": "h", "context": "m",
+                                "duration_ms": 1000}) + "\n")
+            f.flush()
+            ok += json.loads(f.readline()).get("opened", False)
+            giant = base64.b64encode(
+                np.zeros(60 * SR, dtype="<i2").tobytes()
+            ).decode()
+            f.write(json.dumps({"op": "pcm", "channel": "h",
+                                "pcm": giant}) + "\n")
+            f.flush()
+            ok += "overflow" in json.loads(f.readline()).get("error", "")
+        with socket.create_connection(("127.0.0.1", port), timeout=30.0) as s:
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+            f.write('{"op": "pcm", "channel": "h", "pcm": "')
+            f.write("A" * (MAX_LINE_BYTES + 1024))
+            f.write('"}\n')
+            f.flush()
+            ok += json.loads(f.readline()) == {"error": "line too long"}
+            ok += f.readline() == ""  # server dropped the connection
+        if ok != 6:
+            raise RuntimeError(f"hostile client: only {ok}/6 bounds held")
+        print("hostile client: all 6 protocol bounds held", file=sys.stderr)
+    except Exception as exc:  # noqa: BLE001
+        with lock:
+            stats["errors"] += 1
+        print(f"hostile client failed: {exc}", file=sys.stderr)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--channels", type=int, default=128)
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--duration-ms", type=int, default=3000)
     ap.add_argument("--hop-ms", type=int, default=1500)
+    ap.add_argument(
+        "--hostile", action="store_true",
+        help="run an abusive client alongside the fleet; it must get clean "
+        "errors while everyone else keeps recognizing",
+    )
     ap.add_argument("--debug", action="store_true")
     ap.add_argument(
         "--cpu", action="store_true",
@@ -202,6 +254,12 @@ def main() -> int:
         )
         for i in range(args.channels)
     ]
+    if args.hostile:
+        threads.append(
+            threading.Thread(
+                target=hostile_client, args=(port, stats, lock), daemon=True
+            )
+        )
     for t in threads:
         t.start()
     for t in threads:
