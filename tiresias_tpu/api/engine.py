@@ -496,6 +496,30 @@ class Tiresias:
         ]
 
     @staticmethod
+    def _merge_segment_votes(
+        votes: np.ndarray, entries: list[AudioEntry]
+    ) -> np.ndarray:
+        """Fold an auto-split audio's per-segment vote columns into its
+        first column (store.split_frames). On the lattice path segment
+        columns are already zero (the distance map min-combines rows —
+        exact semantics), making this a no-op; on the general matcher it
+        sums per-segment votes (additive merge — PARITY.md D15). No-op for
+        stores without over-long audios."""
+        seen: dict[int, int] = {}
+        dups = []
+        for i, e in enumerate(entries):
+            first = seen.setdefault(id(e), i)
+            if first != i:
+                dups.append((first, i))
+        if not dups:
+            return votes
+        votes = votes.copy()
+        for first, i in dups:
+            votes[:, first] += votes[:, i]
+            votes[:, i] = 0
+        return votes
+
+    @staticmethod
     def _insertion_order(entries: list[AudioEntry]) -> np.ndarray:
         """Dense global-insertion rank of a view-ordered snapshot (the D5
         tiebreak key). Derived from each entry's immutable insertion
@@ -669,9 +693,18 @@ class Tiresias:
             entries: list[AudioEntry] = []
             vote_parts: list[np.ndarray] = []
             use_lattice = coefs == 1 and trunc_coef1 and not aligned
-            # aligned voting is implemented in the XLA matcher only
-            use_pallas = _on_tpu() and self.mesh is None and not aligned
+            # fused kernels serve single-device stores; sharded stores stay
+            # on the XLA matcher (a Pallas custom call does not
+            # auto-partition under GSPMD) — including sharded ALIGNED
+            # search, which GSPMD row-partitions like any other jnp matcher
+            on_tpu = _on_tpu() and self.mesh is None
+            use_pallas = on_tpu and not aligned
+            from tiresias_tpu.ops.match_pallas import MAX_ALIGNED_TIER
             for view in views:
+                use_pallas_aligned = (
+                    on_tpu and aligned
+                    and view.tier_frames <= MAX_ALIGNED_TIER
+                )
                 if use_lattice:
                     # dialplan configuration → exact MXU lattice fast path
                     from tiresias_tpu.ops.match_lattice import search_lattice
@@ -684,10 +717,9 @@ class Tiresias:
                         freq_ignore_low=freq_ignore_low,
                         freq_ignore_high=freq_ignore_high,
                     )
-                elif use_pallas:
-                    # generic semantics, fused Pallas kernel; sharded stores
-                    # stay on the XLA matcher — a Pallas custom call does
-                    # not auto-partition under GSPMD
+                elif use_pallas or use_pallas_aligned:
+                    # generic semantics, fused Pallas kernel (bag-of-frames
+                    # or offset-consistent aligned accumulation in VMEM)
                     from tiresias_tpu.ops.match_pallas import search_batch_pallas
 
                     _, _, votes = search_batch_pallas(
@@ -699,6 +731,7 @@ class Tiresias:
                         freq_ignore_low=freq_ignore_low,
                         freq_ignore_high=freq_ignore_high,
                         trunc_coef1=trunc_coef1,
+                        aligned=aligned,
                     )
                 else:
                     _, _, votes = match_jax.search_batch(
@@ -721,6 +754,7 @@ class Tiresias:
                 if vote_parts
                 else np.zeros((len(pcms), 0), np.int32)
             )
+            votes_all = self._merge_segment_votes(votes_all, entries)
             if filter_context and context is not None:
                 # context=None keeps the reference's scan-everything
                 # behavior (PARITY.md D7) even when filtering is requested

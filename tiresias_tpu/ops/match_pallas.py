@@ -154,6 +154,119 @@ def match_votes_pallas(
     return votes[:, :a].astype(jnp.int32)
 
 
+def _make_aligned_kernel(coefs: int, f_total: int, t: int, o_pad: int):
+    """Aligned-voting kernel (PARITY.md D9 extension as a fused device path).
+
+    Layout is TRANSPOSED vs the bag-of-frames kernel: DB tiles arrive as
+    ``[coefs, T, AT]`` — time on SUBLANES, audios on lanes — because the
+    offset accumulation writes ``acc[F-1-f : F-1-f+T, :] += ok`` with a
+    dynamic start: sublane-dim dynamic slices are cheap vector shifts on
+    TPU, while lane-dim dynamic offsets force expensive relayouts. The
+    accumulator ``acc [O_pad, AT]`` (offset o = t − f + F − 1) lives in
+    VMEM scratch; the aligned score is its max over offsets — the best
+    single time-alignment's hit count, exactly
+    :func:`tiresias_tpu.ops.match_jax.match_votes` with ``aligned=True``.
+    """
+
+    def kernel(q_ref, d_ref, tol_ref, out_ref, acc_ref):
+        tol = tol_ref[0]
+        acc_ref[:] = jnp.zeros((o_pad, d_ref.shape[2]), jnp.float32)
+        d = [d_ref[c] for c in range(coefs)]  # [T, AT] each
+
+        def body(f, _):
+            ok = jnp.abs(d[0] - q_ref[0, f]) <= tol
+            for c in range(1, coefs):
+                okc = jnp.abs(d[c] - q_ref[c, f]) <= tol
+                if c == 1:
+                    okc |= q_ref[coefs, f] <= 0.0  # PARITY.md §3.3
+                ok &= okc
+            start = f_total - 1 - f
+            acc_ref[pl.ds(start, t), :] += ok.astype(jnp.float32)
+            return 0
+
+        jax.lax.fori_loop(0, f_total, body, 0)
+        i = pl.program_id(0)
+        out_ref[
+            0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)
+        ] = acc_ref[:].max(axis=0)
+
+    return kernel
+
+
+# Aligned accumulation holds an [T+F-1, AUDIO_TILE] f32 accumulator plus the
+# [coefs, T, AUDIO_TILE] DB tile in VMEM; cap the tier length it serves
+# (larger tiers fall back to the blocked XLA scheme, which pages offsets
+# through HBM).
+MAX_ALIGNED_TIER = 4096
+
+
+@functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
+def match_votes_pallas_aligned(
+    db: jax.Array,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: jax.Array | float,
+    coefs: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """Aligned (offset-consistent) votes ``[B, A]`` — fused-kernel twin of
+    ``match_jax.match_votes(aligned=True)``. See :func:`match_votes_pallas`
+    for operand conventions."""
+    a, t, c = db.shape
+    b, f, _ = q.shape
+    if coefs < 1 or coefs > c:
+        raise ValueError(f"coefs must be in [1, {c}]")
+    if t > MAX_ALIGNED_TIER:
+        raise ValueError(
+            f"aligned kernel serves tiers up to {MAX_ALIGNED_TIER} frames"
+        )
+    tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
+
+    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
+    if a_pad != a:
+        db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
+                     constant_values=PAD_VALUE)
+    n_tiles = a_pad // AUDIO_TILE
+    # [C, T, A_pad]: time on sublanes (see _make_aligned_kernel)
+    d_tm = jnp.transpose(db[..., :coefs], (2, 1, 0))
+
+    q_rows = [jnp.where(active, q[..., 0], INACTIVE_Q)]
+    q_rows += [q[..., ci] for ci in range(1, coefs)]
+    q_rows.append(use2.astype(jnp.float32))
+    q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
+
+    o_pad = -(-(t + f - 1) // 8) * 8  # sublane-aligned offset count
+
+    call = pl.pallas_call(
+        _make_aligned_kernel(coefs, f, t, o_pad),
+        in_specs=[
+            pl.BlockSpec((coefs + 1, f), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((coefs, t, AUDIO_TILE), lambda i: (0, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
+        out_specs=pl.BlockSpec((1, a_pad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((o_pad, AUDIO_TILE), jnp.float32)],
+        grid=(n_tiles,),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * f * a_pad * t * (coefs + 1),
+            bytes_accessed=4 * (a_pad * t * coefs + f * (coefs + 1) + a_pad),
+            transcendentals=0,
+        ),
+    )
+
+    def one(q_b):  # [coefs+1, F]
+        return call(q_b, d_tm, tol)[0]
+
+    votes = jax.lax.map(one, q_all)
+    return votes[:, :a].astype(jnp.int32)
+
+
 def search_batch_pallas(
     db: jax.Array,
     query: np.ndarray | jax.Array,
@@ -164,19 +277,23 @@ def search_batch_pallas(
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
     trunc_coef1: bool = True,
+    aligned: bool = False,
     interpret: bool = False,
 ):
     """Drop-in fused-kernel equivalent of ``match_jax.search_batch``.
 
     Takes the store-layout ``db`` (PAD_VALUE padding) directly — no mask
     operand. Returns (best [B], match_count [B], votes [B, A]).
-    """
+    ``aligned=True`` dispatches the offset-consistent kernel (the D9
+    accuracy mode); tiers longer than MAX_ALIGNED_TIER must use the XLA
+    path."""
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
     )
-    votes = match_votes_pallas(
+    fn = match_votes_pallas_aligned if aligned else match_votes_pallas
+    votes = fn(
         db, q, active, use2, jnp.float32(tolerance), coefs=coefs,
         interpret=interpret,
     )

@@ -97,7 +97,7 @@ def split_frames(n_frames: int) -> list[int]:
     min-combined into the first row, which is precisely the reference's
     ∃t-over-the-whole-audio semantics; the general matcher path sums
     per-segment votes (additive — a query frame matching in two segments
-    counts twice; documented deviation, PARITY.md D10)."""
+    counts twice; documented deviation, PARITY.md D15)."""
     if n_frames <= MAX_TIER_FRAMES:
         return [n_frames]
     out = []
@@ -196,6 +196,26 @@ def _update_rows(buf, rows, index: int, mesh=None):
     return fn(buf, rows, index)
 
 
+def _combine_segment_rows(vm, groups):
+    """Min-combine an auto-split audio's lattice-map rows into its FIRST
+    row (the others become +inf). min over segment rows == min over the
+    whole audio's frames — EXACTLY the reference's one-vote-per-audio
+    ∃t test (GROUP BY, fp_handler.c:353) across the full unbounded length.
+    Groups are rare (only >18.6 h audios), so a small python loop of
+    at-set updates is fine."""
+    if not groups:
+        return vm
+    import jax.numpy as jnp
+
+    for g in groups:
+        rows = jnp.asarray(list(g))
+        combined = jnp.min(vm[rows], axis=0)
+        vm = vm.at[g[0]].set(combined)
+        if len(g) > 1:
+            vm = vm.at[rows[1:]].set(jnp.inf)
+    return vm
+
+
 _scatter_rows_fns: dict = {}  # (mesh, ndim, dtype) -> executable
 
 
@@ -253,8 +273,14 @@ class _Tier:
         self.t = tier_frames
         self.n_coefs = n_coefs
         self.matrix = np.full((0, tier_frames, n_coefs), PAD_VALUE, np.float32)
+        # One list slot per matrix ROW. An over-long audio (auto-split, see
+        # split_frames) occupies several consecutive rows that all point at
+        # the SAME AudioEntry; row_frames holds each row's own frame count
+        # (== entry.n_frames except for segments).
         self.entries: list[AudioEntry] = []
-        self.rows: dict[str, int] = {}  # uuid -> matrix row (== list index)
+        self.row_frames: list[int] = []
+        self.rows: dict[str, int] = {}  # uuid -> FIRST matrix row
+        self.uuid_rows: dict[str, list[int]] = {}  # multi-row audios only
         # Tombstoned rows: deletes DO NOT move matrix rows — the row is
         # marked dead and masked off the device view in O(deleted rows)
         # device work (a compaction would force a full view re-upload, a
@@ -287,39 +313,60 @@ class _Tier:
             grown[:cap] = self.matrix
             self.matrix = grown
 
-    def add(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
+    def _add_row(self, entry: AudioEntry, chunk: np.ndarray) -> int:
         row = len(self.entries)
         self.ensure_capacity(row + 1)
         self.matrix[row] = PAD_VALUE
-        self.matrix[row, : entry.n_frames] = fingerprint
-        self.rows[entry.uuid] = row
+        self.matrix[row, : chunk.shape[0]] = chunk
         self.entries.append(entry)
+        self.row_frames.append(int(chunk.shape[0]))
         self.dirty_from = min(self.dirty_from, row)
         self.view_clean_from = min(self.view_clean_from, row)
+        return row
+
+    def add(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
+        self.rows[entry.uuid] = self._add_row(entry, fingerprint)
+
+    def add_segmented(
+        self, entry: AudioEntry, fingerprint: np.ndarray, segs: list[int]
+    ) -> None:
+        """One over-long audio as consecutive segment rows (split_frames).
+        Always called under the store lock, so segments never straddle a
+        device-view build."""
+        rows = []
+        off = 0
+        for n in segs:
+            rows.append(self._add_row(entry, fingerprint[off : off + n]))
+            off += n
+        self.rows[entry.uuid] = rows[0]
+        self.uuid_rows[entry.uuid] = rows
 
     def row_of(self, uuid: str) -> int | None:
         return self.rows.get(uuid)
 
     def delete(self, uuid: str) -> AudioEntry | None:
-        """Tombstone one row: O(1) host work, matrix rows untouched. The
-        device view masks the row off incrementally (search_views)."""
-        i = self.rows.pop(uuid, None)
-        if i is None:
+        """Tombstone an audio's row(s): O(1) host work, matrix untouched.
+        The device view masks the rows off incrementally (search_views)."""
+        first = self.rows.pop(uuid, None)
+        if first is None:
             return None
-        e = self.entries[i]
-        self.dead.add(i)
-        self.view_dead_pending.add(i)
+        e = self.entries[first]
+        for i in self.uuid_rows.pop(uuid, [first]):
+            self.dead.add(i)
+            self.view_dead_pending.add(i)
         return e
 
     def delete_many(self, uuids) -> list[AudioEntry]:
-        """Tombstone every row whose uuid is in ``uuids``. Returns the
-        removed entries in row order."""
-        doomed = sorted(r for u, r in self.rows.items() if u in uuids)
-        removed = [self.entries[i] for i in doomed]
-        for i in doomed:
-            self.rows.pop(self.entries[i].uuid, None)
-            self.dead.add(i)
-            self.view_dead_pending.add(i)
+        """Tombstone every audio whose uuid is in ``uuids``. Returns the
+        removed entries in (first-)row order."""
+        doomed = sorted((r, u) for u, r in self.rows.items() if u in uuids)
+        removed = []
+        for first, u in doomed:
+            removed.append(self.entries[first])
+            self.rows.pop(u, None)
+            for i in self.uuid_rows.pop(u, [first]):
+                self.dead.add(i)
+                self.view_dead_pending.add(i)
         return removed
 
     def should_compact(self) -> bool:
@@ -341,10 +388,21 @@ class _Tier:
         keep = np.ones(n, bool)
         keep[doomed] = False
         keep_idx = np.flatnonzero(keep)
+        remap = {int(old): new for new, old in enumerate(keep_idx)}
         self.matrix[: len(keep_idx)] = self.matrix[keep_idx]
         self.matrix[len(keep_idx) : n] = PAD_VALUE
         self.entries = [self.entries[i] for i in keep_idx]
-        self.rows = {e.uuid: i for i, e in enumerate(self.entries)}
+        self.row_frames = [self.row_frames[i] for i in keep_idx]
+        # rebuild uuid -> FIRST-row index (duplicate slots of a segmented
+        # audio must map to the first, not the last)
+        self.rows = {}
+        for i, e in enumerate(self.entries):
+            self.rows.setdefault(e.uuid, i)
+        self.uuid_rows = {
+            u: [remap[r] for r in rws]
+            for u, rws in self.uuid_rows.items()
+            if u in self.rows
+        }
         self.dead.clear()
         self.view_dead_pending.clear()
         self.dirty_from = min(self.dirty_from, doomed[0])
@@ -367,6 +425,12 @@ class TierView:
     entries: list[AudioEntry]  # row order at view-build time
     value_map: object = None  # lazily-built lattice map [A_pad, K]
     dead_rows: frozenset = frozenset()  # tombstoned row indices
+    # per-row frame counts (== entry.n_frames except for auto-split audios,
+    # whose segment rows repeat one entry — split_frames)
+    row_frames: tuple = ()
+    # row groups of auto-split audios; their lattice-map rows min-combine
+    # into the first row (exact ∃t-over-whole-audio semantics)
+    segments: tuple = ()
 
 
 class FingerprintStore:
@@ -502,7 +566,13 @@ class FingerprintStore:
             i = tier.row_of(uuid)
             if i is None:
                 return None
-            return tier.matrix[i, : tier.entries[i].n_frames].copy()
+            rows = tier.uuid_rows.get(uuid, [i])
+            if len(rows) == 1:
+                return tier.matrix[i, : tier.row_frames[i]].copy()
+            # over-long audio: reassemble its segment rows
+            return np.concatenate(
+                [tier.matrix[r, : tier.row_frames[r]] for r in rows]
+            )
 
     def delete_audio(self, uuid: str) -> bool:
         """fp_delete_audio_list_info: removes the catalog row and all its
@@ -688,8 +758,8 @@ class FingerprintStore:
                     db[:a] = tier.matrix[:a]
                     n_frames = np.zeros(a_pad, dtype=np.int32)
                     n_frames[:a] = [
-                        0 if i in tier.dead else e.n_frames
-                        for i, e in enumerate(tier.entries)
+                        0 if i in tier.dead else nf
+                        for i, nf in enumerate(tier.row_frames)
                     ]
                     mask = np.arange(t)[None, :] < n_frames[:, None]
                     db_j, mask_j = self._device_put(db, mask)
@@ -701,6 +771,11 @@ class FingerprintStore:
                             n_audios=a,
                             entries=list(tier.entries),
                             dead_rows=frozenset(tier.dead),
+                            row_frames=tuple(tier.row_frames),
+                            segments=tuple(
+                                tuple(r)
+                                for r in tier.uuid_rows.values()
+                            ),
                         )
                     )
                 tier.view_clean_from = a
@@ -726,6 +801,8 @@ class FingerprintStore:
             entries=old.entries,
             value_map=vm,
             dead_rows=old.dead_rows | frozenset(rows),
+            row_frames=old.row_frames,
+            segments=old.segments,
         )
 
     def _extend_view(self, tier: "_Tier", old: TierView, a: int) -> TierView:
@@ -750,8 +827,8 @@ class FingerprintStore:
         n_frames[: a - lo] = [
             # a row appended and tombstoned between two view builds arrives
             # here already dead — mask it off from the start
-            0 if (lo + i) in tier.dead else e.n_frames
-            for i, e in enumerate(tier.entries[lo:a])
+            0 if (lo + i) in tier.dead else nf
+            for i, nf in enumerate(tier.row_frames[lo:a])
         ]
         new_mask = np.arange(t)[None, :] < n_frames[:, None]
 
@@ -769,6 +846,9 @@ class FingerprintStore:
 
         db = _update_rows(old.db, to_dev(new_rows), lo, self.mesh)
         mask = _update_rows(old.mask, to_dev(new_mask), lo, self.mesh)
+        # segments are added atomically under the store lock, so any
+        # auto-split audio's rows lie entirely inside [lo, a) or before lo
+        segments = tuple(tuple(r) for r in tier.uuid_rows.values())
         value_map = old.value_map
         if value_map is not None:
             # the lattice map is row-independent: build only the new rows
@@ -777,6 +857,10 @@ class FingerprintStore:
             vm_rows = build_value_map(
                 to_dev(new_rows[..., 0]), to_dev(new_mask)
             )
+            new_groups = [
+                tuple(r - lo for r in g) for g in segments if g and g[0] >= lo
+            ]
+            vm_rows = _combine_segment_rows(vm_rows, new_groups)
             value_map = _update_rows(value_map, vm_rows, lo, self.mesh)
         return TierView(
             tier_frames=t,
@@ -786,6 +870,8 @@ class FingerprintStore:
             entries=list(tier.entries),
             value_map=value_map,
             dead_rows=frozenset(tier.dead),
+            row_frames=tuple(tier.row_frames),
+            segments=segments,
         )
 
     def value_map_for(self, view: TierView):
@@ -832,12 +918,12 @@ class FingerprintStore:
                 n_frames[:n] = [
                     # tombstoned rows: all-masked -> +inf distances, so the
                     # lattice path can never vote for a deleted audio
-                    0 if i in view.dead_rows else e.n_frames
-                    for i, e in enumerate(view.entries[:n])
+                    0 if i in view.dead_rows else nf
+                    for i, nf in enumerate(view.row_frames[:n])
                 ]
                 mask = np.arange(t)[None, :] < n_frames[:, None]
                 inputs = (db0, mask)
-        vm = build_value_map(*inputs)
+        vm = _combine_segment_rows(build_value_map(*inputs), view.segments)
         with self._lock:
             if view.value_map is None:  # a concurrent build may have won
                 view.value_map = vm
@@ -874,10 +960,12 @@ class FingerprintStore:
         order (tiers ascending, insertion within — :meth:`view_entries`),
         NOT ``self.entries`` insertion order."""
         with self._lock:
-            a = len(self.entries)
+            # live ROWS, not audios: an auto-split audio spans several rows
+            a = sum(tier.n_live for tier in self._tiers.values())
             t = max(self.frame_cap, FRAME_BUCKET)
             db = np.full((a, t, self.n_coefs), PAD_VALUE, np.float32)
             order = []
+            row_frames = []
             for tv in sorted(self._tiers):
                 tier = self._tiers[tv]
                 for i, e in enumerate(tier.entries):
@@ -885,7 +973,8 @@ class FingerprintStore:
                         continue
                     db[len(order), : tier.t] = tier.matrix[i]
                     order.append(e)
-            n_frames = np.array([e.n_frames for e in order], dtype=np.int32)
+                    row_frames.append(tier.row_frames[i])
+            n_frames = np.array(row_frames, dtype=np.int32)
             mask = (
                 np.arange(t)[None, :] < n_frames[:, None]
                 if a
@@ -1189,25 +1278,42 @@ class FingerprintStore:
         away) during the walk."""
         dead = dead or {}
         cursors: dict[int, int] = {}
-        for e in entries:
-            t = tier_for(e.n_frames)
+
+        def next_row(t: int) -> int:
             row = cursors.get(t, 0)
             dt = dead.get(t, ())
             while row in dt:
                 row += 1
             if t not in tiers or row >= tiers[t].shape[0]:
                 raise ValueError("checkpoint catalog/matrix tier mismatch")
-            store._restore_entry(e, tiers[t][row, : e.n_frames])
             cursors[t] = row + 1
+            return row
+
+        for e in entries:
+            segs = split_frames(e.n_frames)
+            if len(segs) == 1:
+                t = tier_for(e.n_frames)
+                store._restore_entry(e, tiers[t][next_row(t), : e.n_frames])
+            else:
+                # auto-split audio: consecutive segment rows in the top tier
+                t = MAX_TIER_FRAMES
+                fp = np.concatenate(
+                    [tiers[t][next_row(t), :n] for n in segs]
+                )
+                store._restore_entry(e, fp)
 
     def _restore_entry(self, entry: AudioEntry, fingerprint: np.ndarray) -> None:
         entry.seq = self._next_seq
         self._next_seq += 1
-        t = tier_for(entry.n_frames)
+        segs = split_frames(entry.n_frames)
+        t = MAX_TIER_FRAMES if len(segs) > 1 else tier_for(entry.n_frames)
         tier = self._tiers.get(t)
         if tier is None:
             tier = self._tiers[t] = _Tier(t, self.n_coefs)
-        tier.add(entry, fingerprint[:, : self.n_coefs])
+        if len(segs) == 1:
+            tier.add(entry, fingerprint[:, : self.n_coefs])
+        else:
+            tier.add_segmented(entry, fingerprint[:, : self.n_coefs], segs)
         self.entries.append(entry)
         key = (entry.context, entry.hash)
         self._hash_index[key] = entry
