@@ -58,6 +58,54 @@ def bench_fingerprint_throughput() -> float:
     return throughput
 
 
+def bench_fingerprint_hostfeed() -> None:
+    """H2D-INCLUSIVE fingerprint throughput: int16 PCM batches streamed
+    from HOST memory, transfers overlapped with compute via async dispatch
+    (dispatch k+1's upload rides while k computes). The device-resident
+    headline excludes the host link; this line is what a host actually
+    sustains per chip — over this dev tunnel the link is ~140 MB/s, so the
+    number is tunnel-bound; production DMA links are ~100x that."""
+    import jax
+
+    from tiresias_tpu.config import DspConfig
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    dsp = DspConfig()
+    sr = 8000
+    batch, clip_s = 256, 60.0
+    n = int(sr * clip_s)
+    n -= n % dsp.hop_size
+    rng = np.random.default_rng(11)
+    # distinct host buffers so no transfer is cached away
+    n_bufs = 4
+    bufs = [
+        np.clip(
+            np.round(0.3 * rng.standard_normal((batch, n)) * 32768.0),
+            -32768, 32767,
+        ).astype(np.int16)
+        for _ in range(n_bufs)
+    ]
+    out = fingerprint_padded_batch(bufs[0], sr, dsp)  # compile
+    float(np.asarray(out[0, 0, 0]))
+    iters = 8
+    start = time.perf_counter()
+    outs = [
+        fingerprint_padded_batch(bufs[i % n_bufs], sr, dsp)
+        for i in range(iters)
+    ]
+    _ = sum(float(np.asarray(o[0, 0, 0])) for o in outs)
+    elapsed = time.perf_counter() - start
+    audio_seconds = iters * batch * clip_s
+    throughput = audio_seconds / elapsed
+    mb = iters * batch * n * 2 / 2**20
+    print(
+        f"[bench] fingerprint HOST-FEED: {iters} x {batch} x {clip_s:.0f}s "
+        f"int16 ({mb:.0f} MB H2D) in {elapsed:.2f}s -> {throughput:.0f} "
+        f"audio-hrs/hr incl. H2D ({mb / elapsed:.0f} MB/s sustained link)",
+        file=sys.stderr,
+    )
+
+
 def bench_search_latency(
     n_tracks: int = 10_000,
     n_rounds: int = 20,
@@ -200,6 +248,67 @@ def bench_search_scale() -> None:
     )
 
 
+def bench_aligned_scale(n_coefs: int = 8) -> None:
+    """The recommended accuracy mode (aligned voting + 8 coefs, PARITY.md
+    D8/D9) as a device path at scale: batch-1 device-time p50 via the
+    sequential-scan trick, on the fused Pallas aligned kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.config import DspConfig
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_pallas import match_votes_pallas_aligned
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    dsp = DspConfig()
+    f = 3 * 8000 // dsp.hop_size  # 3-s query, 93 frames
+    for n_tracks, t in ((100_000, 1024), (1_000_000, 128)):
+        rng = np.random.default_rng(7)
+        db = rng.uniform(-30, 25, size=(n_tracks, t, n_coefs)).astype(
+            np.float32
+        )
+        n_frames = rng.integers(t // 2, t, size=n_tracks)
+        mask = np.arange(t)[None, :] < n_frames[:, None]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        db_d = jnp.asarray(db)
+        del db
+        k_seq = 4
+        qs = rng.uniform(-30, 25, size=(k_seq, 1, f, n_coefs)).astype(
+            np.float32
+        )
+
+        @jax.jit
+        def run(qs, db_d):
+            def body(carry, q):
+                qq, active, use2 = match_jax.prepare_query(
+                    q, None, trunc_coef1=False
+                )
+                votes = match_votes_pallas_aligned(
+                    db_d, qq, active, use2, jnp.float32(0.1), coefs=n_coefs
+                )
+                best, count = match_jax.top1(votes)
+                return carry, (best[0], count[0])
+
+            _, outs = jax.lax.scan(body, 0, qs)
+            return outs
+
+        int(np.asarray(run(qs, db_d)[0])[0])  # compile + sync
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            int(np.asarray(run(qs, db_d)[0])[-1])
+            times.append((time.perf_counter() - t0) * 1e3)
+        per_query = float(np.percentile(times, 50)) / k_seq
+        print(
+            f"[bench] aligned@{n_coefs}coefs search @ {n_tracks} tracks "
+            f"(T={t}), batch 1 DEVICE-TIME: p50={per_query:.1f} ms/query "
+            f"({k_seq} sequential aligned recognitions per dispatch; "
+            "fused Pallas offset-accumulation kernel)",
+            file=sys.stderr,
+        )
+        del db_d
+
+
 def bench_engine_search(n_tracks: int = 10_000) -> None:
     """Full-stack search latency: the Tiresias engine's fused dialplan path
     (host batching + one device dispatch + result attribution), not just
@@ -236,6 +345,126 @@ def bench_engine_search(n_tracks: int = 10_000) -> None:
             "(host batching + fused dispatch + attribution, incl. tunnel RTT)",
             file=sys.stderr,
         )
+
+
+def bench_server_latency(
+    n_tracks: int = 10_000, n_clients: int = 64, rounds: int = 8
+) -> None:
+    """Full-stack SERVER latency: concurrent batch-1 recognitions through
+    the real TCP protocol (socket IO, JSON parse, scorer batching, fused
+    dispatch, attribution, result write-back).
+
+    Each client opens a channel, sends one complete 3-s window, and waits
+    for its result; that repeats for `rounds` windows. Completion p50 is
+    the wall-clock from last-byte-sent to result-received — over this dev
+    tunnel it includes the ~26 ms dispatch RTT floor (BENCH r2 analysis);
+    the steady-state line divides busy wall-clock by completed windows,
+    which pipelining (MAX_SCORES_IN_FLIGHT) drives well below the RTT."""
+    import base64
+    import json as _json
+    import socket
+    import tempfile
+    import threading
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.serve.server import RecognitionServer
+
+    sr = 8000
+    eng = Tiresias(
+        TiresiasConfig(data_dir=tempfile.mkdtemp(prefix="tir_bench_srv")),
+        restore=False,
+    )
+    eng.create_context("c")
+    rng = np.random.default_rng(5)
+    for i in range(n_tracks):
+        fp = rng.uniform(-30, 25, size=(128, 2)).astype(np.float32)
+        eng.store.add_audio(f"t{i}", "c", fp, f"h{i:08d}")
+    from tiresias_tpu.serve.server import warmup_batch_sizes
+
+    for b in warmup_batch_sizes(n_clients):
+        eng.warmup(samplerate=sr, batch_sizes=(b,))
+
+    import asyncio
+
+    holder: dict = {}
+    started = threading.Event()
+
+    def runner():
+        async def amain():
+            srv = RecognitionServer(eng, port=0, samplerate=sr)
+            await srv.start()
+            holder["server"] = srv
+            holder["loop"] = asyncio.get_running_loop()
+            started.set()
+            try:
+                await srv.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(amain())
+
+    threading.Thread(target=runner, daemon=True).start()
+    assert started.wait(30)
+    port = holder["server"].port
+
+    window = np.clip(
+        np.round(0.3 * rng.standard_normal(3 * sr) * 32768.0),
+        -32768, 32767,
+    ).astype("<i2")
+    payload = base64.b64encode(window.tobytes()).decode()
+    lat_lock = threading.Lock()
+    latencies: list[float] = []
+
+    def client(ci: int):
+        with socket.create_connection(("127.0.0.1", port), timeout=60) as s:
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+            for r in range(rounds):
+                ch = f"c{ci}r{r}"
+                f.write(_json.dumps({
+                    "op": "open", "channel": ch, "context": "c",
+                    "duration_ms": 3000,
+                }) + "\n")
+                f.flush()
+                assert _json.loads(f.readline()).get("opened")
+                msg = _json.dumps({"op": "pcm", "channel": ch,
+                                   "pcm": payload}) + "\n"
+                f.write(msg)
+                f.flush()
+                t0 = time.perf_counter()
+                reply = _json.loads(f.readline())
+                dt = (time.perf_counter() - t0) * 1e3
+                assert "result" in reply, reply
+                with lat_lock:
+                    latencies.append(dt)
+
+    threads = [
+        threading.Thread(target=client, args=(i,), daemon=True)
+        for i in range(n_clients)
+    ]
+    t_all0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    busy = time.perf_counter() - t_all0
+    total = n_clients * rounds
+    p50 = float(np.percentile(latencies, 50))
+    p90 = float(np.percentile(latencies, 90))
+    print(
+        f"[bench] server batch-1 @ {n_tracks} tracks: {total} recognitions "
+        f"over {n_clients} concurrent TCP clients; completion p50={p50:.1f} ms "
+        f"p90={p90:.1f} ms (incl. tunnel RTT floor); steady-state "
+        f"{busy / total * 1e3:.2f} ms/query ({total / busy:.0f} qps) with "
+        "pipelined score passes",
+        file=sys.stderr,
+    )
+    try:
+        asyncio.run_coroutine_threadsafe(
+            holder["server"].stop(), holder["loop"]
+        ).result(timeout=15)
+    except Exception:  # noqa: BLE001 - bench teardown only
+        pass
 
 
 def bench_db_build(n_clips: int = 1000) -> None:
@@ -394,9 +623,11 @@ def main() -> None:
     for name, fn in (
         ("search", bench_search_latency),
         ("engine search", bench_engine_search),
+        ("server", bench_server_latency),
         ("db build", bench_db_build),
         ("streams", bench_streams),
         ("search scale", bench_search_scale),
+        ("aligned scale", bench_aligned_scale),
     ):
         try:
             fn()

@@ -89,6 +89,9 @@ def test_sharded_engine_matches_single(tmp_path, mesh_shape):
         dict(tolerance=1.0),  # lattice path
         dict(coefs=2, tolerance=0.01, trunc_coef1=False),  # generic path
         dict(tolerance=1.0, filter_context=True),  # context filter
+        # the accuracy mode on a SHARDED store (GSPMD partitions the
+        # aligned XLA matcher over the db axis)
+        dict(coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True),
     ):
         rs = sharded.search_pcm_batch("m", queries, SR, **kwargs)
         r1 = single.search_pcm_batch("m", queries, SR, **kwargs)

@@ -74,3 +74,62 @@ def test_empty_frames_inactive(rng):
     )
     assert (np.asarray(votes)[0] == 0).all()
     assert int(count[0]) == 0
+
+
+class TestAlignedKernel:
+    """Offset-consistent (aligned) fused kernel vs the XLA aligned matcher."""
+
+    @pytest.mark.parametrize("coefs", [1, 2])
+    @pytest.mark.parametrize("tolerance", [0.5, 2.5])
+    def test_matches_xla_aligned(self, rng, coefs, tolerance):
+        db, mask, n_frames = _random_db(rng)
+        q = rng.uniform(-40, 30, size=(3, 32, 2)).astype(np.float32)
+        qf = rng.integers(1, 32, size=3).astype(np.int32)
+        _, _, votes_p = search_batch_pallas(
+            db, q, qf, coefs=coefs, tolerance=tolerance, aligned=True,
+            interpret=True,
+        )
+        _, _, votes_x = match_jax.search_batch(
+            db, mask, q, qf, coefs=coefs, tolerance=tolerance, aligned=True
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+
+    def test_multicoef_aligned(self, rng):
+        """The recommended accuracy mode: 8 coefs + no truncation."""
+        db, mask, n_frames = _random_db(rng, n_audios=17, c=8)
+        q = rng.uniform(-40, 30, size=(2, 24, 8)).astype(np.float32)
+        _, _, votes_p = search_batch_pallas(
+            db, q, None, coefs=8, tolerance=1.0, trunc_coef1=False,
+            aligned=True, interpret=True,
+        )
+        _, _, votes_x = match_jax.search_batch(
+            db, mask, q, None, coefs=8, tolerance=1.0, trunc_coef1=False,
+            aligned=True,
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+
+    def test_aligned_beats_bag_on_shifted_copy(self, rng):
+        """A time-shifted exact copy scores full votes aligned; a
+        frame-shuffled copy (same bag of frames!) scores much lower."""
+        t = 128
+        base = rng.uniform(-40, 30, size=(t, 2)).astype(np.float32)
+        shuffled = base[rng.permutation(t)]
+        db = np.stack([base, shuffled])
+        q = base[None, 32:64]  # an excerpt
+        _, _, votes = search_batch_pallas(
+            db, q, None, coefs=2, tolerance=0.01, trunc_coef1=False,
+            aligned=True, interpret=True,
+        )
+        votes = np.asarray(votes)
+        assert votes[0, 0] == 32  # perfect alignment on the original
+        assert votes[0, 1] < 32  # shuffled copy has no consistent offset
+
+    def test_tier_cap_enforced(self, rng):
+        from tiresias_tpu.ops.match_pallas import MAX_ALIGNED_TIER
+
+        db = np.full((1, 2 * MAX_ALIGNED_TIER, 2), PAD_VALUE, np.float32)
+        q = np.zeros((1, 8, 2), np.float32)
+        with pytest.raises(ValueError):
+            search_batch_pallas(
+                db, q, None, aligned=True, interpret=True
+            )

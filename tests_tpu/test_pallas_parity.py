@@ -134,3 +134,70 @@ def test_framed_kernel_bitwise_equals_frame_materialising(rng):
     frames = jnp.pad(frames, ((0, rows_pad - 3 * f), (0, 0)))
     ref = np.asarray(_mfcc_rows(frames, *consts))[: 3 * f, : dsp.n_coefs]
     np.testing.assert_array_equal(framed.reshape(3 * f, dsp.n_coefs), ref)
+
+
+@pytest.mark.parametrize("coefs", [1, 2, 8])
+def test_aligned_pallas_equals_xla_on_device(rng, coefs):
+    """The fused aligned (offset-consistent) kernel — the recommended
+    accuracy mode's device path — vs the XLA aligned matcher, compiled by
+    real Mosaic. Covers the dynamic-sublane-slice accumulation."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_pallas import search_batch_pallas
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    a, t, b, f, c = 64, 128, 3, 40, max(coefs, 2)
+    db = rng.uniform(-40, 25, size=(a, t, c)).astype(np.float32)
+    n_frames = rng.integers(8, t, size=a)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    q = rng.uniform(-40, 25, size=(b, f, c)).astype(np.float32)
+    qn = rng.integers(4, f, size=b)
+
+    for tol in (0.05, 1.0):
+        best_p, count_p, votes_p = search_batch_pallas(
+            jnp.asarray(db), q, qn, coefs=coefs, tolerance=tol,
+            trunc_coef1=False, aligned=True,
+        )
+        best_x, count_x, votes_x = match_jax.search_batch(
+            jnp.asarray(db), jnp.asarray(mask), q, qn, coefs=coefs,
+            tolerance=tol, trunc_coef1=False, aligned=True,
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+        np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
+
+
+def test_engine_int16_end_to_end_on_device(rng, tmp_path):
+    """Full engine path on the real chip with int16 telephony input: ingest
+    (raw-int16 H2D + device scaling), fused dialplan search, aligned
+    accuracy-mode search — every dispatch the engine can select."""
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.utils.audio import synth_chirp
+
+    eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    eng.create_context("c")
+    clips = {}
+    for i in range(8):
+        pcm = synth_chirp(200 + 60 * i, 900 + 80 * i, 3.0, SR)
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        e = eng.add_audio_pcm(
+            "c", f"clip{i}", i16.astype(np.float32) / 32768.0, SR
+        )
+        clips[i] = (e, i16)
+    e3, i16_3 = clips[3]
+    # fused dialplan path (coefs=1, truncation): same-energy chirps are
+    # indistinguishable under the reference's compressive max1 semantics
+    # (PARITY.md §5), so assert the path runs and matches — discrimination
+    # is the aligned mode's job below
+    r = eng.search_pcm("c", i16_3[: 2 * SR].astype(np.float32) / 32768.0,
+                       SR, tolerance=1.0)
+    assert r.found and r.match_count > 0
+    # aligned accuracy mode (Pallas aligned kernel on device)
+    r2 = eng.search_pcm(
+        "c", i16_3[: 2 * SR].astype(np.float32) / 32768.0, SR,
+        coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True,
+    )
+    assert r2.found and r2.uuid == e3.uuid
+    assert r2.match_count > 0.9 * r2.frame_count

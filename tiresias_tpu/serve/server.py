@@ -44,7 +44,14 @@ from tiresias_tpu.utils.logging import get_logger
 
 log = get_logger(__name__)
 
-SCORE_INTERVAL_S = 0.02  # one batched device pass per tick at most
+SCORE_INTERVAL_S = 0.02  # scorer tick
+# Batched device passes allowed in flight at once. >1 pipelines the device:
+# while pass k's results travel back over the transport (a ~26 ms RTT on a
+# tunneled dev chip, microseconds on local hardware), pass k+1's windows
+# are already dispatched — the server-shaped analogue of the bench's
+# sequential-scan pipelining. Bounded so a slow search can't pile up
+# unbounded executor threads.
+MAX_SCORES_IN_FLIGHT = 4
 # Longest accepted protocol line. 8 MiB of base64 ≈ 6 MB of int16 PCM ≈ 6+
 # minutes at 8 kHz — larger windows must arrive as multiple pcm ops. Bounds
 # per-connection read-buffer memory against hostile clients.
@@ -121,23 +128,40 @@ class RecognitionServer:
     # ------------------------------------------------------------------ #
 
     async def _score_loop(self) -> None:
-        loop = asyncio.get_running_loop()
+        in_flight: set[asyncio.Task] = set()
         while True:
             await asyncio.sleep(SCORE_INTERVAL_S)
             try:
-                if self.recognizer.n_channels == 0:
+                if (
+                    self.recognizer.n_channels == 0
+                    or len(in_flight) >= MAX_SCORES_IN_FLIGHT
+                ):
                     continue
                 # device work off the event loop so slow searches don't
-                # stall IO
-                results = await loop.run_in_executor(
-                    None, self.recognizer.process_ready
-                )
-                for channel_id, result in results.items():
-                    await self._send_result(channel_id, result)
+                # stall IO; NOT awaited here — up to MAX_SCORES_IN_FLIGHT
+                # batched passes pipeline through the device (_take_ready
+                # hands each pass disjoint windows under the lock)
+                task = asyncio.create_task(self._score_once())
+                in_flight.add(task)
+                task.add_done_callback(in_flight.discard)
             except asyncio.CancelledError:
+                for task in in_flight:
+                    task.cancel()
                 raise
             except Exception:  # noqa: BLE001 - the scorer must never die
                 log.exception("score loop iteration failed; continuing")
+
+    async def _score_once(self) -> None:
+        try:
+            results = await asyncio.get_running_loop().run_in_executor(
+                None, self.recognizer.process_ready
+            )
+            for channel_id, result in results.items():
+                await self._send_result(channel_id, result)
+        except asyncio.CancelledError:
+            raise
+        except Exception:  # noqa: BLE001
+            log.exception("score pass failed; continuing")
 
     async def _send_result(self, channel_id: str, result: SearchResult) -> None:
         # continuous channels stay registered for their next window; only
