@@ -251,31 +251,53 @@ def bench_search_scale() -> None:
 def bench_aligned_scale(n_coefs: int = 8) -> None:
     """The recommended accuracy mode (aligned voting + 8 coefs, PARITY.md
     D8/D9) as a device path at scale: batch-1 device-time p50 via the
-    sequential-scan trick, on the fused Pallas aligned kernel."""
+    sequential-scan trick — the full fused Pallas kernel AND the certified
+    two-stage prefilter (lattice bound → top-k exact rescore).
+
+    Corpus: per-audio clustered coefficient values (each audio's frames
+    concentrate around its own mean, like real spectra) — uniform-random
+    values would make every audio hit every bound, which no real corpus
+    does. Queries are noisy excerpts of stored audios."""
     import jax
     import jax.numpy as jnp
 
     from tiresias_tpu.config import DspConfig
     from tiresias_tpu.ops import match_jax
-    from tiresias_tpu.ops.match_pallas import match_votes_pallas_aligned
+    from tiresias_tpu.ops.match_lattice import build_bound_maps
+    from tiresias_tpu.ops.match_pallas import (
+        aligned_prefiltered_votes,
+        match_votes_pallas_aligned,
+    )
     from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
 
     dsp = DspConfig()
     f = 3 * 8000 // dsp.hop_size  # 3-s query, 93 frames
-    for n_tracks, t in ((100_000, 1024), (1_000_000, 128)):
-        rng = np.random.default_rng(7)
-        db = rng.uniform(-30, 25, size=(n_tracks, t, n_coefs)).astype(
-            np.float32
-        )
-        n_frames = rng.integers(t // 2, t, size=n_tracks)
-        mask = np.arange(t)[None, :] < n_frames[:, None]
-        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
-        db_d = jnp.asarray(db)
-        del db
+    for n_tracks, t in ((100_000, 1024),):
+        # corpus generated ON DEVICE: multi-GB of host->device transfer
+        # through the dev tunnel would dominate the whole bench otherwise
+        key = jax.random.PRNGKey(7)
+        k_mu, k_noise, k_nf = jax.random.split(key, 3)
+
+        @jax.jit
+        def gen_db():
+            mu = jax.random.uniform(
+                k_mu, (n_tracks, 1, n_coefs), jnp.float32, -25.0, 20.0
+            )
+            db = mu + 1.5 * jax.random.normal(
+                k_noise, (n_tracks, t, n_coefs), jnp.float32
+            )
+            n_frames = jax.random.randint(k_nf, (n_tracks,), t // 2, t)
+            mask = jnp.arange(t)[None, :] < n_frames[:, None]
+            return jnp.where(mask[:, :, None], db, PAD_VALUE), mask
+
+        db_d, mask_d = gen_db()
+        jax.block_until_ready(db_d)
         k_seq = 4
-        qs = rng.uniform(-30, 25, size=(k_seq, 1, f, n_coefs)).astype(
-            np.float32
-        )
+        qs = np.stack([
+            np.asarray(db_d[i, 8 : 8 + f])
+            + np.random.default_rng(9).normal(0, 0.01, (f, n_coefs))
+            for i in (5, 71, 901, 4242)
+        ]).astype(np.float32)[:, None]
 
         @jax.jit
         def run(qs, db_d):
@@ -303,10 +325,49 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             f"[bench] aligned@{n_coefs}coefs search @ {n_tracks} tracks "
             f"(T={t}), batch 1 DEVICE-TIME: p50={per_query:.1f} ms/query "
             f"({k_seq} sequential aligned recognitions per dispatch; "
-            "fused Pallas offset-accumulation kernel)",
+            "fused Pallas offset-accumulation kernel, full scan)",
             file=sys.stderr,
         )
-        del db_d
+
+        # certified two-stage path: bound matmuls + top-k exact rescore
+        t0 = time.perf_counter()
+        specs, maps = build_bound_maps(db_d, mask_d)
+        jax.block_until_ready(maps)
+        float(np.asarray(maps[0][0, 0]))
+        build_s = time.perf_counter() - t0
+
+        @jax.jit
+        def run_pref(qs, db_d, maps):
+            def body(carry, q):
+                qq, active, use2 = match_jax.prepare_query(
+                    q, None, trunc_coef1=False
+                )
+                votes, cert = aligned_prefiltered_votes(
+                    db_d, maps, qq, active, use2, jnp.float32(0.1),
+                    specs=specs, coefs=n_coefs,
+                )
+                best, count = match_jax.top1(votes)
+                return carry, (best[0], count[0], cert[0])
+
+            _, outs = jax.lax.scan(body, 0, qs)
+            return outs
+
+        certs = np.asarray(run_pref(qs, db_d, maps)[2])  # compile + sync
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            int(np.asarray(run_pref(qs, db_d, maps)[0])[-1])
+            times.append((time.perf_counter() - t0) * 1e3)
+        per_query_p = float(np.percentile(times, 50)) / k_seq
+        print(
+            f"[bench] aligned@{n_coefs}coefs PREFILTERED @ {n_tracks} "
+            f"tracks (T={t}), batch 1 DEVICE-TIME: p50={per_query_p:.1f} "
+            f"ms/query ({per_query / max(per_query_p, 1e-9):.0f}x vs full "
+            f"scan; certificates {int(certs.sum())}/{len(certs)} exact; "
+            f"one-off bound-map build {build_s:.1f}s)",
+            file=sys.stderr,
+        )
+        del db_d, mask_d, maps
 
 
 def bench_engine_search(n_tracks: int = 10_000) -> None:
@@ -621,6 +682,7 @@ def main() -> None:
         flush=True,
     )
     for name, fn in (
+        ("host-feed fingerprint", bench_fingerprint_hostfeed),
         ("search", bench_search_latency),
         ("engine search", bench_engine_search),
         ("server", bench_server_latency),

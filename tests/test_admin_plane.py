@@ -200,3 +200,49 @@ class TestCliProxy:
         assert rc == 0
         for a in eng.get_audios("m"):
             assert a.uuid in out
+
+
+class TestAdminGating:
+    def test_admin_off_rejects(self, tmp_path):
+        config = TiresiasConfig(data_dir=str(tmp_path / "d"))
+        eng = Tiresias(config, restore=False, exclusive=True)
+        eng.create_context("m")
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(eng, port=0, samplerate=SR, admin="off")
+                await srv.start()
+                holder["server"] = srv
+                holder["loop"] = asyncio.get_running_loop()
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        threading.Thread(target=runner, daemon=True).start()
+        assert started.wait(10)
+        from tiresias_tpu.serve.admin import AdminError
+
+        with AdminClient("127.0.0.1", holder["server"].port) as client:
+            with pytest.raises(AdminError, match="not permitted"):
+                client.admin("show_contexts")
+        asyncio.run_coroutine_threadsafe(
+            holder["server"].stop(), holder["loop"]
+        ).result(timeout=10)
+
+    def test_admin_local_allows_loopback(self, served):
+        server, eng, config, media = served  # default admin="local"
+        with AdminClient("127.0.0.1", server.port) as client:
+            assert "contexts" in client.admin("show_contexts")
+
+    def test_bad_admin_mode_rejected(self, tmp_path):
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path / "e")), restore=False
+        )
+        with pytest.raises(ValueError):
+            RecognitionServer(eng, admin="everyone")

@@ -133,3 +133,125 @@ class TestAlignedKernel:
             search_batch_pallas(
                 db, q, None, aligned=True, interpret=True
             )
+
+
+class TestAlignedPrefilter:
+    """Certified two-stage aligned search: lattice bound -> top-k exact
+    rescore. Must equal the full aligned scan whenever the certificate
+    holds, and must refuse the certificate on pathological corpora."""
+
+    def _db(self, rng, n_audios, t=128, c=2):
+        db = rng.uniform(-40, 30, size=(n_audios, t, c)).astype(np.float32)
+        # >= 96 valid frames so the 10:42 / 40:72 query excerpts below are
+        # always real (not PAD) frames
+        n_frames = rng.integers(96, t + 1, size=n_audios)
+        mask = np.arange(t)[None, :] < n_frames[:, None]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        return db, mask
+
+    def test_matches_full_aligned_when_certified(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=64)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        # queries: excerpts of two stored audios (certain winners)
+        q = np.stack([db[7, 10:42, :], db[31, 40:72, :]]).astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        votes_p, votes_full = np.asarray(votes_p), np.asarray(votes_full)
+        # winner and its count are identical; non-candidates may be zeroed
+        # but can never beat the certified winner
+        for b in range(2):
+            assert votes_p[b].argmax() == votes_full[b].argmax()
+            assert votes_p[b].max() == votes_full[b].max()
+            assert (votes_full[b] < votes_p[b].max()).sum() >= 62
+
+    def test_certificate_fails_on_duplicates(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        base = rng.uniform(-40, 30, size=(64, 2)).astype(np.float32)
+        db = np.broadcast_to(base, (16, 64, 2)).copy()  # 16 identical audios
+        mask = np.ones((16, 64), bool)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = base[None, 8:24]
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        _, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=4,
+            interpret=True,
+        )
+        assert not np.asarray(cert).any()  # k-th bound ties the winner
+
+    def test_k_covering_all_is_always_certified(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=12)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = rng.uniform(-40, 30, size=(1, 24, 2)).astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 1.0, specs=specs, coefs=2, k=64,
+            interpret=True,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=1.0, trunc_coef1=False,
+            aligned=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(votes_p), np.asarray(votes_full)
+        )
+
+    def test_bound_coefs_subset_of_search_coefs(self):
+        """A bound on a coef the aligned condition does not test would be
+        unsound — the selection must stay within the search's coefs."""
+        from tiresias_tpu.ops.match_lattice import bound_coef_indices
+
+        for n in range(1, 9):
+            assert all(c < n for c in bound_coef_indices(n))
+        assert bound_coef_indices(1) == (0,)
+        assert bound_coef_indices(2) == (1,)
+        assert bound_coef_indices(8) == (1, 2)
+
+    def test_search_coefs_fewer_than_stored(self, rng):
+        """Search with coefs=2 over an 8-coef store: the bound must only
+        test coef 1, and the certified result must equal the full scan."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=32, c=8)
+        specs, maps = build_bound_maps(
+            jnp.asarray(db), jnp.asarray(mask), coefs=2
+        )
+        assert [s[0] for s in specs] == [1]
+        q = db[None, 9, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        assert np.asarray(votes_p)[0].argmax() == np.asarray(votes_full)[0].argmax() == 9
+        assert np.asarray(votes_p)[0].max() == np.asarray(votes_full)[0].max()

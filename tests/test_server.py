@@ -327,3 +327,23 @@ class TestProtocolBounds:
             reply = json.loads(f.readline())
             assert reply == {"error": "line too long"}
             assert f.readline() == ""  # server closed the connection
+
+
+class TestWindowOrdering:
+    def test_results_carry_window_index(self, server):
+        """Pipelined score passes may complete out of order; every result
+        carries the per-channel window counter so clients can reorder."""
+        import socket
+
+        pcm = synth_tone(700, 1.1, SR)
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            f.write(json.dumps({"op": "open", "channel": "w", "context": "m",
+                                "duration_ms": 500, "continuous": True}) + "\n")
+            f.flush()
+            assert json.loads(f.readline())["opened"] is True
+            f.write(json.dumps({"op": "pcm", "channel": "w",
+                                "pcm": _pcm_b64(pcm)}) + "\n")
+            f.flush()
+            windows = [json.loads(f.readline())["window"] for _ in range(2)]
+        assert sorted(windows) == [0, 1]

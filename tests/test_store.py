@@ -207,13 +207,23 @@ class TestIncrementalViews:
         store.value_map_for(v1)
         victim = store.get_audios_by_context("c")[1]
         store.delete_audio(victim.uuid)
+        # no full rebuild: _device_put (the host->device re-upload) must
+        # not run — the delete is an on-device scatter of the old buffers
+        def boom(*a, **k):
+            raise AssertionError("delete triggered a full view re-upload")
+
+        store._device_put = boom
         v = store.search_views()[0]
-        assert v.db is v1.db  # same device buffer — no re-upload
         assert v.n_audios == 5  # tombstoned row keeps its slot
         assert v.dead_rows == frozenset({1})
         mask = np.asarray(v.mask)
         assert not mask[1].any()  # dead row fully masked
         assert mask[0].any() and mask[2].any()
+        # value-masked too: the Pallas kernels (no mask operand) see only
+        # PAD_VALUE in the dead row
+        from tiresias_tpu.ops.mfcc_jax import PAD_VALUE as PV
+
+        assert (np.asarray(v.db)[1] == PV).all()
         # the incrementally-updated lattice map can never match row 1
         vm = np.asarray(v.value_map)
         assert np.isinf(vm[1]).all()
@@ -244,12 +254,14 @@ class TestIncrementalViews:
             )
 
     def test_tombstoned_audio_never_matches(self):
-        """End-to-end: search after a delete must not return the victim,
-        on both the general matcher and the lattice path."""
+        """End-to-end: search after a delete must not return the victim on
+        ANY matcher path — XLA (mask-masked), lattice (value-map-masked),
+        and both Pallas kernels (VALUE-masked: no mask operand at all)."""
         import numpy as np
 
         from tiresias_tpu.ops import match_jax
         from tiresias_tpu.ops.match_lattice import search_lattice
+        from tiresias_tpu.ops.match_pallas import search_batch_pallas
 
         store, rng = self._store_with(4)
         victim = store.get_audios_by_context("c")[2]
@@ -265,6 +277,12 @@ class TestIncrementalViews:
         vm = store.value_map_for(v)
         _, _, lvotes = search_lattice(vm, query, None, tolerance=1.0)
         assert np.asarray(lvotes)[0, 2] == 0
+        for aligned in (False, True):
+            _, _, pvotes = search_batch_pallas(
+                v.db, query, None, coefs=2, tolerance=0.5,
+                trunc_coef1=False, aligned=aligned, interpret=True,
+            )
+            assert np.asarray(pvotes)[0, 2] == 0, f"aligned={aligned}"
 
     def test_capacity_growth_rebuilds(self):
         store, rng = self._store_with(2)

@@ -201,3 +201,58 @@ def test_engine_int16_end_to_end_on_device(rng, tmp_path):
     )
     assert r2.found and r2.uuid == e3.uuid
     assert r2.match_count > 0.9 * r2.frame_count
+
+
+def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
+    """Engine dispatch at >2k tracks routes aligned searches through the
+    certified prefilter; the result must equal the full-scan XLA aligned
+    winner, and the prefilter must actually have run (not fallen back)."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.ops import match_jax
+
+    eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    eng.create_context("c")
+    n = 2200  # > 2*PREFILTER_K view rows -> prefilter gate opens
+    mu = rng.uniform(-25, 20, size=(n, 1, 2)).astype(np.float32)
+    fps = (mu + rng.normal(0, 1.5, size=(n, 64, 2))).astype(np.float32)
+    for i in range(n):
+        eng.store.add_audio(f"t{i}", "c", fps[i], f"h{i:06d}")
+
+    ran = {"prefilter": 0}
+    orig = eng._aligned_prefiltered
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            ran["prefilter"] += 1
+        return out
+
+    eng._aligned_prefiltered = spy
+    target = 137
+    query = fps[target][None, 8:40]  # noise-free excerpt
+    # engine path (prefilter): emulate by calling _compute_votes directly
+    votes, entries, _ = eng._compute_votes(
+        None, [np.zeros(8192, np.float32)], 8000, 2, 0.05, -1, -1,
+        False, False, True,
+    )
+    assert ran["prefilter"] >= 1  # silence query still runs the machinery
+    # now a real fingerprint-level check: prefiltered winner == full scan
+    from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+    view = eng.store.search_views()[0]
+    specs, maps = eng.store.bound_maps_for(view, 2)
+    qj, active, use2 = match_jax.prepare_query(query, None, trunc_coef1=False)
+    votes_p, cert = aligned_prefiltered_votes(
+        view.db, maps, qj, active, use2, 0.05, specs=specs, coefs=2
+    )
+    assert bool(np.asarray(cert).all())
+    _, _, votes_full = match_jax.search_batch(
+        view.db, view.mask, query, None, coefs=2, tolerance=0.05,
+        trunc_coef1=False, aligned=True,
+    )
+    vp, vf = np.asarray(votes_p)[0], np.asarray(votes_full)[0]
+    assert vp.argmax() == vf.argmax() == target
+    assert vp.max() == vf.max() == 32

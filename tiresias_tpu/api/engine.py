@@ -64,6 +64,10 @@ class SearchResult:
     name: str | None = None  # TIRFILENAME
     context: str | None = None  # TIRCONTEXT
     hash: str | None = None  # TIRFILEHASH
+    # per-channel window index (continuous streaming): the serve layer
+    # pipelines score passes, so results MAY arrive out of order — this
+    # monotone counter lets clients reorder (not part of the TIR* contract)
+    window: int = 0
 
     @property
     def found(self) -> bool:
@@ -183,7 +187,7 @@ class Tiresias:
         warning when it is held (searches work, :meth:`save` raises).
         ``False`` — read-only by choice (listing/search tools)."""
         from tiresias_tpu.utils.compile_cache import enable_compilation_cache
-        from tiresias_tpu.utils.locking import DataDirLock
+        from tiresias_tpu.utils.locking import DataDirLock, DataDirLocked
 
         enable_compilation_cache()
         self.config = config or TiresiasConfig()
@@ -191,7 +195,9 @@ class Tiresias:
         if exclusive is not False:
             try:
                 self.lock.acquire()
-            except Exception as exc:
+            except DataDirLocked as exc:
+                # ONLY contention degrades to read-only; filesystem errors
+                # (permissions, read-only mounts) must surface as themselves
                 if exclusive:
                     raise
                 log.warning("engine is read-only: %s", exc)
@@ -481,7 +487,7 @@ class Tiresias:
         votes_all, entries, n_frames = self._compute_votes(
             context, [np.asarray(pcm)], samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned,
+            aligned, prefilter=False,
         )
         fc = int(n_frames[0])
         votes = votes_all[0]
@@ -494,6 +500,34 @@ class Tiresias:
             for i in order
             if votes[i] > 0
         ]
+
+    def _aligned_prefiltered(
+        self, view, qfp, n_frames, coefs, tolerance,
+        freq_ignore_low, freq_ignore_high, trunc_coef1,
+    ) -> np.ndarray | None:
+        """Certified prefiltered aligned votes for one view, or None when
+        any query's exactness certificate fails (→ caller full-scans)."""
+        import jax
+
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        if view.segments:
+            # auto-split audios sum per-segment scores (D15); per-ROW
+            # bounds can't certify the summed winner — full-scan instead
+            return None
+        q, active, use2 = match_jax.prepare_query(
+            qfp, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
+        )
+        specs, maps = self.store.bound_maps_for(view, coefs)
+        votes_d, cert_d = aligned_prefiltered_votes(
+            view.db, maps, q, active, use2, tolerance, specs=specs,
+            coefs=coefs,
+        )
+        votes, cert = jax.device_get((votes_d, cert_d))
+        if not cert.all():
+            metrics.add("search.prefilter_fallbacks", 1)
+            return None
+        return votes
 
     @staticmethod
     def _merge_segment_votes(
@@ -671,8 +705,13 @@ class Tiresias:
         filter_context: bool,
         trunc_coef1: bool | None,
         aligned: bool | None = None,
+        prefilter: bool = True,
     ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
-        """(votes [B, A], view-ordered entries, n_frames [B])."""
+        """(votes [B, A], view-ordered entries, n_frames [B]).
+
+        ``prefilter=False`` disables the certified two-stage aligned path
+        (top-k listings need every audio's true score, not just the
+        certified winner's)."""
         (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
          aligned) = self._resolve_search(
             coefs, tolerance, freq_ignore_low, freq_ignore_high,
@@ -720,19 +759,38 @@ class Tiresias:
                 elif use_pallas or use_pallas_aligned:
                     # generic semantics, fused Pallas kernel (bag-of-frames
                     # or offset-consistent aligned accumulation in VMEM)
-                    from tiresias_tpu.ops.match_pallas import search_batch_pallas
-
-                    _, _, votes = search_batch_pallas(
-                        view.db,
-                        qfp,
-                        n_frames,
-                        coefs=coefs,
-                        tolerance=tolerance,
-                        freq_ignore_low=freq_ignore_low,
-                        freq_ignore_high=freq_ignore_high,
-                        trunc_coef1=trunc_coef1,
-                        aligned=aligned,
+                    from tiresias_tpu.ops.match_pallas import (
+                        PREFILTER_K,
+                        search_batch_pallas,
                     )
+
+                    votes = None
+                    if (
+                        use_pallas_aligned
+                        and prefilter
+                        and view.db.shape[0] > 2 * PREFILTER_K
+                    ):
+                        # certified two-stage accuracy mode: lattice bound
+                        # (shared with the dialplan path's distance map) →
+                        # exact aligned rescore of the top-K candidates;
+                        # provably identical to the full scan when the
+                        # certificate holds, full scan otherwise
+                        votes = self._aligned_prefiltered(
+                            view, qfp, n_frames, coefs, tolerance,
+                            freq_ignore_low, freq_ignore_high, trunc_coef1,
+                        )
+                    if votes is None:
+                        _, _, votes = search_batch_pallas(
+                            view.db,
+                            qfp,
+                            n_frames,
+                            coefs=coefs,
+                            tolerance=tolerance,
+                            freq_ignore_low=freq_ignore_low,
+                            freq_ignore_high=freq_ignore_high,
+                            trunc_coef1=trunc_coef1,
+                            aligned=aligned,
+                        )
                 else:
                     _, _, votes = match_jax.search_batch(
                         view.db,

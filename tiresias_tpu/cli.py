@@ -81,20 +81,22 @@ def cmd_show_contexts(args) -> int:
     config = _config(args)
     proxy = _proxy(config)
     if proxy is not None:
-        with proxy:
-            rows = proxy.admin("show_contexts")["contexts"]
+        try:
+            with proxy:
+                rows = proxy.admin("show_contexts")["contexts"]
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
     else:
-        rows = Tiresias_readonly(config).get_contexts()
+        rows = _engine(args, exclusive=False).get_contexts()
     print("%-36.36s %-70.70s" % ("Name", "Directory"))
     for ctx in rows:
         print("%-36.36s %-70.70s" % (ctx["name"], ctx["directory"]))
     return 0
 
 
-def Tiresias_readonly(config):
-    from tiresias_tpu.api import Tiresias
-
-    return Tiresias(config, exclusive=False)
+def _proxy_failed(exc) -> int:
+    print(f"Admin request to the running server failed: {exc}", file=sys.stderr)
+    return 1
 
 
 def cmd_show_audios(args) -> int:
@@ -103,21 +105,22 @@ def cmd_show_audios(args) -> int:
     if proxy is not None:
         from tiresias_tpu.serve.admin import AdminError
 
-        with proxy:
-            try:
-                rows = proxy.admin("show_audios", context=args.context)["audios"]
-            except AdminError:
-                rows = None
+        try:
+            with proxy:
+                try:
+                    rows = proxy.admin("show_audios", context=args.context)["audios"]
+                except AdminError:
+                    rows = None
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
     else:
-        eng = Tiresias_readonly(config)
+        from tiresias_tpu.serve.admin import audio_row
+
+        eng = _engine(args, exclusive=False)
         rows = (
             None
             if eng.store.get_context(args.context) is None
-            else [
-                {"uuid": a.uuid, "name": a.name, "context": a.context,
-                 "hash": a.hash}
-                for a in eng.get_audios(args.context)
-            ]
+            else [audio_row(a) for a in eng.get_audios(args.context)]
         )
     if rows is None:
         # cli_handler.c:128
@@ -140,8 +143,11 @@ def cmd_remove_audio(args) -> int:
     config = _config(args)
     proxy = _proxy(config)
     if proxy is not None:
-        with proxy:
-            ok = proxy.admin("remove_audio", uuid=args.uuid).get("removed")
+        try:
+            with proxy:
+                ok = proxy.admin("remove_audio", uuid=args.uuid).get("removed")
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
     else:
         try:
             eng = _engine(args, exclusive=True)
@@ -166,8 +172,11 @@ def cmd_remove_context(args) -> int:
     config = _config(args)
     proxy = _proxy(config)
     if proxy is not None:
-        with proxy:
-            ok = proxy.admin("remove_context", context=args.name).get("removed")
+        try:
+            with proxy:
+                ok = proxy.admin("remove_context", context=args.name).get("removed")
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
     else:
         try:
             eng = _engine(args, exclusive=True)
@@ -196,15 +205,24 @@ def cmd_create(args) -> int:
     if proxy is not None:
         from tiresias_tpu.serve.admin import AdminError
 
-        with proxy:
-            try:
-                r = proxy.admin(
-                    "sync", **({"context": args.context} if args.context else {})
-                )["sync"]
-            except AdminError as exc:
-                print(f"Could not find context info. context[{args.context}]")
-                print(str(exc), file=sys.stderr)
-                return 1
+        try:
+            with proxy:
+                try:
+                    r = proxy.admin(
+                        "sync",
+                        **({"context": args.context} if args.context else {}),
+                    )["sync"]
+                except AdminError as exc:
+                    if args.context:
+                        print(
+                            f"Could not find context info. context[{args.context}]"
+                        )
+                    else:
+                        print("Sync failed on the running server.")
+                    print(str(exc), file=sys.stderr)
+                    return 1
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
         from types import SimpleNamespace
 
         report = SimpleNamespace(**r)
@@ -280,7 +298,7 @@ def cmd_serve(args) -> int:
     eng.sync()
     run_server(
         eng, host=args.host, port=args.port, samplerate=args.samplerate,
-        max_channels=args.max_channels,
+        max_channels=args.max_channels, admin=args.admin,
     )
     return 0
 
@@ -376,6 +394,11 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--host", default="127.0.0.1")
     sv.add_argument("--port", type=int, default=8517)
     sv.add_argument("--samplerate", type=int, default=8000)
+    sv.add_argument(
+        "--admin", choices=("local", "any", "off"), default="local",
+        help="who may issue op=admin mutations: loopback peers only "
+        "(default), any peer, or nobody",
+    )
     sv.add_argument(
         "--max-channels", type=int, default=128, dest="max_channels",
         help="warm every power-of-two search batch up to this channel count "

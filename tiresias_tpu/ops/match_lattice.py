@@ -139,6 +139,84 @@ def _build_value_map_block(
     return jnp.minimum(above, below)
 
 
+# Bound-map specs for the certified aligned prefilter
+# (match_pallas.aligned_prefiltered_votes): per-coefficient value maps on
+# CLIPPED, SCALED values. Clipping is a 1-Lipschitz contraction
+# (|clip(x)−clip(y)| ≤ |x−y|), so a true hit |q_c − d_c| ≤ tol implies a
+# clipped-scaled lattice hit within s·tol + 1 — the map stays a valid
+# upper bound while the ×s scaling shrinks the truncation loss to 1/s of
+# a unit (the plain integer lattice's ±1 loss swamps accuracy-mode
+# tolerances of 0.01-0.1). k_size has 128 spare buckets past hi·s so the
+# clip-to-hi edge value still lands in range.
+BOUND_SPEC_C0 = (4.0, -120.0, 40.0)  # coef 0 spans the energy floor
+BOUND_SPEC_CN = (8.0, -40.0, 40.0)  # higher coefs concentrate near 0
+
+
+def bound_coef_indices(n_coefs: int) -> tuple[int, ...]:
+    """Which coefficients the prefilter bound tests. ``n_coefs`` is the
+    number of coefs the SEARCH tests — a bound on a coef the aligned
+    condition does not test would be unsound (an aligned hit need not
+    pass it). Within that set: coef 0 tracks total energy and matches
+    almost anything (the reference's own weakness); coefs 1-2
+    discriminate, so prefer them."""
+    if n_coefs >= 3:
+        return (1, 2)
+    if n_coefs == 2:
+        return (1,)
+    return (0,)
+
+
+def bound_specs(n_coefs: int) -> tuple:
+    """Static per-coef specs ``(coef, scale, lo, hi, k_min, k_size)`` for
+    the bound maps (hashable — they ride jit as static arguments)."""
+    out = []
+    for c in bound_coef_indices(n_coefs):
+        s, lo, hi = BOUND_SPEC_C0 if c == 0 else BOUND_SPEC_CN
+        out.append((c, s, lo, hi, int(lo * s), int((hi - lo) * s) + 128))
+    return tuple(out)
+
+
+def build_bound_maps(
+    db: jax.Array, db_mask: jax.Array, coefs: int | None = None
+) -> tuple:
+    """Per-coef scaled distance maps for the aligned prefilter.
+
+    ``coefs``: the number of coefficients the SEARCH will test (defaults
+    to everything stored) — bound maps are only valid for coefs the
+    aligned condition actually tests.
+
+    Returns ``(specs, maps)`` — static spec tuple plus one
+    ``[A, k_size]`` :func:`build_value_map` per spec, built over
+    ``clip(db[...,c], lo, hi) * scale``.
+    """
+    if coefs is None:
+        coefs = db.shape[2]
+    specs = bound_specs(min(coefs, db.shape[2]))
+    maps = []
+    for c, s, lo, hi, k_min, k_size in specs:
+        scaled = jnp.clip(db[..., c], lo, hi) * s
+        maps.append(build_value_map(scaled, db_mask, k_min=k_min, k_size=k_size))
+    return specs, tuple(maps)
+
+
+def bound_votes(specs: tuple, maps: tuple, q: jax.Array, active: jax.Array,
+                tolerance: jax.Array | float) -> jax.Array:
+    """Upper bound on every audio's ALIGNED score: ``min`` over the bound
+    coefs of that coef's clipped-scaled lattice votes (an aligned hit
+    passes every coef's test, so its frame counts once in each)."""
+    tol = jnp.asarray(tolerance, jnp.float32)
+    neg_inf, pos_inf = jnp.float32(-jnp.inf), jnp.float32(jnp.inf)
+    out = None
+    for (c, s, lo, hi, k_min, k_size), m in zip(specs, maps):
+        qc = jnp.clip(q[..., c], lo, hi) * s
+        v = lattice_votes(
+            m, qc, active, s * tol + 1.0, neg_inf, pos_inf,
+            k_min=k_min, k_size=k_size,
+        )
+        out = v if out is None else jnp.minimum(out, v)
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
 def lattice_votes(
     value_map: jax.Array,

@@ -17,6 +17,17 @@ import socket
 from tiresias_tpu.utils.locking import read_server_info
 
 
+def audio_row(entry) -> dict:
+    """Wire/table row for one audio — shared by the server's admin plane
+    and the CLI's offline path so the two outputs cannot drift."""
+    return {
+        "uuid": entry.uuid,
+        "name": entry.name,
+        "context": entry.context,
+        "hash": entry.hash,
+    }
+
+
 class AdminError(RuntimeError):
     """The server answered an admin request with an error."""
 

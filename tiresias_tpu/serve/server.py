@@ -72,10 +72,18 @@ class RecognitionServer:
         host: str = "127.0.0.1",
         port: int = 8517,
         samplerate: int = 8000,
+        admin: str = "local",
     ) -> None:
+        """``admin``: who may issue ``op: "admin"`` mutations — ``"local"``
+        (default: loopback peers only; the reference's CLI is equally
+        machine-local), ``"any"`` (every peer — only behind a trusted
+        network), or ``"off"``."""
+        if admin not in ("local", "any", "off"):
+            raise ValueError("admin must be 'local', 'any', or 'off'")
         self.engine = engine
         self.host = host
         self.port = port
+        self.admin = admin
         self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
         self._writers: dict[str, asyncio.StreamWriter] = {}
         self._server: asyncio.AbstractServer | None = None
@@ -129,27 +137,30 @@ class RecognitionServer:
 
     async def _score_loop(self) -> None:
         in_flight: set[asyncio.Task] = set()
-        while True:
-            await asyncio.sleep(SCORE_INTERVAL_S)
-            try:
-                if (
-                    self.recognizer.n_channels == 0
-                    or len(in_flight) >= MAX_SCORES_IN_FLIGHT
-                ):
-                    continue
-                # device work off the event loop so slow searches don't
-                # stall IO; NOT awaited here — up to MAX_SCORES_IN_FLIGHT
-                # batched passes pipeline through the device (_take_ready
-                # hands each pass disjoint windows under the lock)
-                task = asyncio.create_task(self._score_once())
-                in_flight.add(task)
-                task.add_done_callback(in_flight.discard)
-            except asyncio.CancelledError:
-                for task in in_flight:
-                    task.cancel()
-                raise
-            except Exception:  # noqa: BLE001 - the scorer must never die
-                log.exception("score loop iteration failed; continuing")
+        try:
+            while True:
+                await asyncio.sleep(SCORE_INTERVAL_S)
+                try:
+                    if (
+                        self.recognizer.n_channels == 0
+                        or len(in_flight) >= MAX_SCORES_IN_FLIGHT
+                    ):
+                        continue
+                    # device work off the event loop so slow searches don't
+                    # stall IO; NOT awaited here — up to MAX_SCORES_IN_FLIGHT
+                    # batched passes pipeline through the device (_take_ready
+                    # hands each pass disjoint windows under the lock)
+                    task = asyncio.create_task(self._score_once())
+                    in_flight.add(task)
+                    task.add_done_callback(in_flight.discard)
+                except Exception:  # noqa: BLE001 - the scorer must never die
+                    log.exception("score loop iteration failed; continuing")
+        finally:
+            # stop() cancellation usually lands on the sleep above — the
+            # finally (not an except around the create_task) is what
+            # actually reaches the in-flight passes
+            for task in in_flight:
+                task.cancel()
 
     async def _score_once(self) -> None:
         try:
@@ -177,6 +188,7 @@ class RecognitionServer:
         try:
             writer.write(
                 (json.dumps({"channel": self._public_id(channel_id),
+                             "window": result.window,
                              "result": payload}) + "\n").encode()
             )
             await writer.drain()
@@ -193,6 +205,7 @@ class RecognitionServer:
         self._conn_seq += 1
         conn = self._conn_seq
         opened: set[str] = set()
+        admin_ok = self._admin_allowed(writer)
 
         def cid(channel: str) -> str:
             # connection-scoped channel ids: two clients may both say "c1"
@@ -216,7 +229,9 @@ class RecognitionServer:
                     msg = json.loads(line)
                     op = msg["op"]
                     channel = str(msg.get("channel", ""))
-                    await self._dispatch_op(op, channel, msg, cid, opened, writer)
+                    await self._dispatch_op(
+                        op, channel, msg, cid, opened, writer, admin_ok
+                    )
                 except ConnectionError:
                     raise
                 except Exception as exc:  # noqa: BLE001 - bad request only
@@ -238,8 +253,19 @@ class RecognitionServer:
                 self.recognizer.hangup(channel_id, flush=False)
             writer.close()
 
+    def _admin_allowed(self, writer) -> bool:
+        """Admin-plane authorization by peer address (the reference's CLI
+        runs only on the local machine; same trust model by default)."""
+        if self.admin == "any":
+            return True
+        if self.admin == "off":
+            return False
+        peer = writer.get_extra_info("peername")
+        host = peer[0] if peer else ""
+        return host in ("127.0.0.1", "::1", "::ffff:127.0.0.1")
+
     async def _dispatch_op(
-        self, op, channel, msg, cid, opened, writer
+        self, op, channel, msg, cid, opened, writer, admin_ok=True
     ) -> None:
         if op == "open":
             kwargs = {
@@ -315,7 +341,13 @@ class RecognitionServer:
             # the reference's CLI-inside-the-module operational model
             # (/root/reference/src/cli_handler.c:26-31). Mutations persist
             # via the engine's own checkpoint (it owns the data-dir lock).
-            reply = await self._dispatch_admin(msg)
+            # Gated by peer address (self.admin) — recognition may be
+            # exposed to a network; destructive admin must not be.
+            reply = (
+                await self._dispatch_admin(msg)
+                if admin_ok
+                else {"error": "admin not permitted from this peer"}
+            )
             writer.write((json.dumps(reply) + "\n").encode())
             await writer.drain()
         else:
@@ -338,10 +370,10 @@ class RecognitionServer:
             context = str(msg["context"])
             if eng.store.get_context(context) is None:
                 return {"error": f"unknown context {context!r}"}
+            from tiresias_tpu.serve.admin import audio_row
+
             return {"admin": {"audios": [
-                {"uuid": a.uuid, "name": a.name, "context": a.context,
-                 "hash": a.hash}
-                for a in eng.get_audios(context)
+                audio_row(a) for a in eng.get_audios(context)
             ]}}
         if cmd == "remove_audio":
             uuid = str(msg["uuid"])
@@ -404,7 +436,8 @@ class RecognitionServer:
         payload["CONFIDENCE"] = f"{result.confidence:.4f}"
         try:
             writer.write(
-                (json.dumps({"channel": channel, "result": payload}) + "\n").encode()
+                (json.dumps({"channel": channel, "window": result.window,
+                             "result": payload}) + "\n").encode()
             )
             await writer.drain()
         except ConnectionError:
@@ -426,7 +459,7 @@ def warmup_batch_sizes(max_channels: int) -> tuple[int, ...]:
 
 def run_server(
     engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
-    samplerate: int = 8000, max_channels: int = 128,
+    samplerate: int = 8000, max_channels: int = 128, admin: str = "local",
 ) -> None:
     """Blocking entry point (the `tiresias serve` CLI command).
 
@@ -440,7 +473,7 @@ def run_server(
         for b in warmup_batch_sizes(max_channels):
             engine.warmup(samplerate=samplerate, batch_sizes=(b,))
             log.info("warmed search batch %d", b)
-        server = RecognitionServer(engine, host, port, samplerate)
+        server = RecognitionServer(engine, host, port, samplerate, admin=admin)
         await server.start()
         print(f"tiresias serving on {server.host}:{server.port}")
         await server.serve_forever()

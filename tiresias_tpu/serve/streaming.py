@@ -91,6 +91,7 @@ class ChannelState:
     chunks: list[np.ndarray] = dataclasses.field(default_factory=list)
     buffered: int = 0  # samples currently buffered
     skip_debt: int = 0  # samples still to discard (hop_ms > duration_ms)
+    windows_taken: int = 0  # monotone per-channel window counter
     closed: bool = False
 
     @property
@@ -283,12 +284,14 @@ class StreamingRecognizer:
                 result = SearchResult(
                     status=STATUS_NOTFOUND, frame_count=0, match_count=0
                 )
+            result = dataclasses.replace(result, window=state.windows_taken)
             metrics.add("serve.windows_scored", 1)
         else:
             result = SearchResult(
                 status=STATUS_HANGUP,
                 frame_count=0,
                 match_count=0,
+                window=state.windows_taken,
             )
         if state.on_result:
             state.on_result(channel_id, result)
@@ -334,7 +337,8 @@ class StreamingRecognizer:
                 else:
                     state.closed = True
                     del self._channels[state.channel_id]
-                ready.append((state, window))
+                state.windows_taken += 1
+                ready.append((state, window, state.windows_taken - 1))
         return ready
 
     def process_ready(self) -> dict[str, SearchResult]:
@@ -344,8 +348,8 @@ class StreamingRecognizer:
         ready = self._take_ready()
         if not ready:
             return {}
-        groups: dict[tuple, list[tuple[ChannelState, np.ndarray]]] = {}
-        for state, pcm in ready:
+        groups: dict[tuple, list[tuple[ChannelState, np.ndarray, int]]] = {}
+        for state, pcm, window in ready:
             key = (
                 state.context,
                 state.tolerance,
@@ -356,7 +360,7 @@ class StreamingRecognizer:
                 state.aligned,
                 state.filter_context,
             )
-            groups.setdefault(key, []).append((state, pcm))
+            groups.setdefault(key, []).append((state, pcm, window))
 
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
@@ -364,7 +368,7 @@ class StreamingRecognizer:
             # pad the batch to the next power of two with silence queries so
             # XLA compiles at most log2(max_channels) batch shapes instead of
             # one per concurrent-channel count (results sliced back below)
-            pcms = [pcm for _, pcm in items]
+            pcms = [pcm for _, pcm, _ in items]
             b_pad = next_pow2(len(pcms))
             pcms += [np.zeros_like(pcms[0])] * (b_pad - len(pcms))
             try:
@@ -391,7 +395,11 @@ class StreamingRecognizer:
                 batch_results = [
                     SearchResult(status=STATUS_NOTFOUND, frame_count=0, match_count=0)
                 ] * len(items)
-            for (state, _), result in zip(items, batch_results):
+            for (state, _, window), result in zip(items, batch_results):
+                # stamp the per-channel window index: pipelined score
+                # passes may complete out of order, and the counter lets
+                # consumers (the TCP protocol includes it) reorder
+                result = dataclasses.replace(result, window=window)
                 results[state.channel_id] = result
                 if state.on_result:
                     state.on_result(state.channel_id, result)

@@ -424,6 +424,11 @@ class TierView:
     n_audios: int  # view rows, INCLUDING tombstoned ones
     entries: list[AudioEntry]  # row order at view-build time
     value_map: object = None  # lazily-built lattice map [A_pad, K]
+    # lazily-built per-coef scaled maps for the certified aligned
+    # prefilter ({coef-index-tuple: (specs, maps)} —
+    # ops.match_lattice.build_bound_maps); dropped (not incrementally
+    # updated) on view mutation
+    bound_maps: dict | None = None
     dead_rows: frozenset = frozenset()  # tombstoned row indices
     # per-row frame counts (== entry.n_frames except for auto-split audios,
     # whose segment rows repeat one entry — split_frames)
@@ -756,6 +761,10 @@ class FingerprintStore:
                 else:
                     db = np.full((a_pad, t, self.n_coefs), PAD_VALUE, np.float32)
                     db[:a] = tier.matrix[:a]
+                    if tier.dead:
+                        # value-masking for the Pallas kernels (they carry
+                        # no mask operand — PAD_VALUE is the tombstone)
+                        db[sorted(tier.dead)] = PAD_VALUE
                     n_frames = np.zeros(a_pad, dtype=np.int32)
                     n_frames[:a] = [
                         0 if i in tier.dead else nf
@@ -786,16 +795,20 @@ class FingerprintStore:
 
     def _mask_off_rows(self, old: TierView, rows: set[int]) -> TierView:
         """Tombstone deleted rows in an existing device view: one scatter
-        per buffer (mask all-False, lattice-map +inf) instead of a full
-        rebuild + re-upload (the round-2 delete stall)."""
+        per buffer instead of a full rebuild + re-upload (the round-2
+        delete stall). ALL THREE masking conventions must be updated —
+        the XLA matcher masks by ``mask`` (→ all-False), the lattice by
+        ``value_map`` (→ +inf), and the Pallas kernels by VALUE (db holds
+        PAD_VALUE, which no tolerance band can reach)."""
         idx = np.fromiter(rows, np.int32, count=len(rows))
         mask = _scatter_rows(old.mask, idx, False, self.mesh)
+        db = _scatter_rows(old.db, idx, np.float32(PAD_VALUE), self.mesh)
         vm = old.value_map
         if vm is not None:
             vm = _scatter_rows(vm, idx, np.float32(np.inf), self.mesh)
         return TierView(
             tier_frames=old.tier_frames,
-            db=old.db,
+            db=db,
             mask=mask,
             n_audios=old.n_audios,
             entries=old.entries,
@@ -824,12 +837,13 @@ class FingerprintStore:
         new_rows = np.full((k_pad, t, self.n_coefs), PAD_VALUE, np.float32)
         new_rows[: a - lo] = tier.matrix[lo:a]
         n_frames = np.zeros(k_pad, dtype=np.int32)
-        n_frames[: a - lo] = [
+        for i, nf in enumerate(tier.row_frames[lo:a]):
             # a row appended and tombstoned between two view builds arrives
-            # here already dead — mask it off from the start
-            0 if (lo + i) in tier.dead else nf
-            for i, nf in enumerate(tier.row_frames[lo:a])
-        ]
+            # here already dead — value-mask it (Pallas) AND frame-mask it
+            if (lo + i) in tier.dead:
+                new_rows[i] = PAD_VALUE
+            else:
+                n_frames[i] = nf
         new_mask = np.arange(t)[None, :] < n_frames[:, None]
 
         def to_dev(arr: np.ndarray):
@@ -928,6 +942,29 @@ class FingerprintStore:
             if view.value_map is None:  # a concurrent build may have won
                 view.value_map = vm
             return view.value_map
+
+    def bound_maps_for(self, view: TierView, coefs: int):
+        """Prefilter bound maps for one view and search-coef count, cached
+        on the view (like :meth:`value_map_for`; one entry per distinct
+        ``coefs`` — typically a deployment uses one). Built from the
+        view's own immutable device buffers — the mask already excludes
+        tombstoned rows — so no snapshot subtleties; mutated views start
+        fresh (no incremental update; the build is a few matmul-shaped
+        passes)."""
+        from tiresias_tpu.ops.match_lattice import (
+            bound_coef_indices,
+            build_bound_maps,
+        )
+
+        key = bound_coef_indices(min(coefs, self.n_coefs))
+        with self._lock:
+            if view.bound_maps is None:
+                view.bound_maps = {}
+            if key not in view.bound_maps:
+                view.bound_maps[key] = build_bound_maps(
+                    view.db, view.mask, coefs
+                )
+            return view.bound_maps[key]
 
     def view_entries(self) -> list[AudioEntry]:
         """Catalog snapshot matching the concatenated view row order —

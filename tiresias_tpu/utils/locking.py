@@ -73,13 +73,27 @@ class DataDirLock:
         except ImportError:  # non-POSIX: degrade to advisory-only
             self._degraded = True
             return self
+        import time
+
         os.makedirs(self.directory, exist_ok=True)
-        fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except OSError:
-            os.close(fd)
-            raise DataDirLocked(self.directory, self.owner_info()) from None
+        fd: int | None = None
+        for attempt in range(2):
+            fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
+                os.close(fd)
+                fd = None
+                owner = self.owner_info()
+                if owner or attempt:
+                    raise DataDirLocked(self.directory, owner) from None
+                # empty lock file: the holder is either a momentary
+                # liveness probe (read_server_info's shared lock) or an
+                # owner that has not written its info yet — both resolve
+                # within milliseconds; retry once before failing
+                time.sleep(0.05)
+        assert fd is not None
         payload = {"pid": os.getpid(), **(info or {})}
         os.ftruncate(fd, 0)
         os.write(fd, json.dumps(payload).encode())
@@ -135,11 +149,18 @@ def read_server_info(directory: str) -> dict | None:
     try:
         import fcntl
 
-        fd = os.open(
-            os.path.join(directory, LOCK_FILE), os.O_RDWR | os.O_CREAT, 0o644
-        )
         try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            # no O_CREAT: a missing lock file means nobody ever owned the
+            # dir, and a read-only probe must not create state
+            fd = os.open(os.path.join(directory, LOCK_FILE), os.O_RDONLY)
+        except FileNotFoundError:
+            return None
+        try:
+            # SHARED probe: conflicts with a live owner's exclusive lock
+            # (→ info is fresh) but not with concurrent probes, and any
+            # momentary interference with a racing exclusive acquire is
+            # absorbed by DataDirLock.acquire's retry
+            fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
         except OSError:
             return info  # lock held by a live process — server info is fresh
         else:
