@@ -201,6 +201,16 @@ def test_engine_int16_end_to_end_on_device(rng, tmp_path):
     )
     assert r2.found and r2.uuid == e3.uuid
     assert r2.match_count > 0.9 * r2.frame_count
+    # tombstone the clip: the VALUE-masked device view must stop matching
+    # on every on-device path (bag Pallas, aligned Pallas, fused lattice)
+    assert eng.delete_audio(e3.uuid)
+    q3 = i16_3[: 2 * SR].astype(np.float32) / 32768.0
+    r3 = eng.search_pcm("c", q3, SR, coefs=2, tolerance=0.05,
+                        trunc_coef1=False)
+    assert r3.uuid != e3.uuid
+    r4 = eng.search_pcm("c", q3, SR, coefs=2, tolerance=0.05,
+                        trunc_coef1=False, aligned=True)
+    assert r4.uuid != e3.uuid
 
 
 def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
