@@ -272,7 +272,12 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
 
     dsp = DspConfig()
     f = 3 * 8000 // dsp.hop_size  # 3-s query, 93 frames
-    for n_tracks, t in ((100_000, 1024),):
+    # full scan measured at 100k only (it is the slow baseline the
+    # prefilter replaces); the 1M config runs the prefiltered path alone
+    for n_tracks, t, full_scan in (
+        (100_000, 1024, True),
+        (1_000_000, 128, False),
+    ):
         # corpus generated ON DEVICE: multi-GB of host->device transfer
         # through the dev tunnel would dominate the whole bench otherwise
         key = jax.random.PRNGKey(7)
@@ -299,35 +304,38 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             for i in (5, 71, 901, 4242)
         ]).astype(np.float32)[:, None]
 
-        @jax.jit
-        def run(qs, db_d):
-            def body(carry, q):
-                qq, active, use2 = match_jax.prepare_query(
-                    q, None, trunc_coef1=False
-                )
-                votes = match_votes_pallas_aligned(
-                    db_d, qq, active, use2, jnp.float32(0.1), coefs=n_coefs
-                )
-                best, count = match_jax.top1(votes)
-                return carry, (best[0], count[0])
+        per_query = None
+        if full_scan:
+            @jax.jit
+            def run(qs, db_d):
+                def body(carry, q):
+                    qq, active, use2 = match_jax.prepare_query(
+                        q, None, trunc_coef1=False
+                    )
+                    votes = match_votes_pallas_aligned(
+                        db_d, qq, active, use2, jnp.float32(0.1),
+                        coefs=n_coefs,
+                    )
+                    best, count = match_jax.top1(votes)
+                    return carry, (best[0], count[0])
 
-            _, outs = jax.lax.scan(body, 0, qs)
-            return outs
+                _, outs = jax.lax.scan(body, 0, qs)
+                return outs
 
-        int(np.asarray(run(qs, db_d)[0])[0])  # compile + sync
-        times = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            int(np.asarray(run(qs, db_d)[0])[-1])
-            times.append((time.perf_counter() - t0) * 1e3)
-        per_query = float(np.percentile(times, 50)) / k_seq
-        print(
-            f"[bench] aligned@{n_coefs}coefs search @ {n_tracks} tracks "
-            f"(T={t}), batch 1 DEVICE-TIME: p50={per_query:.1f} ms/query "
-            f"({k_seq} sequential aligned recognitions per dispatch; "
-            "fused Pallas offset-accumulation kernel, full scan)",
-            file=sys.stderr,
-        )
+            int(np.asarray(run(qs, db_d)[0])[0])  # compile + sync
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                int(np.asarray(run(qs, db_d)[0])[-1])
+                times.append((time.perf_counter() - t0) * 1e3)
+            per_query = float(np.percentile(times, 50)) / k_seq
+            print(
+                f"[bench] aligned@{n_coefs}coefs search @ {n_tracks} tracks "
+                f"(T={t}), batch 1 DEVICE-TIME: p50={per_query:.1f} ms/query "
+                f"({k_seq} sequential aligned recognitions per dispatch; "
+                "fused Pallas offset-accumulation kernel, full scan)",
+                file=sys.stderr,
+            )
 
         # certified two-stage path: bound matmuls + top-k exact rescore
         t0 = time.perf_counter()
@@ -359,11 +367,16 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             int(np.asarray(run_pref(qs, db_d, maps)[0])[-1])
             times.append((time.perf_counter() - t0) * 1e3)
         per_query_p = float(np.percentile(times, 50)) / k_seq
+        speedup = (
+            f"{per_query / max(per_query_p, 1e-9):.0f}x vs full scan; "
+            if per_query is not None
+            else ""
+        )
         print(
             f"[bench] aligned@{n_coefs}coefs PREFILTERED @ {n_tracks} "
             f"tracks (T={t}), batch 1 DEVICE-TIME: p50={per_query_p:.1f} "
-            f"ms/query ({per_query / max(per_query_p, 1e-9):.0f}x vs full "
-            f"scan; certificates {int(certs.sum())}/{len(certs)} exact; "
+            f"ms/query ({speedup}"
+            f"certificates {int(certs.sum())}/{len(certs)} exact; "
             f"one-off bound-map build {build_s:.1f}s)",
             file=sys.stderr,
         )

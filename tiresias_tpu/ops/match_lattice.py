@@ -195,8 +195,40 @@ def build_bound_maps(
     maps = []
     for c, s, lo, hi, k_min, k_size in specs:
         scaled = jnp.clip(db[..., c], lo, hi) * s
-        maps.append(build_value_map(scaled, db_mask, k_min=k_min, k_size=k_size))
+        maps.append(_build_bound_map(scaled, db_mask, k_min, k_size))
     return specs, tuple(maps)
+
+
+@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
+def _build_bound_map(scaled, mask, k_min: int, k_size: int):
+    """One bound map, built in row chunks (a single-call distance
+    transform at 1M rows materialises ~6 f32 [A, K] temps — tens of GB;
+    ``lax.map`` over fixed chunks bounds the peak at one chunk's temps
+    plus the bf16 output) with a conservative DOWNWARD bf16 cast:
+    distances are >= 0, so x·(1−2⁻⁸) rounded-to-nearest-bf16 is always
+    <= x — the stored map only under-states distances, keeping
+    ``(map <= tol)`` a SUPERSET of the true hit set (the bound stays
+    valid) at half the HBM footprint and matmul read traffic."""
+
+    def block(args):
+        db0s, masks = args
+        m = _build_value_map_block(db0s, masks, k_min=k_min, k_size=k_size)
+        return jnp.minimum(m * (1.0 - 2.0**-8), m).astype(jnp.bfloat16)
+
+    a, t = scaled.shape
+    if a <= _BUILD_CHUNK:
+        return block((scaled, mask))
+    pad = -(-a // _BUILD_CHUNK) * _BUILD_CHUNK - a
+    scaled_p = jnp.pad(scaled, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(mask, ((0, pad), (0, 0)))  # pad rows all-masked → +inf
+    blocks = jax.lax.map(
+        block,
+        (
+            scaled_p.reshape(-1, _BUILD_CHUNK, t),
+            mask_p.reshape(-1, _BUILD_CHUNK, t),
+        ),
+    )
+    return blocks.reshape(-1, k_size)[:a]
 
 
 def bound_votes(specs: tuple, maps: tuple, q: jax.Array, active: jax.Array,
