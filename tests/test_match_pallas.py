@@ -255,3 +255,30 @@ class TestAlignedPrefilter:
         )
         assert np.asarray(votes_p)[0].argmax() == np.asarray(votes_full)[0].argmax() == 9
         assert np.asarray(votes_p)[0].max() == np.asarray(votes_full)[0].max()
+
+    @pytest.mark.parametrize("coefs", [1, 2, 8])
+    @pytest.mark.parametrize("tolerance", [0.01, 0.1, 1.0])
+    def test_bound_dominates_true_aligned_score(self, rng, coefs, tolerance):
+        """THE core inequality (bound validity): for every audio, the
+        clipped-scaled bf16 lattice bound must be >= the true aligned
+        score — for any corpus, tolerance, or coef count."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps, bound_votes
+
+        c = max(coefs, 2)
+        db, mask = self._db(rng, n_audios=48, c=c)
+        specs, maps = build_bound_maps(
+            jnp.asarray(db), jnp.asarray(mask), coefs=coefs
+        )
+        q = np.concatenate([
+            db[None, 3, 20:52, :],  # true-match query
+            rng.uniform(-40, 30, size=(1, 32, c)).astype(np.float32),
+        ])
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        bound = np.asarray(bound_votes(specs, maps, qj, active, tolerance))
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=coefs, tolerance=tolerance,
+            trunc_coef1=False, aligned=True,
+        )
+        assert (bound >= np.asarray(votes_full)).all()

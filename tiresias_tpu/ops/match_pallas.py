@@ -298,12 +298,19 @@ def aligned_prefiltered_votes(
         (match_lattice.bound_votes) — a couple of MXU matmuls.
 
     So rescoring only the top-k audios BY BOUND is provably exact whenever
-    ``best_rescored > k-th bound`` (every unselected audio's true score ≤
-    its bound ≤ the k-th bound < best) — the returned ``certificate``. The
-    caller falls back to the full scan when it is False (pathological
-    corpora: ≥k near-duplicates of the query). Cost: O(B·K·A) matmuls +
-    O(B·F·k·T·C) rescore instead of O(B·F·A·T·C) — a ~A/k speedup of the
-    accuracy mode at 100k-1M tracks.
+    ``best_rescored > max unselected bound`` (every unselected audio's
+    true score ≤ its bound ≤ that max < best) — the returned
+    ``certificate``. The caller falls back to the full scan when it is
+    False (pathological corpora: ≥k near-duplicates of the query). Cost:
+    O(B·K·A) matmuls + O(B·F·k·T·C) rescore instead of O(B·F·A·T·C) — a
+    ~A/k speedup of the accuracy mode at 100k-1M tracks.
+
+    Candidate selection uses the TPU's hardware-accelerated
+    ``approx_max_k`` (a sort-based exact top-k dominates the whole search
+    at 1M rows). Approximation cannot break exactness: the certificate is
+    checked against the EXACT maximum over the unselected set (selected
+    entries scattered out first), so a missed high-bound audio simply
+    fails the certificate and triggers the full-scan fallback.
 
     Returns (votes [B, A] int32 — candidate scores scattered, zeros
     elsewhere; certificate [B] bool).
@@ -318,8 +325,13 @@ def aligned_prefiltered_votes(
     # prepare_query); the bound's lattice band stays OPEN or a frame at a
     # band edge could be dropped from the bound but not from the aligned
     # score, breaking the inequality
-    bound = bound_votes(specs, maps, q, active, tol)  # [B, A]
-    vals, idx = jax.lax.top_k(bound, k)  # [B, K]
+    bound = bound_votes(specs, maps, q, active, tol)  # [B, A] int32
+    _, idx = jax.lax.approx_max_k(
+        bound.astype(jnp.float32), k, recall_target=0.99
+    )  # [B, K] — high recall: a missed high-bound audio costs a
+    # certificate failure → full-scan fallback (exact but ~10x slower)
+    rows = jnp.arange(b)[:, None]
+    unselected_max = bound.at[rows, idx].set(-1).max(axis=1)
 
     def per_query(args):
         qb, ab, ub, idxb = args
@@ -331,19 +343,13 @@ def aligned_prefiltered_votes(
         return votes_k[0]
 
     votes_k = jax.lax.map(per_query, (q, active, use2, idx))  # [B, K]
-    votes = (
-        jnp.zeros((b, a), jnp.int32)
-        .at[jnp.arange(b)[:, None], idx]
-        .max(votes_k)
-    )
+    votes = jnp.zeros((b, a), jnp.int32).at[rows, idx].max(votes_k)
     best = votes_k.max(axis=1)
-    kth = vals[:, -1]
     # strict > keeps the D5 lowest-index tiebreak exact (a tie with an
     # unselected audio's bound could hide an equal-score lower-index row);
-    # kth == 0 certifies trivially (every unselected audio scores 0)
-    certificate = (best > kth) | (kth == 0)
-    if k >= a:
-        certificate = jnp.ones_like(certificate)
+    # unselected_max <= 0 certifies trivially (everything unselected
+    # scores 0 — or nothing is unselected at all)
+    certificate = (best > unselected_max) | (unselected_max <= 0)
     return votes, certificate
 
 
