@@ -298,9 +298,13 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
         db_d, mask_d = gen_db()
         jax.block_until_ready(db_d)
         k_seq = 4
+        # query frames must come from every audio's VALID region
+        # (n_frames >= t//2), or the excerpt would include PAD rows and
+        # weaken the winner's score
+        qf = min(f, t // 2 - 8)
         qs = np.stack([
-            np.asarray(db_d[i, 8 : 8 + f])
-            + np.random.default_rng(9).normal(0, 0.01, (f, n_coefs))
+            np.asarray(db_d[i, 8 : 8 + qf])
+            + np.random.default_rng(9).normal(0, 0.01, (qf, n_coefs))
             for i in (5, 71, 901, 4242)
         ]).astype(np.float32)[:, None]
 

@@ -194,37 +194,42 @@ def build_bound_maps(
     specs = bound_specs(min(coefs, db.shape[2]))
     maps = []
     for c, s, lo, hi, k_min, k_size in specs:
-        scaled = jnp.clip(db[..., c], lo, hi) * s
-        maps.append(_build_bound_map(scaled, db_mask, k_min, k_size))
+        maps.append(
+            _build_bound_map(db[..., c], db_mask, s, lo, hi, k_min, k_size)
+        )
     return specs, tuple(maps)
 
 
-@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
-def _build_bound_map(scaled, mask, k_min: int, k_size: int):
+@functools.partial(
+    jax.jit, static_argnames=("s", "lo", "hi", "k_min", "k_size")
+)
+def _build_bound_map(db_c, mask, s, lo, hi, k_min: int, k_size: int):
     """One bound map, built in row chunks (a single-call distance
     transform at 1M rows materialises ~6 f32 [A, K] temps — tens of GB;
     ``lax.map`` over fixed chunks bounds the peak at one chunk's temps
-    plus the bf16 output) with a conservative DOWNWARD bf16 cast:
-    distances are >= 0, so x·(1−2⁻⁸) rounded-to-nearest-bf16 is always
-    <= x — the stored map only under-states distances, keeping
+    plus the bf16 output, and the clip/scale fuses into each chunk so no
+    full-size scaled temp exists either) with a conservative DOWNWARD
+    bf16 cast: distances are >= 0, so x·(1−2⁻⁸) rounded-to-nearest-bf16
+    is always <= x — the stored map only under-states distances, keeping
     ``(map <= tol)`` a SUPERSET of the true hit set (the bound stays
     valid) at half the HBM footprint and matmul read traffic."""
 
     def block(args):
-        db0s, masks = args
-        m = _build_value_map_block(db0s, masks, k_min=k_min, k_size=k_size)
+        db_cs, masks = args
+        scaled = jnp.clip(db_cs, lo, hi) * s
+        m = _build_value_map_block(scaled, masks, k_min=k_min, k_size=k_size)
         return jnp.minimum(m * (1.0 - 2.0**-8), m).astype(jnp.bfloat16)
 
-    a, t = scaled.shape
+    a, t = db_c.shape
     if a <= _BUILD_CHUNK:
-        return block((scaled, mask))
+        return block((db_c, mask))
     pad = -(-a // _BUILD_CHUNK) * _BUILD_CHUNK - a
-    scaled_p = jnp.pad(scaled, ((0, pad), (0, 0)))
+    db_p = jnp.pad(db_c, ((0, pad), (0, 0)))
     mask_p = jnp.pad(mask, ((0, pad), (0, 0)))  # pad rows all-masked → +inf
     blocks = jax.lax.map(
         block,
         (
-            scaled_p.reshape(-1, _BUILD_CHUNK, t),
+            db_p.reshape(-1, _BUILD_CHUNK, t),
             mask_p.reshape(-1, _BUILD_CHUNK, t),
         ),
     )
