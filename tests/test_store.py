@@ -236,6 +236,45 @@ class TestIncrementalViews:
                 store.get_fingerprint(entry.uuid),
             )
 
+    def test_bound_maps_survive_append_and_delete(self):
+        """The aligned-prefilter bound maps get the same incremental
+        treatment as value_map: appends build only the new rows, deletes
+        scatter +inf — never the full multi-second rebuild."""
+        import numpy as np
+
+        store, rng = self._store_with(5)
+        v1 = store.search_views()[0]
+        specs1, maps1 = store.bound_maps_for(v1, coefs=2)
+        # append: maps carried over and extended in place
+        fp = rng.uniform(-30, 20, (8, 2)).astype(np.float32)
+        store.add_audio("new", "c", fp, "hnew")
+        v2 = store.search_views()[0]
+        assert v2.bound_maps is not None, "append dropped the bound maps"
+        specs2, maps2 = store.bound_maps_for(v2, coefs=2)
+        assert specs2 == specs1
+        # bitwise-identical to a from-scratch build on the new view
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+
+        specs_ref, maps_ref = build_bound_maps(v2.db, v2.mask, 2)
+        assert specs_ref == specs2
+        for m_inc, m_ref in zip(maps2, maps_ref):
+            np.testing.assert_array_equal(
+                np.asarray(m_inc, np.float32), np.asarray(m_ref, np.float32)
+            )
+        # delete: dead row becomes +inf in every map, no rebuild
+        victim = store.get_audios_by_context("c")[1]
+        store.delete_audio(victim.uuid)
+        store._device_put = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("delete triggered a full view re-upload")
+        )
+        v3 = store.search_views()[0]
+        assert v3.bound_maps is not None, "delete dropped the bound maps"
+        _, maps3 = store.bound_maps_for(v3, coefs=2)
+        for m in maps3:
+            m_np = np.asarray(m, np.float32)
+            assert np.isinf(m_np[1]).all()
+            assert np.isfinite(m_np[0]).any()
+
     def test_compaction_rebuilds_and_stays_correct(self):
         import numpy as np
 

@@ -426,8 +426,9 @@ class TierView:
     value_map: object = None  # lazily-built lattice map [A_pad, K]
     # lazily-built per-coef scaled maps for the certified aligned
     # prefilter ({coef-index-tuple: (specs, maps)} —
-    # ops.match_lattice.build_bound_maps); dropped (not incrementally
-    # updated) on view mutation
+    # ops.match_lattice.build_bound_maps); maintained incrementally on
+    # append (new rows built + sliced in) and delete (+inf row scatter),
+    # like value_map
     bound_maps: dict | None = None
     dead_rows: frozenset = frozenset()  # tombstoned row indices
     # per-row frame counts (== entry.n_frames except for auto-split audios,
@@ -806,6 +807,21 @@ class FingerprintStore:
         vm = old.value_map
         if vm is not None:
             vm = _scatter_rows(vm, idx, np.float32(np.inf), self.mesh)
+        # prefilter bound maps are row-wise too: +inf dead rows can never
+        # pass the bound, so the cached maps survive deletes without the
+        # multi-second rebuild (same O(deleted) scatter as value_map)
+        bms = old.bound_maps
+        if bms is not None:
+            bms = {
+                key: (
+                    specs,
+                    tuple(
+                        _scatter_rows(m, idx, np.float32(np.inf), self.mesh)
+                        for m in maps
+                    ),
+                )
+                for key, (specs, maps) in bms.items()
+            }
         return TierView(
             tier_frames=old.tier_frames,
             db=db,
@@ -813,6 +829,7 @@ class FingerprintStore:
             n_audios=old.n_audios,
             entries=old.entries,
             value_map=vm,
+            bound_maps=bms,
             dead_rows=old.dead_rows | frozenset(rows),
             row_frames=old.row_frames,
             segments=old.segments,
@@ -876,6 +893,24 @@ class FingerprintStore:
             ]
             vm_rows = _combine_segment_rows(vm_rows, new_groups)
             value_map = _update_rows(value_map, vm_rows, lo, self.mesh)
+        # bound maps extend the same way (row-independent builds); segment
+        # rows need no combining here — the aligned prefilter bails out of
+        # any view with segments (engine._aligned_prefiltered)
+        bound_maps = old.bound_maps
+        if bound_maps is not None:
+            from tiresias_tpu.ops.match_lattice import _build_bound_map
+
+            new_bms = {}
+            for key, (specs, maps) in bound_maps.items():
+                new_maps = []
+                for (c, s, lo_c, hi_c, k_min, k_size), m in zip(specs, maps):
+                    m_rows = _build_bound_map(
+                        to_dev(new_rows[..., c]), to_dev(new_mask),
+                        s, lo_c, hi_c, k_min, k_size,
+                    )
+                    new_maps.append(_update_rows(m, m_rows, lo, self.mesh))
+                new_bms[key] = (specs, tuple(new_maps))
+            bound_maps = new_bms
         return TierView(
             tier_frames=t,
             db=db,
@@ -883,6 +918,7 @@ class FingerprintStore:
             n_audios=a,
             entries=list(tier.entries),
             value_map=value_map,
+            bound_maps=bound_maps,
             dead_rows=frozenset(tier.dead),
             row_frames=tuple(tier.row_frames),
             segments=segments,
@@ -948,9 +984,10 @@ class FingerprintStore:
         on the view (like :meth:`value_map_for`; one entry per distinct
         ``coefs`` — typically a deployment uses one). Built from the
         view's own immutable device buffers — the mask already excludes
-        tombstoned rows — so no snapshot subtleties; mutated views start
-        fresh (no incremental update; the build is a few matmul-shaped
-        passes)."""
+        tombstoned rows — so no snapshot subtleties. Cached maps survive
+        view mutation: appends build only the new rows, deletes scatter
+        +inf (see _extend_view / _mask_off_rows), so a live serving store
+        never re-pays the full multi-second build."""
         from tiresias_tpu.ops.match_lattice import (
             bound_coef_indices,
             build_bound_maps,
