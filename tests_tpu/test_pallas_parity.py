@@ -211,6 +211,10 @@ def test_engine_int16_end_to_end_on_device(rng, tmp_path):
     r4 = eng.search_pcm("c", q3, SR, coefs=2, tolerance=0.05,
                         trunc_coef1=False, aligned=True)
     assert r4.uuid != e3.uuid
+    # fused lattice path (coefs=1, truncated): the value_map row of the
+    # tombstoned clip must be +inf so the MXU path can't vote for it
+    r5 = eng.search_pcm("c", q3, SR, tolerance=1.0)
+    assert r5.uuid != e3.uuid
 
 
 def test_engine_prefiltered_aligned_on_device(rng, tmp_path):

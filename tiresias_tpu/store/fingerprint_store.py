@@ -901,13 +901,17 @@ class FingerprintStore:
             from tiresias_tpu.ops.match_lattice import _build_bound_map
 
             new_bms = {}
+            rows_by_spec = {}  # coef keys share specs — build each once
             for key, (specs, maps) in bound_maps.items():
                 new_maps = []
-                for (c, s, lo_c, hi_c, k_min, k_size), m in zip(specs, maps):
-                    m_rows = _build_bound_map(
-                        to_dev(new_rows[..., c]), to_dev(new_mask),
-                        s, lo_c, hi_c, k_min, k_size,
-                    )
+                for spec, m in zip(specs, maps):
+                    m_rows = rows_by_spec.get(spec)
+                    if m_rows is None:
+                        c, s, lo_c, hi_c, k_min, k_size = spec
+                        m_rows = rows_by_spec[spec] = _build_bound_map(
+                            to_dev(new_rows[..., c]), to_dev(new_mask),
+                            s, lo_c, hi_c, k_min, k_size,
+                        )
                     new_maps.append(_update_rows(m, m_rows, lo, self.mesh))
                 new_bms[key] = (specs, tuple(new_maps))
             bound_maps = new_bms
@@ -997,10 +1001,16 @@ class FingerprintStore:
         with self._lock:
             if view.bound_maps is None:
                 view.bound_maps = {}
-            if key not in view.bound_maps:
-                view.bound_maps[key] = build_bound_maps(
-                    view.db, view.mask, coefs
-                )
+            cached = view.bound_maps.get(key)
+        if cached is not None:
+            return cached
+        # view.db/mask are immutable device buffers, so the multi-second
+        # chunked build (trace + compile + dispatch at 100k-1M tracks) runs
+        # WITHOUT the store-wide lock — same discipline as value_map_for
+        built = build_bound_maps(view.db, view.mask, coefs)
+        with self._lock:
+            if key not in view.bound_maps:  # a concurrent build may have won
+                view.bound_maps[key] = built
             return view.bound_maps[key]
 
     def view_entries(self) -> list[AudioEntry]:
