@@ -323,3 +323,33 @@ class TestReload:
         with pytest.raises(ValueError, match="data_dir"):
             eng.reload(cfg4)
         eng.close()
+
+
+class TestWarmSearchMaps:
+    def test_warmup_prebuilds_value_maps(self, tmp_path):
+        """A restored engine's warmup must leave every view's lattice map
+        built, so the first real request never pays the chunked build."""
+        rng = np.random.default_rng(11)
+        cfg = TiresiasConfig(data_dir=str(tmp_path / "data"))
+        eng = Tiresias(cfg, restore=False)
+        eng.create_context("c")
+        for i in range(5):
+            fp = rng.normal(0, 5, size=(40, 2)).astype(np.float32)
+            eng.store.add_audio(f"t{i}", "c", fp, f"h{i:04d}")
+        eng.warm_search_maps()
+        views = eng.store.search_views()
+        assert views and all(v.value_map is not None for v in views)
+        # idempotent: the cached map object is reused, not rebuilt
+        before = [v.value_map for v in views]
+        eng.warm_search_maps()
+        after = [v.value_map for v in eng.store.search_views()]
+        assert all(a is b for a, b in zip(after, before))
+        eng.close()
+
+    def test_warmup_empty_store_is_noop(self, tmp_path):
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path / "d")), restore=False
+        )
+        eng.warm_search_maps()  # must not raise on a storeless engine
+        eng.warmup()
+        eng.close()

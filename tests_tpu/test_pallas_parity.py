@@ -227,13 +227,27 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
     from tiresias_tpu.config import TiresiasConfig
     from tiresias_tpu.ops import match_jax
 
-    eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    from tiresias_tpu.config import MatchConfig
+
+    eng = Tiresias(
+        TiresiasConfig(
+            data_dir=str(tmp_path),
+            match=MatchConfig(aligned=True, coefs=2, trunc_coef1=False),
+        ),
+        restore=False,
+    )
     eng.create_context("c")
     n = 2200  # > 2*PREFILTER_K view rows -> prefilter gate opens
     mu = rng.uniform(-25, 20, size=(n, 1, 2)).astype(np.float32)
     fps = (mu + rng.normal(0, 1.5, size=(n, 64, 2))).astype(np.float32)
     for i in range(n):
         eng.store.add_audio(f"t{i}", "c", fps[i], f"h{i:06d}")
+
+    # warm path: with an aligned-accuracy config, warm_search_maps must
+    # prebuild the prefilter bound maps so the first request doesn't
+    eng.warm_search_maps()
+    v0 = eng.store.search_views()[0]
+    assert v0.bound_maps and v0.value_map is not None
 
     ran = {"prefilter": 0}
     orig = eng._aligned_prefiltered

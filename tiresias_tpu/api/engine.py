@@ -294,6 +294,38 @@ class Tiresias:
         for b in batch_sizes:
             with phase("engine.warmup"):
                 self.search_pcm_batch(None, [silence] * b, samplerate)
+        self.warm_search_maps()
+
+    def warm_search_maps(self) -> None:
+        """Eagerly build the derived per-view device maps the dispatchable
+        search paths consume lazily — the lattice value map (dialplan
+        coefs=1 path) and, when the configured accuracy mode would route
+        through the certified prefilter, its bound maps. A restored
+        serving store otherwise pays the multi-second chunked build
+        (100k-1M tracks) on the FIRST real request; after this, the maps
+        are cached on the views and maintained incrementally across
+        appends/deletes. No-op cost when already built."""
+        from tiresias_tpu.ops.match_pallas import (
+            MAX_ALIGNED_TIER,
+            PREFILTER_K,
+        )
+
+        mc = self.config.match
+        for view in self.store.search_views():
+            if view.n_audios == 0:
+                continue
+            self.store.value_map_for(view)
+            if (
+                mc.aligned
+                and _on_tpu()
+                and self.mesh is None
+                and view.tier_frames <= MAX_ALIGNED_TIER
+                and view.db.shape[0] > 2 * PREFILTER_K
+                and not view.segments
+            ):
+                # same gate as _compute_votes/_aligned_prefiltered: the
+                # prefilter only runs on large single-device TPU views
+                self.store.bound_maps_for(view, mc.coefs)
 
     def save(self) -> None:
         if not self.lock.held:
