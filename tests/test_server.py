@@ -347,3 +347,77 @@ class TestWindowOrdering:
             f.flush()
             windows = [json.loads(f.readline())["window"] for _ in range(2)]
         assert sorted(windows) == [0, 1]
+
+
+class TestWatchMode:
+    def test_watch_syncs_added_and_removed_files(self, tmp_path):
+        """A server started with watch_interval picks up files dropped
+        into (and removed from) the media directory without a restart —
+        the live-sync capability the reference lacks (it only syncs at
+        module load, app_tiresias.c:66-123)."""
+        import os
+        import time
+
+        from tiresias_tpu.config import ContextConfig
+        from tiresias_tpu.utils.audio import write_wav
+
+        media = tmp_path / "media"
+        media.mkdir()
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("m", str(media)),),
+                data_dir=str(tmp_path / "data"),
+            ),
+            restore=False,
+        )
+        eng.sync()
+        assert eng.get_audios("m") == []
+
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(
+                    eng, port=0, samplerate=SR, watch_interval=0.2
+                )
+                await srv.start()
+                holder["server"] = srv
+                holder["loop"] = asyncio.get_running_loop()
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        thread = threading.Thread(target=runner, daemon=True)
+        thread.start()
+        assert started.wait(10)
+        try:
+            wav = media / "late.wav"
+            write_wav(str(wav), synth_tone(440, 1.0, SR), SR)
+
+            def wait_for(pred, timeout=30.0):
+                deadline = time.monotonic() + timeout
+                while time.monotonic() < deadline:
+                    if pred():
+                        return True
+                    time.sleep(0.1)
+                return False
+
+            assert wait_for(
+                lambda: [a.name for a in eng.get_audios("m")] == ["late.wav"]
+            )
+            os.unlink(wav)
+            assert wait_for(lambda: eng.get_audios("m") == [])
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(10)
+            eng.close()
+
+    def test_invalid_watch_interval_rejected(self, engine):
+        with pytest.raises(ValueError, match="watch_interval"):
+            RecognitionServer(engine, port=0, watch_interval=0)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 import functools as _functools
 import os
+import threading
 
 import numpy as np
 
@@ -191,6 +192,10 @@ class Tiresias:
 
         enable_compilation_cache()
         self.config = config or TiresiasConfig()
+        # serializes sync/reload against each other (e.g. a serve watcher
+        # tick racing an admin-plane sync): both walk the same directories
+        # and the reconcile is only idempotent when runs don't interleave
+        self._sync_mutex = threading.Lock()
         self.lock = DataDirLock(self.config.expanded_data_dir)
         if exclusive is not False:
             try:
@@ -247,7 +252,7 @@ class Tiresias:
             raise DataDirLocked(
                 self.config.expanded_data_dir, self.lock.owner_info()
             )
-        with phase("engine.sync"):
+        with self._sync_mutex, phase("engine.sync"):
             return sync_all(self.store, self.config, self.checkpoint_dir)
 
     def reload(self, config: TiresiasConfig | None = None) -> SyncReport:

@@ -299,6 +299,7 @@ def cmd_serve(args) -> int:
     run_server(
         eng, host=args.host, port=args.port, samplerate=args.samplerate,
         max_channels=args.max_channels, admin=args.admin,
+        watch_interval=args.watch,
     )
     return 0
 
@@ -403,6 +404,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--max-channels", type=int, default=128, dest="max_channels",
         help="warm every power-of-two search batch up to this channel count "
         "before accepting connections (no first-tick compile stall)",
+    )
+    sv.add_argument(
+        "--watch", type=float, default=None, metavar="SECONDS",
+        help="re-sync the media directories against the live store every "
+        "SECONDS (the reference only syncs at module load; watch mode "
+        "picks up added/removed files without a restart)",
     )
     sv.set_defaults(func=cmd_serve)
     return p

@@ -73,21 +73,31 @@ class RecognitionServer:
         port: int = 8517,
         samplerate: int = 8000,
         admin: str = "local",
+        watch_interval: float | None = None,
     ) -> None:
         """``admin``: who may issue ``op: "admin"`` mutations — ``"local"``
         (default: loopback peers only; the reference's CLI is equally
         machine-local), ``"any"`` (every peer — only behind a trusted
-        network), or ``"off"``."""
+        network), or ``"off"``.
+
+        ``watch_interval``: seconds between automatic directory re-syncs
+        against the live store (None = off). The reference only syncs at
+        module load (/root/reference/src/app_tiresias.c:66-123); a serving
+        deployment wants media directories picked up without a restart."""
         if admin not in ("local", "any", "off"):
             raise ValueError("admin must be 'local', 'any', or 'off'")
+        if watch_interval is not None and watch_interval <= 0:
+            raise ValueError("watch_interval must be positive seconds")
         self.engine = engine
         self.host = host
         self.port = port
         self.admin = admin
+        self.watch_interval = watch_interval
         self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
         self._writers: dict[str, asyncio.StreamWriter] = {}
         self._server: asyncio.AbstractServer | None = None
         self._scorer: asyncio.Task | None = None
+        self._watcher: asyncio.Task | None = None
         self._conn_seq = 0
 
     async def start(self) -> None:
@@ -97,6 +107,8 @@ class RecognitionServer:
         sock = self._server.sockets[0]
         self.port = sock.getsockname()[1]  # resolve port 0
         self._scorer = asyncio.create_task(self._score_loop())
+        if self.watch_interval is not None:
+            self._watcher = asyncio.create_task(self._watch_loop())
         # advertise the admin endpoint so an offline CLI on this data dir
         # can proxy mutations here instead of racing the checkpoints
         # (reference live-CLI semantics, cli_handler.c:26-31)
@@ -132,6 +144,10 @@ class RecognitionServer:
             self._scorer.cancel()
             with contextlib.suppress(asyncio.CancelledError):
                 await self._scorer
+        if self._watcher is not None:
+            self._watcher.cancel()
+            with contextlib.suppress(asyncio.CancelledError):
+                await self._watcher
 
     # ------------------------------------------------------------------ #
 
@@ -173,6 +189,27 @@ class RecognitionServer:
             raise
         except Exception:  # noqa: BLE001
             log.exception("score pass failed; continuing")
+
+    async def _watch_loop(self) -> None:
+        """Periodic directory re-sync against the live store (watch mode).
+        Runs in the executor so a large ingest never stalls the event
+        loop; ticks are serial — a sync still in progress just delays the
+        next one. Sync failures (e.g. an unreadable directory) log and
+        the watcher continues: serving must outlive media hiccups."""
+        loop = asyncio.get_running_loop()
+        while True:
+            await asyncio.sleep(self.watch_interval)
+            try:
+                report = await loop.run_in_executor(None, self.engine.sync)
+                if report.created or report.deleted:
+                    log.info(
+                        "watch sync: +%d -%d audios",
+                        report.created, report.deleted,
+                    )
+            except asyncio.CancelledError:
+                raise
+            except Exception:  # noqa: BLE001 - the watcher must never die
+                log.exception("watch sync failed; continuing")
 
     async def _send_result(self, channel_id: str, result: SearchResult) -> None:
         # continuous channels stay registered for their next window; only
@@ -460,6 +497,7 @@ def warmup_batch_sizes(max_channels: int) -> tuple[int, ...]:
 def run_server(
     engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
     samplerate: int = 8000, max_channels: int = 128, admin: str = "local",
+    watch_interval: float | None = None,
 ) -> None:
     """Blocking entry point (the `tiresias serve` CLI command).
 
@@ -473,7 +511,10 @@ def run_server(
         for b in warmup_batch_sizes(max_channels):
             engine.warmup(samplerate=samplerate, batch_sizes=(b,))
             log.info("warmed search batch %d", b)
-        server = RecognitionServer(engine, host, port, samplerate, admin=admin)
+        server = RecognitionServer(
+            engine, host, port, samplerate, admin=admin,
+            watch_interval=watch_interval,
+        )
         await server.start()
         print(f"tiresias serving on {server.host}:{server.port}")
         await server.serve_forever()
