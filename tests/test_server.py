@@ -421,3 +421,55 @@ class TestWatchMode:
     def test_invalid_watch_interval_rejected(self, engine):
         with pytest.raises(ValueError, match="watch_interval"):
             RecognitionServer(engine, port=0, watch_interval=0)
+
+
+class TestGracefulShutdown:
+    def test_sigterm_closes_engine_and_releases_lock(self, tmp_path):
+        """`tiresias serve` on SIGTERM must stop, checkpoint, clear
+        server.json, and release the data-dir lock (the reference's
+        unload-time term() sequence, app_tiresias.c:125-149)."""
+        import os
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from tiresias_tpu.config import ContextConfig
+        from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+        media = tmp_path / "media"
+        media.mkdir()
+        write_wav(str(media / "a.wav"), synth_tone(440, 1.0, SR), SR)
+        data = tmp_path / "data"
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={data}\n\n[m]\ndirectory={media}\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "tiresias_tpu.cli", "-c", str(conf),
+             "serve", "--port", "0", "--max-channels", "1"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        try:
+            deadline = time.monotonic() + 120
+            line = ""
+            while time.monotonic() < deadline:
+                line = proc.stdout.readline()
+                if "tiresias serving on" in line:
+                    break
+            assert "tiresias serving on" in line, "server never came up"
+            assert (data / "server.json").exists()
+            proc.send_signal(signal.SIGTERM)
+            assert proc.wait(timeout=60) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert not (data / "server.json").exists()
+        # lock released: a fresh exclusive engine must acquire instantly
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(data)), exclusive=True
+        )
+        assert [a.name for a in eng.get_audios("m")] == ["a.wav"]
+        eng.close()

@@ -505,9 +505,16 @@ def run_server(
     accepting connections — the scorer pads each tick to these shapes, so a
     full house of channels on the first tick must find its executable
     compiled (the persistent compilation cache makes this near-instant on
-    every restart after the first)."""
+    every restart after the first).
+
+    The engine's lifecycle is owned here: on return (including SIGTERM /
+    Ctrl-C) the server stops accepting, the engine checkpoints and its
+    data-dir lock is released — the unload-time term()/fp_term sequence
+    of the reference (/root/reference/src/app_tiresias.c:125-149)."""
 
     async def main():
+        import signal
+
         for b in warmup_batch_sizes(max_channels):
             engine.warmup(samplerate=samplerate, batch_sizes=(b,))
             log.info("warmed search batch %d", b)
@@ -516,7 +523,29 @@ def run_server(
             watch_interval=watch_interval,
         )
         await server.start()
+        stop_ev = asyncio.Event()
+        loop = asyncio.get_running_loop()
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                loop.add_signal_handler(sig, stop_ev.set)
+            except (NotImplementedError, RuntimeError):
+                pass  # non-unix, or not the main thread (library use)
         print(f"tiresias serving on {server.host}:{server.port}")
-        await server.serve_forever()
+        serve_task = asyncio.create_task(server.serve_forever())
+        stop_task = asyncio.create_task(stop_ev.wait())
+        await asyncio.wait(
+            {serve_task, stop_task}, return_when=asyncio.FIRST_COMPLETED
+        )
+        log.info("shutting down")
+        await server.stop()
+        for task in (serve_task, stop_task):
+            task.cancel()
+            with contextlib.suppress(asyncio.CancelledError):
+                await task
 
-    asyncio.run(main())
+    try:
+        asyncio.run(main())
+    except KeyboardInterrupt:
+        pass  # signal handler unavailable (e.g. Windows) — still close below
+    finally:
+        engine.close()
