@@ -246,3 +246,65 @@ class TestAdminGating:
         )
         with pytest.raises(ValueError):
             RecognitionServer(eng, admin="everyone")
+
+
+class TestLockStaleContent:
+    def test_acquire_survives_probe_race_on_stale_content(self, tmp_path):
+        """A crashed owner leaves its JSON in owner.lock (truncation only
+        happens on clean release); a momentary shared-lock liveness probe
+        must not turn that stale content into a spurious DataDirLocked."""
+        import json
+        import threading
+        import time
+
+        from tiresias_tpu.utils.locking import DataDirLock
+
+        d = str(tmp_path)
+        lock_path = tmp_path / "owner.lock"
+        lock_path.write_text(json.dumps({"pid": 999999}))  # stale content
+
+        import fcntl
+
+        probe_fd = lock_path.open("r")
+        fcntl.flock(probe_fd.fileno(), fcntl.LOCK_SH)  # momentary probe
+        result = {}
+
+        def acquirer():
+            lk = DataDirLock(d)
+            try:
+                lk.acquire()
+                result["held"] = lk.held
+            finally:
+                lk.release()
+
+        t = threading.Thread(target=acquirer)
+        t.start()
+        time.sleep(0.08)  # inside the retry window
+        fcntl.flock(probe_fd.fileno(), fcntl.LOCK_UN)
+        probe_fd.close()
+        t.join(10)
+        assert result.get("held") is True
+
+
+class TestNonOwnerServerStop:
+    def test_readonly_server_stop_preserves_owner_advertisement(
+        self, tmp_path
+    ):
+        """A read-only server instance must not delete the live owner's
+        server.json on stop — the CLI's proxy detection depends on it."""
+        from tiresias_tpu.utils.locking import write_server_info
+
+        cfg = TiresiasConfig(data_dir=str(tmp_path))
+        owner = Tiresias(cfg, restore=False, exclusive=True)
+        write_server_info(str(tmp_path), "127.0.0.1", 12345)
+        ro = Tiresias(cfg, restore=False)  # degrades to read-only
+        assert not ro.lock.held
+
+        async def run():
+            srv = RecognitionServer(ro, port=0)
+            await srv.start()
+            await srv.stop()
+
+        asyncio.run(run())
+        assert os.path.exists(os.path.join(str(tmp_path), "server.json"))
+        owner.close()

@@ -276,9 +276,135 @@ class TestAlignedPrefilter:
             rng.uniform(-40, 30, size=(1, 32, c)).astype(np.float32),
         ])
         qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
-        bound = np.asarray(bound_votes(specs, maps, qj, active, tolerance))
+        bound = np.asarray(
+            bound_votes(specs, maps, qj, active, use2, tolerance)
+        )
         _, _, votes_full = match_jax.search_batch(
             db, mask, q, None, coefs=coefs, tolerance=tolerance,
             trunc_coef1=False, aligned=True,
         )
         assert (bound >= np.asarray(votes_full)).all()
+
+    @pytest.mark.parametrize("coefs", [2, 8])
+    def test_bound_dominates_with_band_bypass(self, rng, coefs):
+        """Bound validity under the freq-ignore band: frames whose q1
+        falls outside the band BYPASS the coef-1 tolerance test in the
+        matcher (PARITY.md §3.3) and must count as automatic hits in the
+        bound — a lattice-only count here once under-stated the true
+        aligned score and could certify a wrong winner."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps, bound_votes
+
+        c = max(coefs, 2)
+        db, mask = self._db(rng, n_audios=48, c=c)
+        specs, maps = build_bound_maps(
+            jnp.asarray(db), jnp.asarray(mask), coefs=coefs
+        )
+        q = np.concatenate([
+            db[None, 3, 20:52, :],
+            rng.uniform(-40, 30, size=(1, 32, c)).astype(np.float32),
+        ])
+        # push every q1 out of band -> use2 all-False (full bypass), and a
+        # mid-band setting that splits frames between the two regimes
+        for lo_hi in ((10, -1), (2, 6)):
+            lo, hi = lo_hi
+            qj, active, use2 = match_jax.prepare_query(
+                q, None, freq_ignore_low=lo, freq_ignore_high=hi,
+                trunc_coef1=False,
+            )
+            bound = np.asarray(
+                bound_votes(specs, maps, qj, active, use2, 0.05)
+            )
+            _, _, votes_full = match_jax.search_batch(
+                db, mask, q, None, coefs=coefs, tolerance=0.05,
+                freq_ignore_low=lo, freq_ignore_high=hi,
+                trunc_coef1=False, aligned=True,
+            )
+            assert (bound >= np.asarray(votes_full)).all()
+
+
+class TestKernelFitGates:
+    """Dispatch gates for the fused kernels, calibrated on real hardware
+    (every OK/FAIL expectation below was measured on a TPU chip: compiles
+    marked OK ran and returned correct maxima; FAILs died in Mosaic)."""
+
+    def test_query_fit_budget(self):
+        from tiresias_tpu.ops.match_pallas import pallas_query_fits
+
+        assert pallas_query_fits(937, 2)     # 30 s window, dialplan coefs
+        assert pallas_query_fits(18750, 2)   # 10-min serve window — OK on TPU
+        assert pallas_query_fits(12800, 8)   # 450 KiB block — OK on TPU
+        assert not pallas_query_fits(20000, 8)  # over the 512 KiB budget
+
+    def test_aligned_fit_budget(self):
+        from tiresias_tpu.ops.match_pallas import aligned_kernel_fits
+
+        assert aligned_kernel_fits(128, 937, 8)     # bench config
+        assert aligned_kernel_fits(3072, 937, 2)    # 11.0 MiB — OK on TPU
+        assert aligned_kernel_fits(128, 18750, 2)   # big accumulator — OK
+        assert not aligned_kernel_fits(4096, 128, 2)   # 14.1 MiB — failed
+        assert not aligned_kernel_fits(4096, 937, 8)   # db tile way over
+        assert not aligned_kernel_fits(8192, 93, 2)    # over tier cap
+
+    def test_bag_fit_budget(self):
+        from tiresias_tpu.ops.match_pallas import bag_kernel_fits
+
+        assert bag_kernel_fits(4096, 64, 2)      # 12.0 MiB — OK on TPU
+        assert not bag_kernel_fits(8192, 64, 2)  # 24 MiB — failed on TPU
+        assert not bag_kernel_fits(112500, 64, 2)  # hour-long audio tier
+
+    def test_oversize_shapes_raise_cleanly(self, rng):
+        """Callers bypassing the engine gate get a ValueError, not a
+        Mosaic compile failure."""
+        from tiresias_tpu.ops.match_pallas import (
+            match_votes_pallas,
+            match_votes_pallas_aligned,
+        )
+
+        db = rng.uniform(-1, 1, size=(4, 8192, 2)).astype(np.float32)
+        q = np.zeros((1, 64, 2), np.float32)
+        act = np.ones((1, 64), bool)
+        with pytest.raises(ValueError, match="VMEM/SMEM"):
+            match_votes_pallas(db, q, act, act, 0.1, coefs=2, interpret=True)
+        db4k = rng.uniform(-1, 1, size=(4, 4096, 2)).astype(np.float32)
+        with pytest.raises(ValueError, match="VMEM/SMEM"):
+            match_votes_pallas_aligned(
+                db4k, q, act, act, 0.1, coefs=2, interpret=True
+            )
+
+
+class TestPrefilterBandBypass:
+    def test_certified_result_equals_full_scan_under_bands(self, rng):
+        """End-to-end prefilter correctness in the band-bypass regime:
+        whenever the certificate holds, winner and count must equal the
+        full aligned scan with the same freq-ignore band."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db = rng.uniform(-40, 30, size=(64, 128, 2)).astype(np.float32)
+        mask = np.ones((64, 128), bool)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = np.stack([db[7, 10:42, :], db[31, 40:72, :]]).astype(np.float32)
+        for lo, hi in ((2, 6), (1, 300)):
+            qj, active, use2 = match_jax.prepare_query(
+                q, None, freq_ignore_low=lo, freq_ignore_high=hi,
+                trunc_coef1=False,
+            )
+            votes_p, cert = aligned_prefiltered_votes(
+                db, maps, qj, active, use2, 0.05, specs=specs, coefs=2,
+                k=8, interpret=True,
+            )
+            votes_p, cert = np.asarray(votes_p), np.asarray(cert)
+            _, _, votes_full = match_jax.search_batch(
+                db, mask, q, None, coefs=2, tolerance=0.05,
+                freq_ignore_low=lo, freq_ignore_high=hi,
+                trunc_coef1=False, aligned=True,
+            )
+            votes_full = np.asarray(votes_full)
+            for b in range(2):
+                if cert[b] and votes_full[b].max() > 0:
+                    assert votes_p[b].argmax() == votes_full[b].argmax()
+                    assert votes_p[b].max() == votes_full[b].max()

@@ -267,6 +267,14 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
         False, False, True,
     )
     assert ran["prefilter"] >= 1  # silence query still runs the machinery
+    # with a context filter the certificate can't certify the in-context
+    # winner — the engine must full-scan, never touching the prefilter
+    before = ran["prefilter"]
+    eng._compute_votes(
+        "c", [np.zeros(8192, np.float32)], 8000, 2, 0.05, -1, -1,
+        True, False, True,
+    )
+    assert ran["prefilter"] == before
     # now a real fingerprint-level check: prefiltered winner == full scan
     from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
 

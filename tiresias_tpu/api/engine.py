@@ -755,6 +755,12 @@ class Tiresias:
             trunc_coef1, aligned,
         )
         pcms, samplerate = self._resample_queries(pcms, samplerate)
+        # the prefilter certificate only certifies the GLOBAL winner;
+        # with a context filter the best in-context audio can be absent
+        # from the top-k candidates (its votes would read 0 after the
+        # keep-mask) — filtered searches must full-scan
+        if filter_context and context is not None:
+            prefilter = False
         with phase("search.fingerprint"):
             # async: qfp stays on device; the matcher dispatches chain on it
             # without a host round trip (padding frames hold real silence
@@ -774,12 +780,24 @@ class Tiresias:
             # auto-partition under GSPMD) — including sharded ALIGNED
             # search, which GSPMD row-partitions like any other jnp matcher
             on_tpu = _on_tpu() and self.mesh is None
-            use_pallas = on_tpu and not aligned
-            from tiresias_tpu.ops.match_pallas import MAX_ALIGNED_TIER
+            from tiresias_tpu.ops.match_pallas import (
+                aligned_kernel_fits,
+                bag_kernel_fits,
+            )
+
+            # shapes beyond the fused kernels' measured SMEM/VMEM budgets
+            # (very long windows, hours-long audio tiers) run the exact,
+            # slower XLA matcher instead of failing Mosaic compilation
+            # mid-request — see the budget notes in ops.match_pallas
+            f_q = int(qfp.shape[1])
             for view in views:
+                use_pallas = (
+                    on_tpu and not aligned
+                    and bag_kernel_fits(view.tier_frames, f_q, coefs)
+                )
                 use_pallas_aligned = (
                     on_tpu and aligned
-                    and view.tier_frames <= MAX_ALIGNED_TIER
+                    and aligned_kernel_fits(view.tier_frames, f_q, coefs)
                 )
                 if use_lattice:
                     # dialplan configuration → exact MXU lattice fast path

@@ -109,7 +109,13 @@ def cmd_show_audios(args) -> int:
             with proxy:
                 try:
                     rows = proxy.admin("show_audios", context=args.context)["audios"]
-                except AdminError:
+                except AdminError as exc:
+                    # only an unknown context maps to the reference's
+                    # "Could not find context info." — authorization or
+                    # server-side failures must say what actually happened
+                    if "unknown context" not in str(exc):
+                        print(f"Admin request failed: {exc}", file=sys.stderr)
+                        return 1
                     rows = None
         except Exception as exc:  # noqa: BLE001 - proxy I/O failure
             return _proxy_failed(exc)
@@ -213,7 +219,7 @@ def cmd_create(args) -> int:
                         **({"context": args.context} if args.context else {}),
                     )["sync"]
                 except AdminError as exc:
-                    if args.context:
+                    if args.context and "unknown context" in str(exc):
                         print(
                             f"Could not find context info. context[{args.context}]"
                         )

@@ -237,19 +237,32 @@ def _build_bound_map(db_c, mask, s, lo, hi, k_min: int, k_size: int):
 
 
 def bound_votes(specs: tuple, maps: tuple, q: jax.Array, active: jax.Array,
-                tolerance: jax.Array | float) -> jax.Array:
+                use2: jax.Array, tolerance: jax.Array | float) -> jax.Array:
     """Upper bound on every audio's ALIGNED score: ``min`` over the bound
     coefs of that coef's clipped-scaled lattice votes (an aligned hit
-    passes every coef's test, so its frame counts once in each)."""
+    passes every coef's test, so its frame counts once in each).
+
+    Coef index 1 (the reference's max2) is special: the matcher DROPS its
+    condition for frames whose q1 is outside the freq-ignore band
+    (``use2`` False — PARITY.md §3.3, match_jax.match_votes). A bypassed
+    frame is an automatic coef-1 hit, so its lattice count must not be
+    trusted: count only ``active & use2`` frames through the lattice and
+    credit every bypassed active frame unconditionally — otherwise the
+    "bound" could under-state the true aligned score and certify a wrong
+    winner."""
     tol = jnp.asarray(tolerance, jnp.float32)
     neg_inf, pos_inf = jnp.float32(-jnp.inf), jnp.float32(jnp.inf)
     out = None
     for (c, s, lo, hi, k_min, k_size), m in zip(specs, maps):
+        act_c = (active & use2) if c == 1 else active
         qc = jnp.clip(q[..., c], lo, hi) * s
         v = lattice_votes(
-            m, qc, active, s * tol + 1.0, neg_inf, pos_inf,
+            m, qc, act_c, s * tol + 1.0, neg_inf, pos_inf,
             k_min=k_min, k_size=k_size,
         )
+        if c == 1:
+            bypassed = (active & ~use2).sum(axis=1, dtype=v.dtype)
+            v = v + bypassed[:, None]
         out = v if out is None else jnp.minimum(out, v)
     return out
 

@@ -102,6 +102,12 @@ def match_votes_pallas(
     b, f, _ = q.shape
     if coefs < 1 or coefs > c:
         raise ValueError(f"coefs must be in [1, {c}]")
+    if not bag_kernel_fits(t, f, coefs):
+        raise ValueError(
+            f"bag kernel cannot serve tier={t}, query_frames={f}, "
+            f"coefs={coefs} within its VMEM/SMEM budgets — use the XLA "
+            f"matcher (see bag_kernel_fits)"
+        )
     tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
 
     a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
@@ -199,6 +205,46 @@ def _make_aligned_kernel(coefs: int, f_total: int, t: int, o_pad: int):
 # through HBM).
 MAX_ALIGNED_TIER = 4096
 
+# Both fused kernels read the query as an SMEM block of (coefs+1)·F f32.
+# Hardware-measured: blocks up to 450 KiB compile and run; 512 KiB is the
+# budget. Larger windows fall back to the XLA matcher instead of failing
+# Mosaic compilation.
+_SMEM_QUERY_BUDGET = 512 * 1024
+# VMEM model for the fused matchers, calibrated on hardware: the db tile
+# [coefs, T, 128] costs ~3 buffers (Mosaic pipelining + layout copies)
+# and the aligned kernel adds its [o_pad, 128] f32 accumulator:
+#   bytes = 4 * 128 * (o_pad + 3 * coefs * T)      (o_pad = 0 for bag)
+# Measured: 12.0 MiB by this model compiles and runs; 14.1 MiB fails —
+# 12.5 MiB is the verified boundary. Ineligible shapes fall back to the
+# (exact, slower) XLA matcher.
+_VMEM_MATCH_BUDGET = 12 * 1024 * 1024 + 512 * 1024
+
+
+def pallas_query_fits(f: int, coefs: int) -> bool:
+    """Whether an F-frame query fits the fused kernels' SMEM block."""
+    return (coefs + 1) * f * 4 <= _SMEM_QUERY_BUDGET
+
+
+def bag_kernel_fits(t: int, f: int, coefs: int) -> bool:
+    """Whether the bag-of-frames kernel can serve (tier_frames,
+    query_frames, coefs) within its VMEM/SMEM budgets — the engine's
+    dispatch gate; ineligible shapes (e.g. hours-long audio tiers whose
+    [coefs, T, 128] db tile exceeds VMEM) run the XLA matcher."""
+    if not pallas_query_fits(f, coefs):
+        return False
+    return 4 * 128 * 3 * coefs * t <= _VMEM_MATCH_BUDGET
+
+
+def aligned_kernel_fits(t: int, f: int, coefs: int) -> bool:
+    """Whether the aligned kernel can serve (tier_frames, query_frames,
+    coefs) within its VMEM/SMEM budgets — the engine's dispatch gate;
+    ineligible shapes run the (exact, slower) XLA aligned matcher."""
+    if t > MAX_ALIGNED_TIER or not pallas_query_fits(f, coefs):
+        return False
+    o_pad = -(-(t + f - 1) // 8) * 8
+    vmem = 4 * 128 * (o_pad + 3 * coefs * t)
+    return vmem <= _VMEM_MATCH_BUDGET
+
 
 @functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
 def match_votes_pallas_aligned(
@@ -217,9 +263,11 @@ def match_votes_pallas_aligned(
     b, f, _ = q.shape
     if coefs < 1 or coefs > c:
         raise ValueError(f"coefs must be in [1, {c}]")
-    if t > MAX_ALIGNED_TIER:
+    if not aligned_kernel_fits(t, f, coefs):
         raise ValueError(
-            f"aligned kernel serves tiers up to {MAX_ALIGNED_TIER} frames"
+            f"aligned kernel cannot serve tier={t}, query_frames={f}, "
+            f"coefs={coefs} within its VMEM/SMEM budgets — use the XLA "
+            f"matcher (see aligned_kernel_fits)"
         )
     tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
 
@@ -324,8 +372,9 @@ def aligned_prefiltered_votes(
     # band filtering is already inside `active` (computed on the raw q0 by
     # prepare_query); the bound's lattice band stays OPEN or a frame at a
     # band edge could be dropped from the bound but not from the aligned
-    # score, breaking the inequality
-    bound = bound_votes(specs, maps, q, active, tol)  # [B, A] int32
+    # score, breaking the inequality. use2 rides along so coef-1's
+    # band-bypass frames count as automatic hits in the bound too.
+    bound = bound_votes(specs, maps, q, active, use2, tol)  # [B, A] int32
     _, idx = jax.lax.approx_max_k(
         bound.astype(jnp.float32), k, recall_target=0.99
     )  # [B, K] — high recall: a missed high-bound audio costs a

@@ -129,9 +129,13 @@ class RecognitionServer:
             await self._server.serve_forever()
 
     async def stop(self) -> None:
-        from tiresias_tpu.utils.locking import clear_server_info
+        # only the data-dir OWNER advertised itself in start(); a
+        # read-only server instance must not delete the live owner's
+        # server.json out from under the CLI's proxy detection
+        if self.engine.lock.held:
+            from tiresias_tpu.utils.locking import clear_server_info
 
-        clear_server_info(self.engine.config.expanded_data_dir)
+            clear_server_info(self.engine.config.expanded_data_dir)
         if self._server is not None:
             self._server.close()
             # Python 3.12's wait_closed also waits for every client handler

@@ -77,7 +77,7 @@ class DataDirLock:
 
         os.makedirs(self.directory, exist_ok=True)
         fd: int | None = None
-        for attempt in range(2):
+        for attempt in range(3):
             fd = os.open(self.path, os.O_RDWR | os.O_CREAT, 0o644)
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
@@ -85,13 +85,17 @@ class DataDirLock:
             except OSError:
                 os.close(fd)
                 fd = None
-                owner = self.owner_info()
-                if owner or attempt:
-                    raise DataDirLocked(self.directory, owner) from None
-                # empty lock file: the holder is either a momentary
-                # liveness probe (read_server_info's shared lock) or an
-                # owner that has not written its info yet — both resolve
-                # within milliseconds; retry once before failing
+                if attempt == 2:
+                    raise DataDirLocked(
+                        self.directory, self.owner_info()
+                    ) from None
+                # A failed flock does NOT mean a live owner: it can be a
+                # momentary shared-lock liveness probe (read_server_info),
+                # and the file's JSON cannot disambiguate — a crashed
+                # owner leaves its content behind (truncation happens only
+                # on clean release). Retry briefly: a real owner holds
+                # the flock continuously and still fails here; a probe
+                # racing a stale file clears within milliseconds.
                 time.sleep(0.05)
         assert fd is not None
         payload = {"pid": os.getpid(), **(info or {})}
