@@ -114,3 +114,12 @@ class TestCli:
     def test_create_named_unknown_context(self, env, capsys):
         rc, out = run(capsys, "-c", env["conf"], "create", "nope")
         assert rc == 1 and "Could not find context info" in out
+
+
+def test_serve_watch_validated_before_engine_work(capsys):
+    """--watch 0 must fail fast (exit 2), before the engine restore and
+    the minutes-long warmup ever start."""
+    from tiresias_tpu import cli
+
+    assert cli.main(["serve", "--watch", "0"]) == 2
+    assert "--watch" in capsys.readouterr().err

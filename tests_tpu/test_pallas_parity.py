@@ -247,7 +247,10 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
     # prebuild the prefilter bound maps so the first request doesn't
     eng.warm_search_maps()
     v0 = eng.store.search_views()[0]
-    assert v0.bound_maps and v0.value_map is not None
+    assert v0.bound_maps
+    # the aligned config never routes through the lattice path, so warmup
+    # must NOT have paid the value-map build
+    assert v0.value_map is None
 
     ran = {"prefilter": 0}
     orig = eng._aligned_prefiltered

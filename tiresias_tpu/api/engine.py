@@ -255,6 +255,32 @@ class Tiresias:
         with self._sync_mutex, phase("engine.sync"):
             return sync_all(self.store, self.config, self.checkpoint_dir)
 
+    def sync_context(self, context: str) -> SyncReport:
+        """Per-context directory re-sync + checkpoint (the admin plane's
+        and CLI's ``create <context>`` op). Serializes with full syncs —
+        a watch tick walking the same directory concurrently could
+        otherwise delete an audio this call just ingested (its stale
+        disk-hash snapshot predates the file) or fingerprint the same
+        file twice. Raises ValueError for an unknown/directory-less
+        context."""
+        if not self.lock.held:
+            from tiresias_tpu.utils.locking import DataDirLocked
+
+            raise DataDirLocked(
+                self.config.expanded_data_dir, self.lock.owner_info()
+            )
+        from tiresias_tpu.engine.sync import sync_context_audio
+
+        ctx = self.store.get_context(context)
+        if ctx is None or not ctx["directory"]:
+            raise ValueError(f"unknown context {context!r}")
+        with self._sync_mutex, phase("engine.sync"):
+            report = sync_context_audio(
+                self.store, context, ctx["directory"], self.config.dsp
+            )
+            self.save()
+            return report
+
     def reload(self, config: TiresiasConfig | None = None) -> SyncReport:
         """Live config reload — adopt a new config and re-sync.
 
@@ -311,25 +337,31 @@ class Tiresias:
         are cached on the views and maintained incrementally across
         appends/deletes. No-op cost when already built."""
         from tiresias_tpu.ops.match_pallas import (
-            MAX_ALIGNED_TIER,
             PREFILTER_K,
+            aligned_kernel_fits,
         )
 
         mc = self.config.match
+        lattice_mode = mc.coefs == 1 and mc.trunc_coef1 and not mc.aligned
         for view in self.store.search_views():
             if view.n_audios == 0:
                 continue
-            self.store.value_map_for(view)
+            if lattice_mode:
+                # only the dialplan configuration routes through the
+                # lattice value map — other modes must not pay its
+                # multi-second build (or hold its HBM) for nothing
+                self.store.value_map_for(view)
             if (
                 mc.aligned
                 and _on_tpu()
                 and self.mesh is None
-                and view.tier_frames <= MAX_ALIGNED_TIER
+                # necessary condition for the prefilter to ever dispatch:
+                # the rescore runs the aligned kernel on this tier (f=1 is
+                # the most permissive query length)
+                and aligned_kernel_fits(view.tier_frames, 1, mc.coefs)
                 and view.db.shape[0] > 2 * PREFILTER_K
                 and not view.segments
             ):
-                # same gate as _compute_votes/_aligned_prefiltered: the
-                # prefilter only runs on large single-device TPU views
                 self.store.bound_maps_for(view, mc.coefs)
 
     def save(self) -> None:

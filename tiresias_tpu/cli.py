@@ -113,7 +113,7 @@ def cmd_show_audios(args) -> int:
                     # only an unknown context maps to the reference's
                     # "Could not find context info." — authorization or
                     # server-side failures must say what actually happened
-                    if "unknown context" not in str(exc):
+                    if getattr(exc, "code", None) != "unknown_context":
                         print(f"Admin request failed: {exc}", file=sys.stderr)
                         return 1
                     rows = None
@@ -219,7 +219,10 @@ def cmd_create(args) -> int:
                         **({"context": args.context} if args.context else {}),
                     )["sync"]
                 except AdminError as exc:
-                    if args.context and "unknown context" in str(exc):
+                    if (
+                        args.context
+                        and getattr(exc, "code", None) == "unknown_context"
+                    ):
                         print(
                             f"Could not find context info. context[{args.context}]"
                         )
@@ -233,22 +236,17 @@ def cmd_create(args) -> int:
 
         report = SimpleNamespace(**r)
     else:
-        from tiresias_tpu.engine.sync import sync_context_audio
-
         try:
             eng = _engine(args, exclusive=True)
         except DataDirLocked as exc:
             return _locked_msg(exc)
         try:
             if args.context:
-                ctx = eng.store.get_context(args.context)
-                if ctx is None or not ctx["directory"]:
+                try:
+                    report = eng.sync_context(args.context)
+                except ValueError:
                     print(f"Could not find context info. context[{args.context}]")
                     return 1
-                report = sync_context_audio(
-                    eng.store, args.context, ctx["directory"], eng.config.dsp
-                )
-                eng.save()
             else:
                 report = eng.sync()
         finally:
@@ -296,6 +294,11 @@ def cmd_serve(args) -> int:
     from tiresias_tpu.serve.server import run_server
     from tiresias_tpu.utils.locking import DataDirLocked
 
+    # validate BEFORE the engine restore + warmup (minutes on a cold
+    # cache) — RecognitionServer would reject it only after all that work
+    if args.watch is not None and args.watch <= 0:
+        print("serve: --watch must be positive seconds", file=sys.stderr)
+        return 2
     try:
         # the server must OWN the data dir: it checkpoints live mutations
         eng = _engine(args, exclusive=True)

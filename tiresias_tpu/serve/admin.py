@@ -29,7 +29,15 @@ def audio_row(entry) -> dict:
 
 
 class AdminError(RuntimeError):
-    """The server answered an admin request with an error."""
+    """The server answered an admin request with an error.
+
+    ``code`` is the reply's machine-readable error class (e.g.
+    ``"unknown_context"``) when the server provided one — callers must
+    dispatch on it, never on the human-readable message text."""
+
+    def __init__(self, message: str, code: str | None = None) -> None:
+        super().__init__(message)
+        self.code = code
 
 
 class AdminClient:
@@ -49,7 +57,7 @@ class AdminClient:
             raise AdminError("server closed the connection")
         reply = json.loads(line)
         if "error" in reply:
-            raise AdminError(reply["error"])
+            raise AdminError(reply["error"], reply.get("code"))
         return reply
 
     def admin(self, cmd: str, **kwargs) -> dict:

@@ -201,10 +201,22 @@ class RecognitionServer:
         next one. Sync failures (e.g. an unreadable directory) log and
         the watcher continues: serving must outlive media hiccups."""
         loop = asyncio.get_running_loop()
+
+        def tick():
+            report = self.engine.sync()
+            if report.created or report.deleted:
+                # rebuild any derived search maps the mutation dropped,
+                # HERE, while no other mutation can race the lock-free
+                # build (ticks are serial and admin syncs hold the same
+                # mutexed paths) — a build racing a concurrent append
+                # would land on a stale view and be repaid every search
+                self.engine.warm_search_maps()
+            return report
+
         while True:
             await asyncio.sleep(self.watch_interval)
             try:
-                report = await loop.run_in_executor(None, self.engine.sync)
+                report = await loop.run_in_executor(None, tick)
                 if report.created or report.deleted:
                     log.info(
                         "watch sync: +%d -%d audios",
@@ -410,7 +422,8 @@ class RecognitionServer:
         if cmd == "show_audios":
             context = str(msg["context"])
             if eng.store.get_context(context) is None:
-                return {"error": f"unknown context {context!r}"}
+                return {"error": f"unknown context {context!r}",
+                        "code": "unknown_context"}
             from tiresias_tpu.serve.admin import audio_row
 
             return {"admin": {"audios": [
@@ -440,20 +453,22 @@ class RecognitionServer:
             context = msg.get("context")
 
             def work():
+                # engine.sync/sync_context hold the engine's sync mutex:
+                # an admin sync never interleaves with a watch-mode tick
+                # walking the same directories
                 if context is None:
-                    return eng.sync()
-                from tiresias_tpu.engine.sync import sync_context_audio
-
-                ctx = eng.store.get_context(str(context))
-                if ctx is None or not ctx["directory"]:
-                    raise ValueError(f"unknown context {context!r}")
-                report = sync_context_audio(
-                    eng.store, str(context), ctx["directory"], eng.config.dsp
-                )
-                eng.save()
+                    report = eng.sync()
+                else:
+                    report = eng.sync_context(str(context))
+                # rebuild any derived maps the ingest invalidated while
+                # no other mutation can race the build (ticks serialize)
+                eng.warm_search_maps()
                 return report
 
-            report = await in_executor(work)
+            try:
+                report = await in_executor(work)
+            except ValueError as exc:
+                return {"error": str(exc), "code": "unknown_context"}
             return {"admin": {"sync": {
                 "created": report.created, "deduped": report.deduped,
                 "deleted": report.deleted, "failed": report.failed,
