@@ -480,6 +480,10 @@ class RecognitionServer:
             def work():
                 eng.store.compact()
                 eng.save()
+                # compaction rebuilds the device views, dropping their
+                # derived maps — rebuild them here so the next search
+                # doesn't stall (and no mutation can race the build)
+                eng.warm_search_maps()
 
             await in_executor(work)
             return {"admin": {"compacted": True}}
