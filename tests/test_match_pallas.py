@@ -343,9 +343,24 @@ class TestKernelFitGates:
         assert aligned_kernel_fits(128, 937, 8)     # bench config
         assert aligned_kernel_fits(3072, 937, 2)    # 11.0 MiB — OK on TPU
         assert aligned_kernel_fits(128, 18750, 2)   # big accumulator — OK
-        assert not aligned_kernel_fits(4096, 128, 2)   # 14.1 MiB — failed
-        assert not aligned_kernel_fits(4096, 937, 8)   # db tile way over
+        # oversize db tiles are now served by time-chunking: these two were
+        # unchunked VMEM failures (14.1 MiB / 26 MiB by the model)
+        assert aligned_kernel_fits(4096, 128, 2)
+        assert aligned_kernel_fits(4096, 937, 8)
+        assert aligned_kernel_fits(1024, 93, 8)     # aligned-scale bench
         assert not aligned_kernel_fits(8192, 93, 2)    # over tier cap
+        # full-offset accumulator alone busts VMEM — no chunking can help
+        assert not aligned_kernel_fits(128, 25600, 2)
+
+    def test_aligned_time_chunk_selection(self):
+        from tiresias_tpu.ops.match_pallas import _aligned_time_chunk
+
+        # fits whole: chunk == t
+        assert _aligned_time_chunk(128, 937, 8) == 128
+        # t=1024, f=93, coefs=8: budget_rows=1020 → largest divisor 512
+        assert _aligned_time_chunk(1024, 93, 8) == 512
+        # accumulator alone over budget → None
+        assert _aligned_time_chunk(128, 25600, 2) is None
 
     def test_bag_fit_budget(self):
         from tiresias_tpu.ops.match_pallas import bag_kernel_fits
@@ -367,11 +382,40 @@ class TestKernelFitGates:
         act = np.ones((1, 64), bool)
         with pytest.raises(ValueError, match="VMEM/SMEM"):
             match_votes_pallas(db, q, act, act, 0.1, coefs=2, interpret=True)
-        db4k = rng.uniform(-1, 1, size=(4, 4096, 2)).astype(np.float32)
+        # t=8192 is over MAX_ALIGNED_TIER (time-chunking serves oversize
+        # db tiles below the cap, so only the cap/accumulator reject now)
         with pytest.raises(ValueError, match="VMEM/SMEM"):
             match_votes_pallas_aligned(
-                db4k, q, act, act, 0.1, coefs=2, interpret=True
+                db, q, act, act, 0.1, coefs=2, interpret=True
             )
+
+    def test_aligned_chunked_matches_xla(self, rng, monkeypatch):
+        """Time-chunked aligned kernel is bit-identical to the XLA aligned
+        matcher. The budget is patched down so a small interpret-mode shape
+        actually exercises multi-chunk accumulation (4 chunks of 64)."""
+        import tiresias_tpu.ops.match_pallas as mp
+
+        # t=256, f=24, coefs=2: o_pad=280; budget 512*(280+6*100) gives
+        # budget_rows=100 → chunk=64 (largest divisor of 256 ≤ 100)
+        monkeypatch.setattr(mp, "_VMEM_MATCH_BUDGET", 512 * (280 + 6 * 100))
+        assert mp._aligned_time_chunk(256, 24, 2) == 64
+
+        db = rng.uniform(-30, 20, size=(5, 256, 2)).astype(np.float32)
+        db[2, 200:] = -1e6  # PAD_VALUE rows
+        q = np.stack(
+            [db[2, 100:124, :], rng.uniform(-30, 20, (24, 2))]
+        ).astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p = mp.match_votes_pallas_aligned(
+            db, qj, active, use2, 0.1, coefs=2, interpret=True
+        )
+        mask = (db[:, :, 0] > -1e5)
+        votes_x = match_jax.match_votes(
+            db, mask, qj, active, use2, 0.1, coefs=2, aligned=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(votes_p), np.asarray(votes_x)
+        )
 
 
 class TestPrefilterBandBypass:

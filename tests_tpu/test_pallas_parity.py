@@ -168,6 +168,47 @@ def test_aligned_pallas_equals_xla_on_device(rng, coefs):
         np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
 
 
+@pytest.mark.parametrize("t,coefs", [(1024, 8), (4096, 8)])
+def test_aligned_chunked_equals_xla_on_device(rng, t, coefs):
+    """Time-CHUNKED aligned kernel under real Mosaic: these shapes exceed
+    the monolithic [coefs, T, 128] db-tile VMEM budget, so the kernel pages
+    the tier through 512-frame chunks while the full offset accumulator
+    persists in scratch (t=1024 is the aligned-scale bench config; t=4096
+    runs 8 chunks). Re-probes the VMEM model after the chunking change —
+    see _VMEM_MATCH_BUDGET."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_pallas import (
+        _aligned_time_chunk,
+        search_batch_pallas,
+    )
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    f = 93
+    assert _aligned_time_chunk(t, f, coefs) == 512  # genuinely chunked
+    a, b = 64, 2
+    db = rng.uniform(-40, 25, size=(a, t, coefs)).astype(np.float32)
+    n_frames = rng.integers(t // 2, t, size=a)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    # one query excerpted from a stored audio (a real winner), one random
+    q = np.stack([db[11, 16 : 16 + f], db[40, 3 : 3 + f]]).astype(np.float32)
+    q[1] = rng.uniform(-40, 25, size=(f, coefs)).astype(np.float32)
+
+    best_p, count_p, votes_p = search_batch_pallas(
+        jnp.asarray(db), q, None, coefs=coefs, tolerance=0.1,
+        trunc_coef1=False, aligned=True,
+    )
+    best_x, count_x, votes_x = match_jax.search_batch(
+        jnp.asarray(db), jnp.asarray(mask), q, None, coefs=coefs,
+        tolerance=0.1, trunc_coef1=False, aligned=True,
+    )
+    np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+    np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
+    assert int(np.asarray(best_p)[0]) == 11
+
+
 def test_engine_int16_end_to_end_on_device(rng, tmp_path):
     """Full engine path on the real chip with int16 telephony input: ingest
     (raw-int16 H2D + device scaling), fused dialplan search, aligned

@@ -160,24 +160,45 @@ def match_votes_pallas(
     return votes[:, :a].astype(jnp.int32)
 
 
-def _make_aligned_kernel(coefs: int, f_total: int, t: int, o_pad: int):
+def _make_aligned_kernel(
+    coefs: int, f_total: int, t_chunk: int, o_pad: int, n_tchunks: int
+):
     """Aligned-voting kernel (PARITY.md D9 extension as a fused device path).
 
     Layout is TRANSPOSED vs the bag-of-frames kernel: DB tiles arrive as
-    ``[coefs, T, AT]`` — time on SUBLANES, audios on lanes — because the
-    offset accumulation writes ``acc[F-1-f : F-1-f+T, :] += ok`` with a
-    dynamic start: sublane-dim dynamic slices are cheap vector shifts on
-    TPU, while lane-dim dynamic offsets force expensive relayouts. The
+    ``[coefs, T_chunk, AT]`` — time on SUBLANES, audios on lanes — because
+    the offset accumulation writes ``acc[start : start+T_chunk, :] += ok``
+    with a dynamic start: sublane-dim dynamic slices are cheap vector shifts
+    on TPU, while lane-dim dynamic offsets force expensive relayouts. The
     accumulator ``acc [O_pad, AT]`` (offset o = t − f + F − 1) lives in
     VMEM scratch; the aligned score is its max over offsets — the best
     single time-alignment's hit count, exactly
     :func:`tiresias_tpu.ops.match_jax.match_votes` with ``aligned=True``.
+
+    The time axis is CHUNKED over the second (fastest) grid dimension so
+    shapes whose full ``[coefs, T, AT]`` db tile would blow VMEM (e.g.
+    T=1024 at 8 coefs) still get the fused path: each step holds one
+    ``[coefs, T_chunk, AT]`` tile while the full-offset accumulator
+    persists in scratch across the chunks of an audio tile (zeroed at
+    chunk 0, reduced to the output at the last chunk). A chunk's hits at
+    global time ``j·T_chunk + tt`` land at offset
+    ``j·T_chunk + tt − f + F − 1`` — disjoint slices of the same
+    accumulator, so the chunked result is bit-identical to the monolithic
+    kernel's.
     """
 
     def kernel(q_ref, d_ref, tol_ref, out_ref, acc_ref):
         tol = tol_ref[0]
-        acc_ref[:] = jnp.zeros((o_pad, d_ref.shape[2]), jnp.float32)
-        d = [d_ref[c] for c in range(coefs)]  # [T, AT] each
+        # program_id must be read at kernel top level (the interpret-mode
+        # HLO lowering doesn't substitute it inside cond branches)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _zero():
+            acc_ref[:] = jnp.zeros((o_pad, d_ref.shape[2]), jnp.float32)
+
+        d = [d_ref[c] for c in range(coefs)]  # [T_chunk, AT] each
 
         def body(f, _):
             ok = jnp.abs(d[0] - q_ref[0, f]) <= tol
@@ -186,15 +207,18 @@ def _make_aligned_kernel(coefs: int, f_total: int, t: int, o_pad: int):
                 if c == 1:
                     okc |= q_ref[coefs, f] <= 0.0  # PARITY.md §3.3
                 ok &= okc
-            start = f_total - 1 - f
-            acc_ref[pl.ds(start, t), :] += ok.astype(jnp.float32)
+            start = f_total - 1 - f + j * t_chunk
+            acc_ref[pl.ds(start, t_chunk), :] += ok.astype(jnp.float32)
             return 0
 
         jax.lax.fori_loop(0, f_total, body, 0)
-        i = pl.program_id(0)
-        out_ref[
-            0, pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE)
-        ] = acc_ref[:].max(axis=0)
+
+        @pl.when(j == n_tchunks - 1)
+        def _emit():
+            out_ref[
+                0,
+                pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE),
+            ] = acc_ref[:].max(axis=0)
 
     return kernel
 
@@ -235,15 +259,40 @@ def bag_kernel_fits(t: int, f: int, coefs: int) -> bool:
     return 4 * 128 * 3 * coefs * t <= _VMEM_MATCH_BUDGET
 
 
+def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
+    """Largest time-chunk length the aligned kernel can hold in VMEM for
+    (tier_frames, query_frames, coefs), or None if no valid chunking
+    exists. A chunk must divide T exactly (every grid step sees a full
+    tile) and be a multiple of 8 (the chunk is the block's sublane dim).
+    Per-step VMEM model (see _VMEM_MATCH_BUDGET): the persistent
+    [o_pad, 128] f32 accumulator plus ~3 buffered copies of the
+    [coefs, chunk, 128] db tile."""
+    o_pad = -(-(t + f - 1) // 8) * 8
+    budget_rows = (_VMEM_MATCH_BUDGET // (4 * 128) - o_pad) // (3 * coefs)
+    if budget_rows <= 0:
+        return None
+    if t <= budget_rows:
+        return t
+    if t % 8 != 0:
+        return None  # only the monolithic tile divides T
+    best = None
+    for chunk in range(8, min(t, budget_rows) + 1, 8):
+        if t % chunk == 0:
+            best = chunk
+    return best
+
+
 def aligned_kernel_fits(t: int, f: int, coefs: int) -> bool:
     """Whether the aligned kernel can serve (tier_frames, query_frames,
     coefs) within its VMEM/SMEM budgets — the engine's dispatch gate;
-    ineligible shapes run the (exact, slower) XLA aligned matcher."""
+    ineligible shapes run the (exact, slower) XLA aligned matcher.
+    Oversize db tiles are served by time-chunking (see
+    _aligned_time_chunk), so this only rejects shapes whose full-offset
+    accumulator alone busts VMEM, whose query busts SMEM, or whose tier
+    exceeds MAX_ALIGNED_TIER."""
     if t > MAX_ALIGNED_TIER or not pallas_query_fits(f, coefs):
         return False
-    o_pad = -(-(t + f - 1) // 8) * 8
-    vmem = 4 * 128 * (o_pad + 3 * coefs * t)
-    return vmem <= _VMEM_MATCH_BUDGET
+    return _aligned_time_chunk(t, f, coefs) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
@@ -285,21 +334,25 @@ def match_votes_pallas_aligned(
     q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
 
     o_pad = -(-(t + f - 1) // 8) * 8  # sublane-aligned offset count
+    t_chunk = _aligned_time_chunk(t, f, coefs)
+    n_tchunks = t // t_chunk
 
     call = pl.pallas_call(
-        _make_aligned_kernel(coefs, f, t, o_pad),
+        _make_aligned_kernel(coefs, f, t_chunk, o_pad, n_tchunks),
         in_specs=[
-            pl.BlockSpec((coefs + 1, f), lambda i: (0, 0),
+            pl.BlockSpec((coefs + 1, f), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((coefs, t, AUDIO_TILE), lambda i: (0, 0, i),
+            pl.BlockSpec((coefs, t_chunk, AUDIO_TILE), lambda i, j: (0, j, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
-        out_specs=pl.BlockSpec((1, a_pad), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((1, a_pad), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((o_pad, AUDIO_TILE), jnp.float32)],
-        grid=(n_tiles,),
+        # time chunks on the FAST grid dim: the accumulator in scratch is
+        # zeroed at chunk 0 and emitted at the last chunk of each audio tile
+        grid=(n_tiles, n_tchunks),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * f * a_pad * t * (coefs + 1),
