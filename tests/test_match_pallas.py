@@ -124,15 +124,32 @@ class TestAlignedKernel:
         assert votes[0, 0] == 32  # perfect alignment on the original
         assert votes[0, 1] < 32  # shuffled copy has no consistent offset
 
-    def test_tier_cap_enforced(self, rng):
-        from tiresias_tpu.ops.match_pallas import MAX_ALIGNED_TIER
+    def test_window_wider_than_chunk(self, rng, monkeypatch):
+        """Sliding-window regime where the query span exceeds the time
+        chunk (F − 1 > T_chunk): most of the window carries over at each
+        slide instead of being folded. Must still equal the XLA matcher
+        bit-for-bit."""
+        import tiresias_tpu.ops.match_pallas as mp
 
-        db = np.full((1, 2 * MAX_ALIGNED_TIER, 2), PAD_VALUE, np.float32)
-        q = np.zeros((1, 8, 2), np.float32)
-        with pytest.raises(ValueError):
-            search_batch_pallas(
-                db, q, None, aligned=True, interpret=True
-            )
+        # t=256, f=96, coefs=2: force chunk=32 < f−1=95 → o_buf=128,
+        # carry-over of 96 rows per slide
+        monkeypatch.setattr(
+            mp, "_VMEM_MATCH_BUDGET", 4 * 128 * mp._aligned_rows(32, 96, 2)
+        )
+        assert mp._aligned_time_chunk(256, 96, 2) == 32
+
+        db = rng.uniform(-30, 20, size=(3, 256, 2)).astype(np.float32)
+        db[1, 240:] = PAD_VALUE
+        q = db[1, 100:196][None]  # 96-frame excerpt straddling chunks
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p = mp.match_votes_pallas_aligned(
+            db, qj, active, use2, 0.1, coefs=2, interpret=True
+        )
+        mask = db[:, :, 0] > -1e5
+        votes_x = match_jax.match_votes(
+            db, mask, qj, active, use2, 0.1, coefs=2, aligned=True
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
 
 
 class TestAlignedPrefilter:
@@ -348,8 +365,11 @@ class TestKernelFitGates:
         assert aligned_kernel_fits(4096, 128, 2)
         assert aligned_kernel_fits(4096, 937, 8)
         assert aligned_kernel_fits(1024, 93, 8)     # aligned-scale bench
-        assert not aligned_kernel_fits(8192, 93, 2)    # over tier cap
-        # full-offset accumulator alone busts VMEM — no chunking can help
+        # tier length is unbounded now: the sliding window streams time
+        # chunks through a fixed VMEM footprint
+        assert aligned_kernel_fits(8192, 93, 2)
+        assert aligned_kernel_fits(131072, 937, 2)  # hours-long audio tier
+        # one query-window of offsets alone busts VMEM — no chunking helps
         assert not aligned_kernel_fits(128, 25600, 2)
 
     def test_aligned_time_chunk_selection(self):
@@ -382,11 +402,13 @@ class TestKernelFitGates:
         act = np.ones((1, 64), bool)
         with pytest.raises(ValueError, match="VMEM/SMEM"):
             match_votes_pallas(db, q, act, act, 0.1, coefs=2, interpret=True)
-        # t=8192 is over MAX_ALIGNED_TIER (time-chunking serves oversize
-        # db tiles below the cap, so only the cap/accumulator reject now)
+        # the sliding window serves any multiple-of-8 tier, so only a
+        # query whose offset window alone busts VMEM rejects now
+        q_big = np.zeros((1, 25600, 2), np.float32)
+        act_big = np.ones((1, 25600), bool)
         with pytest.raises(ValueError, match="VMEM/SMEM"):
             match_votes_pallas_aligned(
-                db, q, act, act, 0.1, coefs=2, interpret=True
+                db, q_big, act_big, act_big, 0.1, coefs=2, interpret=True
             )
 
     def test_aligned_chunked_matches_xla(self, rng, monkeypatch):

@@ -171,11 +171,11 @@ def test_aligned_pallas_equals_xla_on_device(rng, coefs):
 @pytest.mark.parametrize("t,coefs", [(1024, 8), (4096, 8)])
 def test_aligned_chunked_equals_xla_on_device(rng, t, coefs):
     """Time-CHUNKED aligned kernel under real Mosaic: these shapes exceed
-    the monolithic [coefs, T, 128] db-tile VMEM budget, so the kernel pages
-    the tier through 512-frame chunks while the full offset accumulator
-    persists in scratch (t=1024 is the aligned-scale bench config; t=4096
-    runs 8 chunks). Re-probes the VMEM model after the chunking change —
-    see _VMEM_MATCH_BUDGET."""
+    the monolithic [coefs, T, 128] db-tile VMEM budget, so the kernel
+    streams the tier through 512-frame chunks with the sliding offset
+    window in scratch (t=1024 is the aligned-scale bench config; t=4096
+    runs 8 chunks). Re-probes the VMEM model after the sliding-window
+    change — see _VMEM_MATCH_BUDGET."""
     import jax.numpy as jnp
 
     from tiresias_tpu.ops import match_jax
@@ -207,6 +207,46 @@ def test_aligned_chunked_equals_xla_on_device(rng, t, coefs):
     np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
     np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
     assert int(np.asarray(best_p)[0]) == 11
+
+
+def test_aligned_long_tier_sliding_window_on_device(rng):
+    """Sliding-window aligned kernel on a tier 8× beyond the old 4096-frame
+    cap (t=32768 ≈ 17 min of audio rows): the offset window folds into the
+    running max across 16 chunk boundaries per audio tile, under real
+    Mosaic. Must equal the XLA aligned matcher bitwise."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_pallas import (
+        _aligned_time_chunk,
+        search_batch_pallas,
+    )
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    a, t, f, c = 32, 32768, 93, 2
+    assert _aligned_time_chunk(t, f, c) == 2048  # 16 chunks, window 2144
+    db = rng.uniform(-40, 25, size=(a, t, c)).astype(np.float32)
+    n_frames = rng.integers(t // 2, t, size=a)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    # a real winner whose excerpt straddles a 2048-chunk boundary
+    q = np.stack(
+        [db[7, 2048 - 40 : 2048 - 40 + f], db[0, : f]]
+    ).astype(np.float32)
+    q[1] = rng.uniform(-40, 25, size=(f, c)).astype(np.float32)
+
+    best_p, count_p, votes_p = search_batch_pallas(
+        jnp.asarray(db), q, None, coefs=c, tolerance=0.1,
+        trunc_coef1=False, aligned=True,
+    )
+    best_x, count_x, votes_x = match_jax.search_batch(
+        jnp.asarray(db), jnp.asarray(mask), q, None, coefs=c,
+        tolerance=0.1, trunc_coef1=False, aligned=True,
+    )
+    np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+    np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
+    assert int(np.asarray(best_p)[0]) == 7
+    assert int(np.asarray(votes_p)[0, 7]) == f
 
 
 def test_engine_int16_end_to_end_on_device(rng, tmp_path):

@@ -161,7 +161,7 @@ def match_votes_pallas(
 
 
 def _make_aligned_kernel(
-    coefs: int, f_total: int, t_chunk: int, o_pad: int, n_tchunks: int
+    coefs: int, f_total: int, t_chunk: int, o_buf: int, n_tchunks: int
 ):
     """Aligned-voting kernel (PARITY.md D9 extension as a fused device path).
 
@@ -170,24 +170,28 @@ def _make_aligned_kernel(
     the offset accumulation writes ``acc[start : start+T_chunk, :] += ok``
     with a dynamic start: sublane-dim dynamic slices are cheap vector shifts
     on TPU, while lane-dim dynamic offsets force expensive relayouts. The
-    accumulator ``acc [O_pad, AT]`` (offset o = t − f + F − 1) lives in
-    VMEM scratch; the aligned score is its max over offsets — the best
-    single time-alignment's hit count, exactly
+    aligned score is the max over offset buckets (o = t − f + F − 1) of the
+    per-bucket hit count — the best single time-alignment, exactly
     :func:`tiresias_tpu.ops.match_jax.match_votes` with ``aligned=True``.
 
-    The time axis is CHUNKED over the second (fastest) grid dimension so
-    shapes whose full ``[coefs, T, AT]`` db tile would blow VMEM (e.g.
-    T=1024 at 8 coefs) still get the fused path: each step holds one
-    ``[coefs, T_chunk, AT]`` tile while the full-offset accumulator
-    persists in scratch across the chunks of an audio tile (zeroed at
-    chunk 0, reduced to the output at the last chunk). A chunk's hits at
-    global time ``j·T_chunk + tt`` land at offset
-    ``j·T_chunk + tt − f + F − 1`` — disjoint slices of the same
-    accumulator, so the chunked result is bit-identical to the monolithic
-    kernel's.
+    The time axis is STREAMED over the second (fastest) grid dimension, so
+    the tier length is unbounded: each step holds one ``[coefs, T_chunk,
+    AT]`` db tile, and — the key observation — chunk j only touches the
+    offset window ``[j·T_chunk, (j+1)·T_chunk + F − 2]``, while offsets
+    below ``j·T_chunk`` are already complete. So a SLIDING accumulator of
+    just ``T_chunk + F − 1`` rows suffices: at each chunk boundary the
+    lowest ``T_chunk`` rows (now complete) fold into a running per-audio
+    max, the window shifts down by ``T_chunk`` (static-slice vector
+    copies), and its tail is re-zeroed. Within a chunk, frame f's hits
+    land at window-local rows ``[F−1−f, F−1−f+T_chunk)`` — the same
+    dynamic sublane slice as a monolithic kernel with T = T_chunk. VMEM
+    therefore scales with the CHUNK, not the tier: hours-long audio rows
+    stream through the same few-MB footprint, bit-identical to a
+    full-offset accumulation (votes are non-negative, so the extra zero
+    pad rows never win the max).
     """
 
-    def kernel(q_ref, d_ref, tol_ref, out_ref, acc_ref):
+    def kernel(q_ref, d_ref, tol_ref, out_ref, acc_ref, max_ref):
         tol = tol_ref[0]
         # program_id must be read at kernel top level (the interpret-mode
         # HLO lowering doesn't substitute it inside cond branches)
@@ -195,8 +199,23 @@ def _make_aligned_kernel(
         j = pl.program_id(1)
 
         @pl.when(j == 0)
-        def _zero():
-            acc_ref[:] = jnp.zeros((o_pad, d_ref.shape[2]), jnp.float32)
+        def _start():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+            max_ref[:] = jnp.zeros_like(max_ref)
+
+        @pl.when(j > 0)
+        def _slide():
+            # offsets below j·T_chunk are complete: fold them into the
+            # running max, shift the window down, zero the fresh tail
+            max_ref[0, :] = jnp.maximum(
+                max_ref[0, :], acc_ref[:t_chunk, :].max(axis=0)
+            )
+            if o_buf > t_chunk:
+                kept = acc_ref[t_chunk:, :]  # value read before overwrite
+                acc_ref[: o_buf - t_chunk, :] = kept
+            acc_ref[o_buf - t_chunk :, :] = jnp.zeros(
+                (t_chunk, acc_ref.shape[1]), jnp.float32
+            )
 
         d = [d_ref[c] for c in range(coefs)]  # [T_chunk, AT] each
 
@@ -207,8 +226,9 @@ def _make_aligned_kernel(
                 if c == 1:
                     okc |= q_ref[coefs, f] <= 0.0  # PARITY.md §3.3
                 ok &= okc
-            start = f_total - 1 - f + j * t_chunk
-            acc_ref[pl.ds(start, t_chunk), :] += ok.astype(jnp.float32)
+            acc_ref[pl.ds(f_total - 1 - f, t_chunk), :] += ok.astype(
+                jnp.float32
+            )
             return 0
 
         jax.lax.fori_loop(0, f_total, body, 0)
@@ -218,16 +238,10 @@ def _make_aligned_kernel(
             out_ref[
                 0,
                 pl.ds(pl.multiple_of(i * AUDIO_TILE, AUDIO_TILE), AUDIO_TILE),
-            ] = acc_ref[:].max(axis=0)
+            ] = jnp.maximum(max_ref[0, :], acc_ref[:].max(axis=0))
 
     return kernel
 
-
-# Aligned accumulation holds an [T+F-1, AUDIO_TILE] f32 accumulator plus the
-# [coefs, T, AUDIO_TILE] DB tile in VMEM; cap the tier length it serves
-# (larger tiers fall back to the blocked XLA scheme, which pages offsets
-# through HBM).
-MAX_ALIGNED_TIER = 4096
 
 # Both fused kernels read the query as an SMEM block of (coefs+1)·F f32.
 # Hardware-measured: blocks up to 450 KiB compile and run; 512 KiB is the
@@ -259,25 +273,33 @@ def bag_kernel_fits(t: int, f: int, coefs: int) -> bool:
     return 4 * 128 * 3 * coefs * t <= _VMEM_MATCH_BUDGET
 
 
+def _aligned_rows(chunk: int, f: int, coefs: int) -> int:
+    """Per-step VMEM cost of the aligned kernel, in f32 [*, 128] rows:
+    the sliding [chunk + F − 1, 128] accumulator window plus ~3 buffered
+    copies of the [coefs, chunk, 128] db tile (see _VMEM_MATCH_BUDGET)."""
+    o_buf = -(-(chunk + f - 1) // 8) * 8
+    return o_buf + 3 * coefs * chunk
+
+
 def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     """Largest time-chunk length the aligned kernel can hold in VMEM for
     (tier_frames, query_frames, coefs), or None if no valid chunking
     exists. A chunk must divide T exactly (every grid step sees a full
     tile) and be a multiple of 8 (the chunk is the block's sublane dim).
-    Per-step VMEM model (see _VMEM_MATCH_BUDGET): the persistent
-    [o_pad, 128] f32 accumulator plus ~3 buffered copies of the
-    [coefs, chunk, 128] db tile."""
-    o_pad = -(-(t + f - 1) // 8) * 8
-    budget_rows = (_VMEM_MATCH_BUDGET // (4 * 128) - o_pad) // (3 * coefs)
-    if budget_rows <= 0:
-        return None
-    if t <= budget_rows:
+    The accumulator is a sliding window of chunk + F − 1 offsets (see
+    _make_aligned_kernel), so VMEM cost scales with the CHUNK, not the
+    tier — any multiple-of-8 tier length is servable as long as one
+    query-window's offsets fit."""
+    budget_rows = _VMEM_MATCH_BUDGET // (4 * 128)
+    if _aligned_rows(min(t, 8), f, coefs) > budget_rows:
+        return None  # one query-window of offsets alone busts VMEM
+    if _aligned_rows(t, f, coefs) <= budget_rows:
         return t
     if t % 8 != 0:
         return None  # only the monolithic tile divides T
     best = None
-    for chunk in range(8, min(t, budget_rows) + 1, 8):
-        if t % chunk == 0:
+    for chunk in range(8, t + 1, 8):
+        if t % chunk == 0 and _aligned_rows(chunk, f, coefs) <= budget_rows:
             best = chunk
     return best
 
@@ -286,11 +308,11 @@ def aligned_kernel_fits(t: int, f: int, coefs: int) -> bool:
     """Whether the aligned kernel can serve (tier_frames, query_frames,
     coefs) within its VMEM/SMEM budgets — the engine's dispatch gate;
     ineligible shapes run the (exact, slower) XLA aligned matcher.
-    Oversize db tiles are served by time-chunking (see
-    _aligned_time_chunk), so this only rejects shapes whose full-offset
-    accumulator alone busts VMEM, whose query busts SMEM, or whose tier
-    exceeds MAX_ALIGNED_TIER."""
-    if t > MAX_ALIGNED_TIER or not pallas_query_fits(f, coefs):
+    Tier length is unbounded (the sliding-window accumulator streams
+    time chunks through a fixed footprint), so this only rejects shapes
+    whose single query-window of offsets busts VMEM, whose query busts
+    SMEM, or whose tier has no multiple-of-8 chunking."""
+    if not pallas_query_fits(f, coefs):
         return False
     return _aligned_time_chunk(t, f, coefs) is not None
 
@@ -333,12 +355,14 @@ def match_votes_pallas_aligned(
     q_rows.append(use2.astype(jnp.float32))
     q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
 
-    o_pad = -(-(t + f - 1) // 8) * 8  # sublane-aligned offset count
     t_chunk = _aligned_time_chunk(t, f, coefs)
     n_tchunks = t // t_chunk
+    # sliding accumulator window: one chunk's worth of offsets plus the
+    # query span, sublane-aligned (see _make_aligned_kernel)
+    o_buf = -(-(t_chunk + f - 1) // 8) * 8
 
     call = pl.pallas_call(
-        _make_aligned_kernel(coefs, f, t_chunk, o_pad, n_tchunks),
+        _make_aligned_kernel(coefs, f, t_chunk, o_buf, n_tchunks),
         in_specs=[
             pl.BlockSpec((coefs + 1, f), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -349,9 +373,13 @@ def match_votes_pallas_aligned(
         out_shape=jax.ShapeDtypeStruct((1, a_pad), jnp.float32),
         out_specs=pl.BlockSpec((1, a_pad), lambda i, j: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((o_pad, AUDIO_TILE), jnp.float32)],
-        # time chunks on the FAST grid dim: the accumulator in scratch is
-        # zeroed at chunk 0 and emitted at the last chunk of each audio tile
+        scratch_shapes=[
+            pltpu.VMEM((o_buf, AUDIO_TILE), jnp.float32),  # sliding window
+            pltpu.VMEM((1, AUDIO_TILE), jnp.float32),  # running per-audio max
+        ],
+        # time chunks on the FAST grid dim: the window in scratch is zeroed
+        # at chunk 0, slid at each boundary, and the folded max is emitted
+        # at the last chunk of each audio tile
         grid=(n_tiles, n_tchunks),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -473,8 +501,8 @@ def search_batch_pallas(
     Takes the store-layout ``db`` (PAD_VALUE padding) directly — no mask
     operand. Returns (best [B], match_count [B], votes [B, A]).
     ``aligned=True`` dispatches the offset-consistent kernel (the D9
-    accuracy mode); tiers longer than MAX_ALIGNED_TIER must use the XLA
-    path."""
+    accuracy mode); shapes rejected by ``aligned_kernel_fits`` must use
+    the XLA path."""
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
     q, active, use2 = match_jax.prepare_query(
