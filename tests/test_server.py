@@ -453,12 +453,21 @@ class TestGracefulShutdown:
             text=True,
         )
         try:
+            import selectors
+
+            sel = selectors.DefaultSelector()
+            sel.register(proc.stdout, selectors.EVENT_READ)
             deadline = time.monotonic() + 120
             line = ""
             while time.monotonic() < deadline:
-                line = proc.stdout.readline()
-                if "tiresias serving on" in line:
+                # deadline-aware read: a silent child must not block the
+                # suite on readline() past the deadline
+                if not sel.select(timeout=deadline - time.monotonic()):
                     break
+                line = proc.stdout.readline()
+                if not line or "tiresias serving on" in line:
+                    break
+            sel.close()
             assert "tiresias serving on" in line, "server never came up"
             assert (data / "server.json").exists()
             proc.send_signal(signal.SIGTERM)

@@ -22,6 +22,7 @@ Config comes from ``--config tiresias.conf`` (same INI schema as
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 from tiresias_tpu.config import TiresiasConfig, load_config
@@ -425,6 +426,24 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    if os.environ.get("JAX_PLATFORMS"):
+        # Make JAX_PLATFORMS env semantics stick for this process. A
+        # force-registering PJRT plugin (e.g. a tunneled TPU backend) may
+        # override the jax_platforms config at interpreter start regardless
+        # of the env var, so `JAX_PLATFORMS=cpu tiresias ...` (tests, CI,
+        # cpu-only admin boxes) would still try — and, with the tunnel
+        # down, hang on — the plugin's backend. The CLI is a process entry
+        # point, so re-pinning here cannot clobber an embedding
+        # application's own config.update (library imports stay pin-free).
+        try:
+            import jax
+
+            if jax.config.jax_platforms != os.environ["JAX_PLATFORMS"]:
+                jax.config.update(
+                    "jax_platforms", os.environ["JAX_PLATFORMS"]
+                )
+        except Exception:  # pragma: no cover - config key renamed
+            pass
     args = build_parser().parse_args(argv)
     if args.command != "serve":
         # behave like a well-mannered unix tool when piped into head etc. —

@@ -553,7 +553,8 @@ def run_server(
                 loop.add_signal_handler(sig, stop_ev.set)
             except (NotImplementedError, RuntimeError):
                 pass  # non-unix, or not the main thread (library use)
-        print(f"tiresias serving on {server.host}:{server.port}")
+        # flush: parents watch for this banner over a (block-buffered) pipe
+        print(f"tiresias serving on {server.host}:{server.port}", flush=True)
         serve_task = asyncio.create_task(server.serve_forever())
         stop_task = asyncio.create_task(stop_ev.wait())
         await asyncio.wait(
