@@ -147,3 +147,36 @@ def test_live_append_keeps_views_sharded(tmp_path):
         assert [(r.name, r.match_count) for r in rs] == [
             (r.name, r.match_count) for r in r1
         ], kwargs
+
+
+def test_sharded_engine_fused_pallas_dispatch(tmp_path, monkeypatch):
+    """Sharded store + TIRESIAS_SHARDED_PALLAS=interpret: the engine must
+    route generic and ALIGNED searches through the shard-mapped fused
+    Mosaic matcher (interpret mode on the CPU mesh — the same dispatch a
+    TPU mesh takes compiled) and still match the single-device engine."""
+    import tiresias_tpu.parallel.sharding as sharding_mod
+
+    monkeypatch.setenv("TIRESIAS_SHARDED_PALLAS", "interpret")
+    calls = []
+    real = sharding_mod.sharded_votes_pallas
+
+    def spy(*args, **kwargs):
+        calls.append(kwargs.get("aligned", False))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(sharding_mod, "sharded_votes_pallas", spy)
+
+    mesh = make_mesh(4, 2)
+    sharded = _build(tmp_path / "a", mesh)
+    single = _build(tmp_path / "b", None)
+    queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (1, 3, 5)]
+    for kwargs in (
+        dict(coefs=2, tolerance=0.01, trunc_coef1=False),
+        dict(coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True),
+    ):
+        rs = sharded.search_pcm_batch("m", queries, SR, **kwargs)
+        r1 = single.search_pcm_batch("m", queries, SR, **kwargs)
+        assert [(r.name, r.match_count, r.frame_count) for r in rs] == [
+            (r.name, r.match_count, r.frame_count) for r in r1
+        ], kwargs
+    assert calls == [False, True]  # both kernels actually dispatched

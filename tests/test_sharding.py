@@ -110,6 +110,49 @@ class TestShardedPallasMatcher:
         )
         np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
 
+    def test_aligned_matches_xla_matcher(self, rng):
+        """ALIGNED (offset-consistent, PARITY D9) fused matcher per DB
+        shard: per-audio offset maxima commute with db-sharding, so the
+        shard_map result must equal the single-device XLA aligned matcher
+        bitwise."""
+        from tiresias_tpu.parallel.sharding import sharded_votes_pallas
+
+        mesh = make_mesh(4, 2)
+        db, mask = _random_db(rng, n_audios=32, t=128)
+        q, n_frames = _random_query(rng, b=4)
+        qp, active, use2 = match_jax.prepare_query(q, n_frames)
+        votes_p = sharded_votes_pallas(
+            mesh, db, qp, active, use2, 0.9, coefs=2, aligned=True,
+            interpret=True,
+        )
+        votes_x = match_jax.match_votes(
+            db, mask, qp, active, use2, 0.9, coefs=2, aligned=True
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+
+    @pytest.mark.parametrize("aligned", [False, True])
+    def test_sharded_search_use_pallas(self, rng, aligned):
+        """sharded_search(use_pallas=True) — the engine's sharded fused
+        dispatch — with uneven batch and non-divisible audio counts (the
+        shard_db padding rows hold PAD_VALUE so the value-encoded kernels
+        never count them)."""
+        mesh = make_mesh(4, 2)
+        db, mask = _random_db(rng, n_audios=30, t=128)  # pads 30 -> 32
+        q, n_frames = _random_query(rng, b=3)  # pads 3 -> 4 queries
+        db_s, mask_s, n_audios = shard_db(mesh, db, mask)
+        best_p, count_p, votes_p = sharded_search(
+            mesh, db_s, mask_s, q, n_frames, coefs=2, tolerance=0.9,
+            trunc_coef1=False, aligned=aligned, n_audios=n_audios,
+            use_pallas=True, interpret=True,
+        )
+        best_x, count_x, votes_x = match_jax.search_batch(
+            db, mask, q, n_frames, coefs=2, tolerance=0.9,
+            trunc_coef1=False, aligned=aligned,
+        )
+        np.testing.assert_array_equal(np.asarray(votes_p), np.asarray(votes_x))
+        np.testing.assert_array_equal(np.asarray(best_p), np.asarray(best_x))
+        np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
+
 
 class TestSequenceParallel:
     def test_long_signal_matches_single_device(self, rng, dsp):

@@ -376,3 +376,58 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
     vp, vf = np.asarray(votes_p)[0], np.asarray(votes_full)[0]
     assert vp.argmax() == vf.argmax() == target
     assert vp.max() == vf.max() == 32
+
+
+def test_sharded_fused_dispatch_on_device(rng, tmp_path):
+    """Engine with a 1-device TPU mesh: the sharded-store dispatch must
+    route generic and ALIGNED searches through the shard-mapped fused
+    Mosaic kernels COMPILED (not interpret — `_sharded_pallas_mode` returns
+    "compiled" on a TPU mesh) and match a single-device engine bitwise.
+    One real chip exercises the same shard_map program a pod runs."""
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.parallel import make_mesh
+    from tiresias_tpu.parallel import sharding as sharding_mod
+    from tiresias_tpu.utils.audio import synth_chirp, synth_tone
+
+    SR = 8000
+    mesh = make_mesh(1, 1)
+
+    def build(path, mesh):
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(path)), restore=False, mesh=mesh
+        )
+        eng.create_context("m")
+        for i in range(6):
+            pcm = (
+                synth_tone(250 + 140 * i, 1.0, SR)
+                if i % 2
+                else synth_chirp(200 + 90 * i, 900 + 150 * i, 1.0, SR)
+            )
+            eng.add_audio_pcm("m", f"clip{i}", pcm, SR)
+        return eng
+
+    calls = []
+    real = sharding_mod.sharded_votes_pallas
+
+    def spy(*args, **kwargs):
+        calls.append((kwargs.get("aligned", False), kwargs.get("interpret")))
+        return real(*args, **kwargs)
+
+    sharding_mod.sharded_votes_pallas = spy
+    try:
+        sharded = build(tmp_path / "a", mesh)
+        single = build(tmp_path / "b", None)
+        queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (1, 3, 5)]
+        for kwargs in (
+            dict(coefs=2, tolerance=0.01, trunc_coef1=False),
+            dict(coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True),
+        ):
+            rs = sharded.search_pcm_batch("m", queries, SR, **kwargs)
+            r1 = single.search_pcm_batch("m", queries, SR, **kwargs)
+            assert [(r.name, r.match_count, r.frame_count) for r in rs] == [
+                (r.name, r.match_count, r.frame_count) for r in r1
+            ], kwargs
+    finally:
+        sharding_mod.sharded_votes_pallas = real
+    assert calls == [(False, False), (True, False)]  # compiled, not interpret

@@ -128,6 +128,21 @@ def _on_tpu() -> bool:
     return is_tpu()
 
 
+def _sharded_pallas_mode(mesh) -> str | None:
+    """How to run the shard-mapped fused matcher on this mesh:
+    ``"compiled"`` on a TPU mesh, ``"interpret"`` when forced via
+    ``TIRESIAS_SHARDED_PALLAS=interpret`` (test/debug knob — Mosaic
+    interpret mode on a CPU-simulated mesh), ``None`` otherwise (the
+    GSPMD-partitioned XLA matcher serves the view)."""
+    from tiresias_tpu.utils.platform import mesh_is_tpu
+
+    if mesh_is_tpu(mesh):
+        return "compiled"
+    if os.environ.get("TIRESIAS_SHARDED_PALLAS") == "interpret":
+        return "interpret"
+    return None
+
+
 @_functools.lru_cache(maxsize=16)
 def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
     """One-dispatch dialplan search: fingerprint → lattice votes → top-1
@@ -807,11 +822,17 @@ class Tiresias:
             entries: list[AudioEntry] = []
             vote_parts: list[np.ndarray] = []
             use_lattice = coefs == 1 and trunc_coef1 and not aligned
-            # fused kernels serve single-device stores; sharded stores stay
-            # on the XLA matcher (a Pallas custom call does not
-            # auto-partition under GSPMD) — including sharded ALIGNED
-            # search, which GSPMD row-partitions like any other jnp matcher
+            # fused kernels serve single-device stores directly; sharded
+            # stores get them per shard under shard_map (a Pallas custom
+            # call does not auto-partition under GSPMD, so the mesh
+            # dispatch below wraps it explicitly; shapes the kernels can't
+            # serve fall back to the GSPMD-partitioned XLA matcher)
             on_tpu = _on_tpu() and self.mesh is None
+            sharded_mode = (
+                _sharded_pallas_mode(self.mesh)
+                if self.mesh is not None
+                else None
+            )
             from tiresias_tpu.ops.match_pallas import (
                 aligned_kernel_fits,
                 bag_kernel_fits,
@@ -878,6 +899,34 @@ class Tiresias:
                             trunc_coef1=trunc_coef1,
                             aligned=aligned,
                         )
+                elif sharded_mode is not None and (
+                    aligned_kernel_fits(view.tier_frames, f_q, coefs)
+                    if aligned
+                    else bag_kernel_fits(view.tier_frames, f_q, coefs)
+                ):
+                    # sharded store on a TPU mesh: fused Mosaic matcher per
+                    # DB shard under shard_map (bag or aligned), vote
+                    # columns disjoint — same result as the GSPMD XLA
+                    # matcher, kernel-resident DB tiles per chip
+                    from tiresias_tpu.parallel.sharding import (
+                        sharded_search,
+                    )
+
+                    _, _, votes = sharded_search(
+                        self.mesh,
+                        view.db,
+                        view.mask,
+                        qfp,
+                        n_frames,
+                        coefs=coefs,
+                        tolerance=tolerance,
+                        freq_ignore_low=freq_ignore_low,
+                        freq_ignore_high=freq_ignore_high,
+                        trunc_coef1=trunc_coef1,
+                        aligned=aligned,
+                        use_pallas=True,
+                        interpret=sharded_mode == "interpret",
+                    )
                 else:
                     _, _, votes = match_jax.search_batch(
                         view.db,

@@ -281,6 +281,7 @@ def _aligned_rows(chunk: int, f: int, coefs: int) -> int:
     return o_buf + 3 * coefs * chunk
 
 
+@functools.lru_cache(maxsize=4096)
 def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     """Largest time-chunk length the aligned kernel can hold in VMEM for
     (tier_frames, query_frames, coefs), or None if no valid chunking
@@ -289,7 +290,11 @@ def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     The accumulator is a sliding window of chunk + F − 1 offsets (see
     _make_aligned_kernel), so VMEM cost scales with the CHUNK, not the
     tier — any multiple-of-8 tier length is servable as long as one
-    query-window's offsets fit."""
+    query-window's offsets fit.
+
+    Memoized and O(divisors(t/8)): this runs in the engine's dispatch gate
+    on every search, where a linear scan over hours-long tiers (t ~ 10^6)
+    would cost milliseconds per request."""
     budget_rows = _VMEM_MATCH_BUDGET // (4 * 128)
     if _aligned_rows(min(t, 8), f, coefs) > budget_rows:
         return None  # one query-window of offsets alone busts VMEM
@@ -297,10 +302,19 @@ def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
         return t
     if t % 8 != 0:
         return None  # only the monolithic tile divides T
+    # chunks are 8*d for divisors d of t/8 — enumerate them in O(sqrt)
+    m = t // 8
     best = None
-    for chunk in range(8, t + 1, 8):
-        if t % chunk == 0 and _aligned_rows(chunk, f, coefs) <= budget_rows:
-            best = chunk
+    for lo in range(1, int(m**0.5) + 1):
+        if m % lo:
+            continue
+        for d in (lo, m // lo):
+            chunk = 8 * d
+            if (
+                _aligned_rows(chunk, f, coefs) <= budget_rows
+                and (best is None or chunk > best)
+            ):
+                best = chunk
     return best
 
 

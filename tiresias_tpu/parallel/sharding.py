@@ -66,13 +66,18 @@ def pad_to_multiple(n: int, m: int) -> int:
 
 def shard_db(mesh: Mesh, db: np.ndarray, db_mask: np.ndarray):
     """Pad the audio axis to the db-axis size and device_put with a
-    ``P('db')`` sharding. Padding rows are all-masked (never vote)."""
+    ``P('db')`` sharding. Padding rows are all-masked AND hold PAD_VALUE
+    (never vote in either the masked XLA matcher or the value-encoded
+    Pallas kernels)."""
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
     n_db = mesh.shape[DB_AXIS]
     a = db.shape[0]
     a_pad = pad_to_multiple(max(a, n_db), n_db)
     if a_pad != a:
         db = np.concatenate(
-            [db, np.full((a_pad - a, *db.shape[1:]), 0, dtype=db.dtype)], axis=0
+            [db, np.full((a_pad - a, *db.shape[1:]), PAD_VALUE,
+                         dtype=db.dtype)], axis=0
         )
         db_mask = np.concatenate(
             [db_mask, np.zeros((a_pad - a, db_mask.shape[1]), dtype=bool)], axis=0
@@ -142,12 +147,22 @@ def sharded_search(
     aligned: bool = False,
     n_audios: int | None = None,
     audio_block: int = match_jax.AUDIO_BLOCK,
+    use_pallas: bool = False,
+    interpret: bool | None = None,
 ):
     """Reference-semantics search with the DB sharded across the mesh.
 
     ``query [B, F, C]`` must have B divisible by the batch axis (pad with
     zero-frame queries on host). Returns (best [B], match_count [B],
     votes [B, A]). ``aligned=True`` = offset-consistent voting (PARITY D9).
+
+    ``use_pallas=True`` runs the fused Mosaic matcher per DB shard
+    (:func:`sharded_votes_pallas`) instead of the GSPMD-partitioned XLA
+    matcher — same result, kernel-resident DB tiles. The caller must gate
+    on the kernel fit (``bag_kernel_fits``/``aligned_kernel_fits`` with
+    the per-shard tier length). ``interpret=None`` auto-selects Mosaic
+    interpret mode from the mesh's device platform (CPU test meshes
+    interpret; real TPU meshes compile).
     """
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
@@ -160,11 +175,21 @@ def sharded_search(
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
         active = jnp.pad(active, ((0, pad), (0, 0)))
         use2 = jnp.pad(use2, ((0, pad), (0, 0)))
-    votes = _sharded_votes(
-        mesh, db, db_mask, q, active, use2,
-        jnp.asarray(tolerance, dtype=jnp.float32), coefs, audio_block,
-        aligned,
-    )
+    if use_pallas:
+        if interpret is None:
+            from tiresias_tpu.utils.platform import mesh_is_tpu
+
+            interpret = not mesh_is_tpu(mesh)
+        votes = sharded_votes_pallas(
+            mesh, db, q, active, use2, tolerance,
+            coefs=coefs, aligned=aligned, interpret=interpret,
+        )
+    else:
+        votes = _sharded_votes(
+            mesh, db, db_mask, q, active, use2,
+            jnp.asarray(tolerance, dtype=jnp.float32), coefs, audio_block,
+            aligned,
+        )
     votes = votes[:b]
     if n_audios is not None:
         votes = votes[:, :n_audios]
@@ -180,20 +205,31 @@ def sharded_votes_pallas(
     use2: jax.Array,
     tolerance: float,
     coefs: int = 1,
+    aligned: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused Pallas matcher per DB shard under shard_map.
 
     Each chip runs :func:`tiresias_tpu.ops.match_pallas.match_votes_pallas`
-    on its slice of the audio axis; vote columns stay disjoint (out spec
-    ``P(batch, db)``), so no collective is needed until the caller's top-1.
-    Requires ``db [A, T, C]`` sharded on A with A divisible by the db axis
-    and queries replicated or batch-sharded with B divisible by batch.
+    (or, with ``aligned=True``, the offset-consistent
+    :func:`~tiresias_tpu.ops.match_pallas.match_votes_pallas_aligned` —
+    the PARITY.md D9 accuracy mode) on its slice of the audio axis; vote
+    columns stay disjoint (out spec ``P(batch, db)``), so no collective is
+    needed until the caller's top-1. Aligned scores are per-audio maxima
+    over offsets, so db-sharding commutes with them exactly like bag
+    counts. Requires ``db [A, T, C]`` sharded on A with A divisible by the
+    db axis and queries replicated or batch-sharded with B divisible by
+    batch.
     """
-    from tiresias_tpu.ops.match_pallas import match_votes_pallas
+    from tiresias_tpu.ops.match_pallas import (
+        match_votes_pallas,
+        match_votes_pallas_aligned,
+    )
+
+    kernel = match_votes_pallas_aligned if aligned else match_votes_pallas
 
     def shard_fn(db_s, q_s, act_s, u2_s, tol):
-        return match_votes_pallas(
+        return kernel(
             db_s, q_s, act_s, u2_s, tol, coefs=coefs, interpret=interpret
         )
 

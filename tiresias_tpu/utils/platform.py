@@ -23,3 +23,19 @@ def is_tpu() -> bool:
         return False
     text = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
     return "tpu" in text
+
+
+def mesh_is_tpu(mesh) -> bool:
+    """True when the mesh's devices are TPUs (same platform-string rule as
+    :func:`is_tpu`, applied to the mesh instead of the default backend) and
+    Pallas kernels are not disabled via TIRESIAS_NO_PALLAS. Drives the
+    shard-mapped fused-kernel dispatch: a CPU-simulated test mesh must run
+    Mosaic in interpret mode, a real TPU mesh must not."""
+    if os.environ.get("TIRESIAS_NO_PALLAS"):
+        return False
+    try:
+        dev = mesh.devices.flat[0]
+    except Exception:  # noqa: BLE001 - not a Mesh / empty
+        return False
+    text = f"{dev.platform} {getattr(dev, 'device_kind', '')}".lower()
+    return "tpu" in text
