@@ -273,10 +273,14 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
     dsp = DspConfig()
     f = 3 * 8000 // dsp.hop_size  # 3-s query, 93 frames
     # full scan measured at 100k only (it is the slow baseline the
-    # prefilter replaces); the 1M config runs the prefiltered path alone
-    for n_tracks, t, full_scan in (
-        (100_000, 1024, True),
-        (1_000_000, 128, False),
+    # prefilter replaces); the 1M config runs the prefiltered path alone;
+    # the 131072-frame config exercises the sliding-window kernel on
+    # hours-long tiers (~1.2 h of rows per audio — the regime the old
+    # 4096-frame tier cap excluded), full scan only
+    for n_tracks, t, full_scan, prefilter in (
+        (100_000, 1024, True, True),
+        (1_000_000, 128, False, True),
+        (128, 131_072, True, False),
     ):
         # corpus generated ON DEVICE: multi-GB of host->device transfer
         # through the dev tunnel would dominate the whole bench otherwise
@@ -303,7 +307,7 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
         # weaken the winner's score
         qf = min(f, t // 2 - 8)
         qs = np.stack([
-            np.asarray(db_d[i, 8 : 8 + qf])
+            np.asarray(db_d[i % n_tracks, 8 : 8 + qf])
             + np.random.default_rng(9).normal(0, 0.01, (qf, n_coefs))
             for i in (5, 71, 901, 4242)
         ]).astype(np.float32)[:, None]
@@ -342,6 +346,9 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             )
 
         # certified two-stage path: bound matmuls + top-k exact rescore
+        if not prefilter:
+            del db_d, mask_d
+            continue
         t0 = time.perf_counter()
         specs, maps = build_bound_maps(db_d, mask_d)
         jax.block_until_ready(maps)

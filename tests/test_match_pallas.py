@@ -134,7 +134,8 @@ class TestAlignedKernel:
         # t=256, f=96, coefs=2: force chunk=32 < f−1=95 → o_buf=128,
         # carry-over of 96 rows per slide
         monkeypatch.setattr(
-            mp, "_VMEM_MATCH_BUDGET", 4 * 128 * mp._aligned_rows(32, 96, 2)
+            mp, "_VMEM_MATCH_BUDGET",
+            4 * 128 * mp._aligned_rows(32, 96, 2, sliding=True),
         )
         assert mp._aligned_time_chunk(256, 96, 2) == 32
 
@@ -371,6 +372,10 @@ class TestKernelFitGates:
         assert aligned_kernel_fits(131072, 937, 2)  # hours-long audio tier
         # one query-window of offsets alone busts VMEM — no chunking helps
         assert not aligned_kernel_fits(128, 25600, 2)
+        # window-dominated MULTI-chunk shape: every chunk pays the window
+        # PLUS the slide's carried copy (~2×18752 rows), so no divisor
+        # fits — must reject, not fail Mosaic compilation at serve time
+        assert not aligned_kernel_fits(16384, 18750, 2)
 
     def test_aligned_time_chunk_selection(self):
         from tiresias_tpu.ops.match_pallas import _aligned_time_chunk

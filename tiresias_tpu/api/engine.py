@@ -844,14 +844,13 @@ class Tiresias:
             # mid-request — see the budget notes in ops.match_pallas
             f_q = int(qfp.shape[1])
             for view in views:
-                use_pallas = (
-                    on_tpu and not aligned
-                    and bag_kernel_fits(view.tier_frames, f_q, coefs)
+                kernel_fits = (
+                    aligned_kernel_fits(view.tier_frames, f_q, coefs)
+                    if aligned
+                    else bag_kernel_fits(view.tier_frames, f_q, coefs)
                 )
-                use_pallas_aligned = (
-                    on_tpu and aligned
-                    and aligned_kernel_fits(view.tier_frames, f_q, coefs)
-                )
+                use_pallas = on_tpu and not aligned and kernel_fits
+                use_pallas_aligned = on_tpu and aligned and kernel_fits
                 if use_lattice:
                     # dialplan configuration → exact MXU lattice fast path
                     from tiresias_tpu.ops.match_lattice import search_lattice
@@ -899,11 +898,7 @@ class Tiresias:
                             trunc_coef1=trunc_coef1,
                             aligned=aligned,
                         )
-                elif sharded_mode is not None and (
-                    aligned_kernel_fits(view.tier_frames, f_q, coefs)
-                    if aligned
-                    else bag_kernel_fits(view.tier_frames, f_q, coefs)
-                ):
+                elif sharded_mode is not None and kernel_fits:
                     # sharded store on a TPU mesh: fused Mosaic matcher per
                     # DB shard under shard_map (bag or aligned), vote
                     # columns disjoint — same result as the GSPMD XLA

@@ -203,19 +203,21 @@ def _make_aligned_kernel(
             acc_ref[:] = jnp.zeros_like(acc_ref)
             max_ref[:] = jnp.zeros_like(max_ref)
 
-        @pl.when(j > 0)
-        def _slide():
-            # offsets below j·T_chunk are complete: fold them into the
-            # running max, shift the window down, zero the fresh tail
-            max_ref[0, :] = jnp.maximum(
-                max_ref[0, :], acc_ref[:t_chunk, :].max(axis=0)
-            )
-            if o_buf > t_chunk:
-                kept = acc_ref[t_chunk:, :]  # value read before overwrite
-                acc_ref[: o_buf - t_chunk, :] = kept
-            acc_ref[o_buf - t_chunk :, :] = jnp.zeros(
-                (t_chunk, acc_ref.shape[1]), jnp.float32
-            )
+        if n_tchunks > 1:  # single-chunk kernels carry no slide code at all
+
+            @pl.when(j > 0)
+            def _slide():
+                # offsets below j·T_chunk are complete: fold them into the
+                # running max, shift the window down, zero the fresh tail
+                max_ref[0, :] = jnp.maximum(
+                    max_ref[0, :], acc_ref[:t_chunk, :].max(axis=0)
+                )
+                if o_buf > t_chunk:
+                    kept = acc_ref[t_chunk:, :]  # value read pre-overwrite
+                    acc_ref[: o_buf - t_chunk, :] = kept
+                acc_ref[o_buf - t_chunk :, :] = jnp.zeros(
+                    (t_chunk, acc_ref.shape[1]), jnp.float32
+                )
 
         d = [d_ref[c] for c in range(coefs)]  # [T_chunk, AT] each
 
@@ -273,15 +275,21 @@ def bag_kernel_fits(t: int, f: int, coefs: int) -> bool:
     return 4 * 128 * 3 * coefs * t <= _VMEM_MATCH_BUDGET
 
 
-def _aligned_rows(chunk: int, f: int, coefs: int) -> int:
+def _aligned_rows(chunk: int, f: int, coefs: int, sliding: bool) -> int:
     """Per-step VMEM cost of the aligned kernel, in f32 [*, 128] rows:
     the sliding [chunk + F − 1, 128] accumulator window plus ~3 buffered
-    copies of the [coefs, chunk, 128] db tile (see _VMEM_MATCH_BUDGET)."""
+    copies of the [coefs, chunk, 128] db tile (see _VMEM_MATCH_BUDGET).
+    A multi-chunk kernel's slide additionally materialises the carried
+    window (the ``kept`` value read before the overlapping overwrite) —
+    ``o_buf − chunk`` extra rows at its peak; single-chunk kernels emit
+    no slide code (see _make_aligned_kernel) and don't pay it."""
     o_buf = -(-(chunk + f - 1) // 8) * 8
-    return o_buf + 3 * coefs * chunk
+    rows = o_buf + 3 * coefs * chunk
+    if sliding and o_buf > chunk:
+        rows += o_buf - chunk
+    return rows
 
 
-@functools.lru_cache(maxsize=4096)
 def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     """Largest time-chunk length the aligned kernel can hold in VMEM for
     (tier_frames, query_frames, coefs), or None if no valid chunking
@@ -290,18 +298,26 @@ def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     The accumulator is a sliding window of chunk + F − 1 offsets (see
     _make_aligned_kernel), so VMEM cost scales with the CHUNK, not the
     tier — any multiple-of-8 tier length is servable as long as one
-    query-window's offsets fit.
+    query-window's offsets (plus the slide's carried copy) fit."""
+    return _aligned_time_chunk_cached(t, f, coefs, _VMEM_MATCH_BUDGET)
 
-    Memoized and O(divisors(t/8)): this runs in the engine's dispatch gate
-    on every search, where a linear scan over hours-long tiers (t ~ 10^6)
-    would cost milliseconds per request."""
-    budget_rows = _VMEM_MATCH_BUDGET // (4 * 128)
-    if _aligned_rows(min(t, 8), f, coefs) > budget_rows:
-        return None  # one query-window of offsets alone busts VMEM
-    if _aligned_rows(t, f, coefs) <= budget_rows:
-        return t
+
+@functools.lru_cache(maxsize=4096)
+def _aligned_time_chunk_cached(
+    t: int, f: int, coefs: int, vmem_budget: int
+) -> int | None:
+    """Memoized and O(divisors(t/8)): the chunk selection runs in the
+    engine's dispatch gate on every search, where a linear scan over
+    hours-long tiers (t ~ 10^6) would cost milliseconds per request. The
+    budget is part of the cache key so tests that monkeypatch
+    _VMEM_MATCH_BUDGET never see (or leave behind) stale entries."""
+    budget_rows = vmem_budget // (4 * 128)
+    if _aligned_rows(t, f, coefs, sliding=False) <= budget_rows:
+        return t  # monolithic tile (no slide code, no carried copy)
     if t % 8 != 0:
         return None  # only the monolithic tile divides T
+    if _aligned_rows(8, f, coefs, sliding=True) > budget_rows:
+        return None  # one query-window of offsets alone busts VMEM
     # chunks are 8*d for divisors d of t/8 — enumerate them in O(sqrt)
     m = t // 8
     best = None
@@ -311,7 +327,9 @@ def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
         for d in (lo, m // lo):
             chunk = 8 * d
             if (
-                _aligned_rows(chunk, f, coefs) <= budget_rows
+                chunk < t
+                and _aligned_rows(chunk, f, coefs, sliding=True)
+                <= budget_rows
                 and (best is None or chunk > best)
             ):
                 best = chunk

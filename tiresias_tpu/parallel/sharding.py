@@ -221,6 +221,20 @@ def sharded_votes_pallas(
     db axis and queries replicated or batch-sharded with B divisible by
     batch.
     """
+    return _sharded_votes_pallas_fn(mesh, coefs, aligned, interpret)(
+        db, q, active, use2, jnp.float32(tolerance)
+    )
+
+
+@functools.lru_cache(maxsize=128)
+def _sharded_votes_pallas_fn(
+    mesh: Mesh, coefs: int, aligned: bool, interpret: bool
+):
+    """Jitted shard_map program for :func:`sharded_votes_pallas`, cached
+    per (mesh, coefs, aligned, interpret) — the fused sharded matcher sits
+    on the engine's per-request search path, where rebuilding the closure
+    and re-tracing the shard_map on every call (unlike the module-level
+    jitted ``_sharded_votes``) would burn milliseconds per view."""
     from tiresias_tpu.ops.match_pallas import (
         match_votes_pallas,
         match_votes_pallas_aligned,
@@ -233,21 +247,23 @@ def sharded_votes_pallas(
             db_s, q_s, act_s, u2_s, tol, coefs=coefs, interpret=interpret
         )
 
-    return shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(
-            P(DB_AXIS, None, None),
-            P(BATCH_AXIS, None, None),
-            P(BATCH_AXIS, None),
-            P(BATCH_AXIS, None),
-            P(),
-        ),
-        out_specs=P(BATCH_AXIS, DB_AXIS),
-        # pallas_call outputs carry no varying-mesh-axes metadata; the
-        # out_specs fully describe the (disjoint-column) layout
-        check_vma=False,
-    )(db, q, active, use2, jnp.float32(tolerance))
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(
+                P(DB_AXIS, None, None),
+                P(BATCH_AXIS, None, None),
+                P(BATCH_AXIS, None),
+                P(BATCH_AXIS, None),
+                P(),
+            ),
+            out_specs=P(BATCH_AXIS, DB_AXIS),
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # out_specs fully describe the (disjoint-column) layout
+            check_vma=False,
+        )
+    )
 
 
 def sharded_fingerprint_long(
