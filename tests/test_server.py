@@ -482,3 +482,189 @@ class TestGracefulShutdown:
         )
         assert [a.name for a in eng.get_audios("m")] == ["a.wav"]
         eng.close()
+
+
+class _FakeTransport:
+    def __init__(self):
+        self.aborted = False
+
+    def abort(self):
+        self.aborted = True
+
+
+class _FakeWriter:
+    """StreamWriter stand-in for driving server internals deterministically."""
+
+    def __init__(self, hang_drain=False):
+        self.lines = []
+        self.hang_drain = hang_drain
+        self.transport = _FakeTransport()
+
+    def write(self, data: bytes):
+        self.lines.append(json.loads(data))
+
+    async def drain(self):
+        if self.hang_drain:
+            await asyncio.Event().wait()  # a peer that never reads
+
+    def is_closing(self):
+        return False
+
+
+class TestServeHardening:
+    """Round-3 serve-layer review fixes: capacity cap, duplicate open,
+    read-only admin, hangup keeps in-flight delivery, drain timeout."""
+
+    def test_channel_capacity_enforced(self, engine):
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(
+                    engine, port=0, samplerate=SR, max_channels=2
+                )
+                await srv.start()
+                holder["server"], holder["loop"] = (
+                    srv, asyncio.get_running_loop()
+                )
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        threading.Thread(target=runner, daemon=True).start()
+        assert started.wait(10)
+        try:
+            msgs = [
+                {"op": "open", "channel": f"c{i}", "context": "m",
+                 "duration_ms": 3000}
+                for i in range(3)
+            ]
+            replies = _talk(holder["server"].port, msgs, expect_lines=3)
+            assert replies[0]["opened"] and replies[1]["opened"]
+            assert replies[2].get("code") == "at_capacity"
+            # hangup frees a slot: a new open succeeds again
+            replies = _talk(
+                holder["server"].port,
+                [{"op": "hangup", "channel": "c0"},
+                 {"op": "open", "channel": "c3", "context": "m",
+                  "duration_ms": 3000}],
+                expect_lines=2,
+            )
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(10)
+
+    def test_duplicate_open_rejected(self, server):
+        replies = _talk(
+            server.port,
+            [{"op": "open", "channel": "dup", "context": "m",
+              "duration_ms": 3000},
+             {"op": "open", "channel": "dup", "context": "m",
+              "duration_ms": 3000}],
+            expect_lines=2,
+        )
+        assert replies[0]["opened"] is True
+        assert "already open" in replies[1]["error"]
+
+    def test_admin_readonly_server_rejects_mutations(self, tmp_path):
+        """A server over a read-only engine (another process owns the data
+        dir) must refuse admin mutations BEFORE touching its in-memory
+        store — a half-applied delete would silently diverge it from what
+        the owner serves."""
+        cfg = TiresiasConfig(
+            match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+            data_dir=str(tmp_path),
+        )
+        owner = Tiresias(cfg, restore=False)
+        assert owner.lock.held
+        ro = Tiresias(cfg, restore=False)  # lock taken -> degrades readonly
+        assert not ro.lock.held
+        ro.create_context("m")  # in-memory only
+        ro.add_audio_pcm("m", "t0", synth_tone(440, 1.0, SR), SR)
+        uuid = ro.get_audios("m")[0].uuid
+
+        async def drive():
+            srv = RecognitionServer(ro, port=0, samplerate=SR)
+            reply = await srv._dispatch_admin(
+                {"cmd": "remove_audio", "uuid": uuid}
+            )
+            assert reply.get("code") == "read_only", reply
+            # reads still work on a read-only replica
+            reply = await srv._dispatch_admin({"cmd": "show_contexts"})
+            assert [c["name"] for c in reply["admin"]["contexts"]] == ["m"]
+
+        asyncio.run(drive())
+        assert [a.name for a in ro.get_audios("m")] == ["t0"]  # unmutated
+        ro.close()
+        owner.close()
+
+    def test_hangup_keeps_writer_for_inflight_window(self, engine):
+        """Hangup must not release the writer/opened bookkeeping: an
+        earlier window of the channel may still be inside a batched pass,
+        and its result must reach the still-connected client."""
+        from tiresias_tpu.api.engine import SearchResult
+
+        async def drive():
+            srv = RecognitionServer(engine, port=0, samplerate=SR)
+            fake = _FakeWriter()
+            opened = set()
+
+            def cid(channel):
+                return f"7|{channel}"
+
+            await srv._dispatch_op(
+                "open", "c1",
+                {"op": "open", "channel": "c1", "context": "m",
+                 "duration_ms": 3000, "continuous": True, "hop_ms": 500},
+                cid, opened, fake, True,
+            )
+            assert fake.lines[-1]["opened"] is True
+            # partial buffer -> hangup flushes a HANGUP result (not None)
+            srv.recognizer.push(cid("c1"), synth_tone(440, 1.0, SR))
+            await srv._dispatch_op(
+                "hangup", "c1", {"op": "hangup", "channel": "c1"},
+                cid, opened, fake, True,
+            )
+            assert fake.lines[-1]["result"]["TIRSTATUS"] == "HANGUP"
+            # FIXED bookkeeping: writer and opened survive the hangup so a
+            # late in-flight window can still deliver
+            assert cid("c1") in srv._writers and cid("c1") in opened
+            late = SearchResult(
+                status="FOUND", frame_count=93, match_count=90,
+                uuid="u", name="tone1", context="m", hash="h", window=0,
+            )
+            await srv._send_result(cid("c1"), late)
+            assert fake.lines[-1]["result"]["TIRFILENAME"] == "tone1"
+            # the closed channel's delivery released the writer mapping
+            assert cid("c1") not in srv._writers
+
+        asyncio.run(drive())
+
+    def test_unresponsive_client_cannot_wedge_scorer(self, engine, monkeypatch):
+        """A peer that stops reading must not park the shared score pass on
+        writer.drain() forever — the connection is aborted instead."""
+        import tiresias_tpu.serve.server as server_mod
+        from tiresias_tpu.api.engine import SearchResult
+
+        monkeypatch.setattr(server_mod, "DRAIN_TIMEOUT_S", 0.05)
+
+        async def drive():
+            srv = RecognitionServer(engine, port=0, samplerate=SR)
+            srv.recognizer.open("9|c1", context="m", duration_ms=3000,
+                                continuous=True)
+            fake = _FakeWriter(hang_drain=True)
+            srv._writers["9|c1"] = fake
+            result = SearchResult(
+                status="NOTFOUND", frame_count=93, match_count=0, window=0
+            )
+            await asyncio.wait_for(srv._send_result("9|c1", result), 5)
+            assert fake.transport.aborted
+            srv.recognizer.hangup("9|c1", flush=False)
+
+        asyncio.run(drive())

@@ -56,6 +56,13 @@ MAX_SCORES_IN_FLIGHT = 4
 # minutes at 8 kHz — larger windows must arrive as multiple pcm ops. Bounds
 # per-connection read-buffer memory against hostile clients.
 MAX_LINE_BYTES = 8 * 2**20
+# Longest the shared scorer will wait for one client's socket to drain a
+# result. A peer that stops reading (full TCP receive buffer) would
+# otherwise park the whole batched pass on its writer.drain() — and
+# MAX_SCORES_IN_FLIGHT such peers would halt scoring for every channel on
+# the server. On timeout the unresponsive connection is aborted; its
+# channels hang up through the connection's own cleanup path.
+DRAIN_TIMEOUT_S = 10.0
 
 
 def _p50_ms(snapshot: dict, name: str) -> float | None:
@@ -74,11 +81,18 @@ class RecognitionServer:
         samplerate: int = 8000,
         admin: str = "local",
         watch_interval: float | None = None,
+        max_channels: int = 128,
     ) -> None:
         """``admin``: who may issue ``op: "admin"`` mutations — ``"local"``
         (default: loopback peers only; the reference's CLI is equally
         machine-local), ``"any"`` (every peer — only behind a trusted
         network), or ``"off"``.
+
+        ``max_channels``: hard cap on concurrently open channels across all
+        connections. Also the warmup bound (run_server pre-compiles every
+        power-of-two batch bucket up to it), so enforcing it guarantees no
+        tick ever pads to an uncompiled batch shape — and bounds total
+        per-channel buffer memory against hostile clients.
 
         ``watch_interval``: seconds between automatic directory re-syncs
         against the live store (None = off). The reference only syncs at
@@ -88,6 +102,9 @@ class RecognitionServer:
             raise ValueError("admin must be 'local', 'any', or 'off'")
         if watch_interval is not None and watch_interval <= 0:
             raise ValueError("watch_interval must be positive seconds")
+        if max_channels < 1:
+            raise ValueError("max_channels must be at least 1")
+        self.max_channels = int(max_channels)
         self.engine = engine
         self.host = host
         self.port = port
@@ -244,9 +261,18 @@ class RecognitionServer:
                              "window": result.window,
                              "result": payload}) + "\n").encode()
             )
-            await writer.drain()
+            # bounded: this coroutine runs inside a shared batched pass —
+            # one unresponsive peer must not stall every other channel's
+            # delivery or pin an in-flight slot forever
+            await asyncio.wait_for(writer.drain(), DRAIN_TIMEOUT_S)
         except ConnectionError:
             pass
+        except asyncio.TimeoutError:
+            log.warning(
+                "client for channel %s stopped reading; dropping connection",
+                self._public_id(channel_id),
+            )
+            writer.transport.abort()
 
     @staticmethod
     def _public_id(internal_id: str) -> str:
@@ -321,6 +347,19 @@ class RecognitionServer:
         self, op, channel, msg, cid, opened, writer, admin_ok=True
     ) -> None:
         if op == "open":
+            if self.recognizer.n_channels >= self.max_channels:
+                # enforce the warmed/advertised capacity: channels past it
+                # would pad the scorer to uncompiled batch shapes (a
+                # multi-second stall for everyone) and buffer unbounded PCM
+                writer.write(
+                    (json.dumps({
+                        "error": f"server at channel capacity "
+                                 f"({self.max_channels})",
+                        "code": "at_capacity",
+                    }) + "\n").encode()
+                )
+                await writer.drain()
+                return
             kwargs = {
                 k: msg[k]
                 for k in (
@@ -351,17 +390,22 @@ class RecognitionServer:
         elif op == "stats":
             from tiresias_tpu.utils.tracing import metrics
 
-            snap = metrics.snapshot()
-            writer.write(
-                (json.dumps({
-                    "stats": {
-                        "channels": self.recognizer.n_channels,
-                        "audios": len(self.engine.store),
-                        "counters": snap["counters"],
-                        "search_p50_ms": _p50_ms(snap, "search.match"),
-                    }
-                }) + "\n").encode()
+            def snap_stats():
+                # len(store) takes the store-wide RLock — off the event
+                # loop so a long-held lock (compact/save in an executor
+                # thread) can't freeze every connection's IO
+                snap = metrics.snapshot()
+                return {
+                    "channels": self.recognizer.n_channels,
+                    "audios": len(self.engine.store),
+                    "counters": snap["counters"],
+                    "search_p50_ms": _p50_ms(snap, "search.match"),
+                }
+
+            stats = await asyncio.get_running_loop().run_in_executor(
+                None, snap_stats
             )
+            writer.write((json.dumps({"stats": stats}) + "\n").encode())
             await writer.drain()
         elif op == "hangup":
             # off the event loop: hangup may flush-score a complete window
@@ -372,8 +416,6 @@ class RecognitionServer:
             )
             if result is not None:
                 await self._send_result_direct(writer, channel, result)
-                self._writers.pop(cid(channel), None)
-                opened.discard(cid(channel))
             elif cid(channel) not in opened:
                 # a hangup for a channel this connection never opened gets
                 # an explicit error — silence would block a write-then-read
@@ -383,12 +425,15 @@ class RecognitionServer:
                      + "\n").encode()
                 )
                 await writer.drain()
-            # result None + channel in opened means the scorer took the
-            # channel's window first and its search is in flight: keep
-            # the writer so _send_result can deliver (it pops closed
-            # channels itself), and keep the channel in `opened` so the
-            # connection's finally-block remains the backstop that frees
-            # the writer if the client disconnects before delivery.
+            # The writer mapping and `opened` membership are NOT released
+            # here, even when a flush result was just delivered: an EARLIER
+            # window of this channel may still be inside a batched pass in
+            # flight (the protocol's window counter promises delivery, in
+            # any order). _send_result releases the writer when it delivers
+            # for a now-closed channel, and the connection's finally-block
+            # is the backstop that frees everything on disconnect. Reusing
+            # the same channel id after hangup reuses the same mapping key,
+            # so long-lived connections don't accumulate entries.
         elif op == "admin":
             # live admin plane: CRUD/sync against THIS process's store —
             # the reference's CLI-inside-the-module operational model
@@ -409,6 +454,13 @@ class RecognitionServer:
             )
             await writer.drain()
 
+    # admin commands that write the store and/or the checkpoint — they
+    # require this server to actually OWN the data dir, or a read-only
+    # replica would mutate its in-memory view, fail the save, and silently
+    # diverge from what the live owner serves
+    _MUTATING_ADMIN = ("remove_audio", "remove_context", "sync", "save",
+                       "compact")
+
     async def _dispatch_admin(self, msg: dict) -> dict:
         cmd = msg.get("cmd")
         eng = self.engine
@@ -417,18 +469,35 @@ class RecognitionServer:
         def in_executor(fn):
             return loop.run_in_executor(None, fn)
 
+        if cmd in self._MUTATING_ADMIN and not eng.lock.held:
+            return {
+                "error": "server is read-only: another process owns this "
+                         "data directory; send the mutation to the owner",
+                "code": "read_only",
+            }
+        # reads also go through the executor: they take the store-wide
+        # RLock, which long operations (compact's memmove, save's full
+        # checkpoint write) hold for seconds from executor threads — a
+        # blocking acquire HERE would freeze the event loop for every
+        # connection
         if cmd == "show_contexts":
-            return {"admin": {"contexts": eng.get_contexts()}}
+            return {"admin": {"contexts": await in_executor(
+                eng.get_contexts
+            )}}
         if cmd == "show_audios":
             context = str(msg["context"])
-            if eng.store.get_context(context) is None:
-                return {"error": f"unknown context {context!r}",
-                        "code": "unknown_context"}
             from tiresias_tpu.serve.admin import audio_row
 
-            return {"admin": {"audios": [
-                audio_row(a) for a in eng.get_audios(context)
-            ]}}
+            def read_rows():
+                if eng.store.get_context(context) is None:
+                    return None
+                return [audio_row(a) for a in eng.get_audios(context)]
+
+            rows = await in_executor(read_rows)
+            if rows is None:
+                return {"error": f"unknown context {context!r}",
+                        "code": "unknown_context"}
+            return {"admin": {"audios": rows}}
         if cmd == "remove_audio":
             uuid = str(msg["uuid"])
 
@@ -543,7 +612,7 @@ def run_server(
             log.info("warmed search batch %d", b)
         server = RecognitionServer(
             engine, host, port, samplerate, admin=admin,
-            watch_interval=watch_interval,
+            watch_interval=watch_interval, max_channels=max_channels,
         )
         await server.start()
         stop_ev = asyncio.Event()

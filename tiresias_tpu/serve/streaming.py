@@ -198,6 +198,12 @@ class StreamingRecognizer:
             on_result=on_result,
         )
         with self._lock:
+            live = self._channels.get(channel_id)
+            if live is not None and not live.closed:
+                # silently replacing a live channel would discard its
+                # buffered audio with no error — the caller must hang up
+                # first (a reconnect race is a real client bug to surface)
+                raise ValueError(f"channel {channel_id!r} is already open")
             self._channels[channel_id] = state
 
     def push(self, channel_id: str, pcm: np.ndarray) -> None:
@@ -315,8 +321,9 @@ class StreamingRecognizer:
     # batched scoring
     # ------------------------------------------------------------------ #
 
-    def _take_ready(self) -> list[tuple[ChannelState, np.ndarray]]:
-        ready: list[tuple[ChannelState, np.ndarray]] = []
+    def _take_ready(self) -> list[tuple[ChannelState, np.ndarray, int]]:
+        """(state, window, window_index) per channel with a full window."""
+        ready: list[tuple[ChannelState, np.ndarray, int]] = []
         with self._lock:
             for state in list(self._channels.values()):
                 need = state.needed_samples
