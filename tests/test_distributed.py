@@ -165,6 +165,23 @@ eng.add_audio_pcm("c", "t9", synth_tone(620, 0.5, 8000), 8000)
 r2 = eng.search_pcm("c", synth_tone(620, 0.5, 8000), 8000, coefs=2,
                     tolerance=0.05, trunc_coef1=False)
 assert r2.status == "FOUND" and r2.name == "t9", (r2.status, r2.name)
+# delete on a live multi-controller view: the tombstone scatter must ship
+# GLOBAL index arrays (a process-local jnp.asarray is rejected here)
+gone = [e for e in eng.get_audios("c") if e.name == "t1"][0]
+assert eng.delete_audio(gone.uuid)
+r3 = eng.search_pcm("c", synth_tone(240, 0.5, 8000), 8000, coefs=2,
+                    tolerance=0.05, trunc_coef1=False)
+assert r3.name != "t1", r3.name
+# auto-split audio on a mesh: segment lattice-map rows min-combine via
+# global index arrays (same multi-controller constraint)
+import tiresias_tpu.store.fingerprint_store as fs
+fs.MAX_TIER_FRAMES = 128
+eng.add_audio_pcm("c", "long", synth_tone(333, 20.0, 8000), 8000)
+seg_view = [v for v in eng.store.search_views() if v.segments]
+assert seg_view, "expected an auto-split audio"
+vm = np.asarray(eng.store.value_map_for(seg_view[0]))
+first = seg_view[0].segments[0][0]
+assert np.isfinite(vm[first].min()), "combined segment row must be finite"
 print(f"PROC{{pid}}_OK name={{r.name}} votes={{r.match_count}}/{{r.frame_count}}")
 """
         env = dict(os.environ)

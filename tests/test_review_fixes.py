@@ -308,3 +308,100 @@ class TestSnapshotTiebreakRace:
         # and equal-vote ties in a live search still break deterministically
         r = eng.search_pcm("c", synth_tone(300, 0.8, SR), SR, tolerance=1.0)
         assert r.found
+
+
+def _fp(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-30, 20, (n, 2)).astype(np.float32)
+
+
+class TestStoreReviewRound3:
+    """Round-3 store review findings: duplicate-uuid corruption, silent
+    empty-store on unreadable checkpoints, unlocked catalog serialization."""
+
+    def test_duplicate_uuid_rejected(self):
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        e = store.add_audio("a", "c", _fp(5), "h1", uuid="U1")
+        assert e is not None
+        with pytest.raises(ValueError, match="already exists"):
+            store.add_audio("b", "c", _fp(6, 1), "h2", uuid="U1")
+        # the original row is intact and deletable
+        assert store.get_audio("U1").name == "a"
+        assert store.delete_audio("U1")
+        assert len(store) == 0
+
+    def test_unreadable_checkpoint_refuses_empty_start(self, tmp_path):
+        from tiresias_tpu.store.fingerprint_store import CheckpointUnreadable
+
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        store.add_audio("a", "c", _fp(5), "h1")
+        store.save(str(tmp_path))
+        store.add_audio("b", "c", _fp(6, 1), "h2")
+        store.save(str(tmp_path))
+        (tmp_path / "catalog.json").write_text("junk")
+        (tmp_path / "catalog.json.bak").write_text("junk")
+        with pytest.raises(CheckpointUnreadable):
+            FingerprintStore.load(str(tmp_path), n_coefs=2)
+        # segment data was NOT garbage-collected by the failed load
+        assert any(p.name.endswith(".npy") for p in tmp_path.iterdir())
+
+    def test_failed_catalog_write_rolls_back_dirty_tracking(
+        self, tmp_path, monkeypatch
+    ):
+        """If the catalog commit fails after the dirty segments were
+        written, the rows must stay dirty so the NEXT save rewrites them
+        into a generation its catalog actually references."""
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        store.add_audio("a", "c", _fp(5), "h1")
+        store.save(str(tmp_path))
+        store.add_audio("b", "c", _fp(6, 1), "h2")
+        real_dump = json.dump
+        calls = {"n": 0}
+
+        def boom(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise OSError("disk full")
+            return real_dump(*a, **k)
+
+        monkeypatch.setattr(json, "dump", boom)
+        with pytest.raises(OSError):
+            store.save(str(tmp_path))
+        store.save(str(tmp_path))  # retry succeeds
+        loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert sorted(e.name for e in loaded.entries) == ["a", "b"]
+        np.testing.assert_array_equal(
+            loaded.get_fingerprint(store.entries[1].uuid), _fp(6, 1)
+        )
+
+    def test_mutation_during_catalog_serialization_not_lost(
+        self, tmp_path, monkeypatch
+    ):
+        """The catalog JSON is serialized OUTSIDE the store lock; an add
+        that lands in that window must be excluded from the in-flight
+        snapshot but persisted by the next save."""
+        store = FingerprintStore(n_coefs=2)
+        store.create_context("c")
+        store.add_audio("a", "c", _fp(5), "h1")
+        real_dump = json.dump
+        mutated = {"done": False}
+
+        def dump_and_mutate(obj, f, **k):
+            if not mutated["done"]:
+                mutated["done"] = True
+                store.add_audio("late", "c", _fp(7, 2), "h9")
+            return real_dump(obj, f, **k)
+
+        monkeypatch.setattr(json, "dump", dump_and_mutate)
+        store.save(str(tmp_path))
+        snap = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert sorted(e.name for e in snap.entries) == ["a"]
+        store.save(str(tmp_path))
+        now = FingerprintStore.load(str(tmp_path), n_coefs=2)
+        assert sorted(e.name for e in now.entries) == ["a", "late"]
+        np.testing.assert_array_equal(
+            now.get_fingerprint(store.entries[1].uuid), _fp(7, 2)
+        )

@@ -146,9 +146,13 @@ class TestCheckpoint:
         (tmp_path / "catalog.json").write_text("{ not json")
         loaded = FingerprintStore.load(str(tmp_path), n_coefs=2)
         assert len(loaded) == 1 and loaded.entries[0].name == "a.wav"
-        # corrupt both → empty store, no crash
+        # corrupt both → refuse to start empty (a silent empty store's
+        # next save would rotate + GC the existing segment data away)
         (tmp_path / "catalog.json.bak").write_text("junk")
-        assert len(FingerprintStore.load(str(tmp_path), n_coefs=2)) == 0
+        from tiresias_tpu.store.fingerprint_store import CheckpointUnreadable
+
+        with pytest.raises(CheckpointUnreadable):
+            FingerprintStore.load(str(tmp_path), n_coefs=2)
 
 
 class TestIncrementalViews:

@@ -145,6 +145,24 @@ class CheckpointIncompatible(ValueError):
     silently falling back a generation."""
 
 
+class CheckpointUnreadable(RuntimeError):
+    """Checkpoint generations exist in the directory but NONE could be
+    read. Failing loudly here is load-bearing: silently returning an empty
+    store would let the next save rotate the catalogs and GC every segment
+    file — a transient read error (EIO, NFS blip, torn copy) would become
+    permanent data loss."""
+
+
+def _fsync_dir(directory: str) -> None:
+    """fsync a directory so a completed rename survives power loss (the
+    file-data fsyncs happen before the rename; this persists the name)."""
+    fd = os.open(directory, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 def _bucket(n: int, multiple: int) -> int:
     return max(multiple, -(-n // multiple) * multiple)
 
@@ -196,19 +214,31 @@ def _update_rows(buf, rows, index: int, mesh=None):
     return fn(buf, rows, index)
 
 
-def _combine_segment_rows(vm, groups):
+def _combine_segment_rows(vm, groups, mesh=None):
     """Min-combine an auto-split audio's lattice-map rows into its FIRST
     row (the others become +inf). min over segment rows == min over the
     whole audio's frames — EXACTLY the reference's one-vote-per-audio
     ∃t test (GROUP BY, fp_handler.c:353) across the full unbounded length.
     Groups are rare (only >18.6 h audios), so a small python loop of
-    at-set updates is fine."""
+    at-set updates is fine. On a (possibly multi-host) mesh the index
+    arrays must be GLOBAL — a process-local jnp.asarray mixed with the
+    global sharded map is rejected in multi-controller mode (same
+    constraint as _extend_view.to_dev)."""
     if not groups:
         return vm
     import jax.numpy as jnp
 
+    def to_dev(arr):
+        if mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import PartitionSpec
+
+        from tiresias_tpu.parallel.distributed import put_global
+
+        return put_global(np.asarray(arr), mesh, PartitionSpec())
+
     for g in groups:
-        rows = jnp.asarray(list(g))
+        rows = to_dev(np.asarray(list(g), np.int32))
         combined = jnp.min(vm[rows], axis=0)
         vm = vm.at[g[0]].set(combined)
         if len(g) > 1:
@@ -226,20 +256,25 @@ def _scatter_rows(buf, idx: np.ndarray, fill, mesh=None):
     power-of-two bucket (repeats are harmless for a constant fill) so
     compile shapes stay bounded. Not donated: a concurrent search may hold
     the previous view. On a mesh the output is pinned back to the view's
-    ``P('db', ...)`` sharding (see _update_rows)."""
+    ``P('db', ...)`` sharding (see _update_rows), and the index array is
+    placed as a GLOBAL replicated array — a process-local jnp.asarray
+    mixed with the global buffer is rejected in multi-controller mode.
+    The fill is baked into the executable as a static constant (there are
+    only a handful of fill values: False / PAD_VALUE / +inf), so no scalar
+    array ever crosses as an operand."""
     import jax
-    import jax.numpy as jnp
 
     from tiresias_tpu.utils import next_pow2
 
     k_pad = next_pow2(len(idx))
     idx_p = np.full(k_pad, idx[0], np.int32)
     idx_p[: len(idx)] = idx
-    key = (mesh, buf.ndim, str(buf.dtype))
+    fill_const = float(fill)
+    key = (mesh, buf.ndim, str(buf.dtype), fill_const)
     fn = _scatter_rows_fns.get(key)
     if fn is None:
-        def upd(b, i, v):
-            return b.at[i].set(v.astype(b.dtype))
+        def upd(b, i):
+            return b.at[i].set(jax.numpy.asarray(fill_const, b.dtype))
 
         if mesh is None:
             fn = jax.jit(upd)
@@ -249,7 +284,17 @@ def _scatter_rows(buf, idx: np.ndarray, fill, mesh=None):
             spec = PartitionSpec("db", *([None] * (buf.ndim - 1)))
             fn = jax.jit(upd, out_shardings=NamedSharding(mesh, spec))
         _scatter_rows_fns[key] = fn
-    return fn(buf, jnp.asarray(idx_p), jnp.asarray(fill))
+    if mesh is None:
+        import jax.numpy as jnp
+
+        idx_dev = jnp.asarray(idx_p)
+    else:
+        from jax.sharding import PartitionSpec
+
+        from tiresias_tpu.parallel.distributed import put_global
+
+        idx_dev = put_global(idx_p, mesh, PartitionSpec())
+    return fn(buf, idx_dev)
 
 
 def _max_seg_gen(directory: str) -> int:
@@ -454,6 +499,11 @@ class FingerprintStore:
         self.n_coefs = int(n_coefs)
         self.mesh = mesh
         self._lock = threading.RLock()
+        # serializes whole checkpoint saves; the store-wide _lock is held
+        # only for the snapshot + segment writes, NOT for the O(DB) catalog
+        # serialization (which would stall every search/ingest for seconds
+        # on a 1M-track store)
+        self._save_lock = threading.Lock()
         self.entries: list[AudioEntry] = []  # global insertion order
         self.contexts: dict[str, str] = {}  # name -> directory
         self._tiers: dict[int, _Tier] = {}
@@ -543,6 +593,10 @@ class FingerprintStore:
                 raise KeyError(f"unknown context {context!r}")
             if dedupe and self.find_by_hash(context, file_hash) is not None:
                 return None
+            if uuid is not None and uuid in self._by_uuid:
+                # overwriting the index slots would orphan the old row:
+                # live in every search view, undeletable, persisted forever
+                raise ValueError(f"audio uuid {uuid!r} already exists")
             entry = AudioEntry(
                 uuid=uuid or generate_uuid(),
                 name=name,
@@ -891,7 +945,7 @@ class FingerprintStore:
             new_groups = [
                 tuple(r - lo for r in g) for g in segments if g and g[0] >= lo
             ]
-            vm_rows = _combine_segment_rows(vm_rows, new_groups)
+            vm_rows = _combine_segment_rows(vm_rows, new_groups, self.mesh)
             value_map = _update_rows(value_map, vm_rows, lo, self.mesh)
         # bound maps extend the same way (row-independent builds); segment
         # rows need no combining here — the aligned prefilter bails out of
@@ -977,7 +1031,9 @@ class FingerprintStore:
                 ]
                 mask = np.arange(t)[None, :] < n_frames[:, None]
                 inputs = (db0, mask)
-        vm = _combine_segment_rows(build_value_map(*inputs), view.segments)
+        vm = _combine_segment_rows(
+            build_value_map(*inputs), view.segments, self.mesh
+        )
         with self._lock:
             if view.value_map is None:  # a concurrent build may have won
                 view.value_map = vm
@@ -1116,11 +1172,22 @@ class FingerprintStore:
         generation kept as ``.bak``). Only segments whose rows changed
         since the last save are rewritten — per-ingest checkpoints cost
         O(new rows), not O(whole DB) (rows change only from ``dirty_from``
-        to the end: appends append, deletes shift). A crash at any point
-        leaves both catalog generations referencing fully-written files
-        (files are never modified in place). Replaces the reference's
-        save-only-at-unload SQLite backup (PARITY.md D2;
+        to the end: appends append, deletes shift). Every written file is
+        fsync'd before its rename and the directory fsync'd after the
+        catalog commit, so the atomicity claim holds across power loss,
+        not just process crashes. The store-wide lock is held only for the
+        snapshot + dirty-segment writes (O(batch)); the O(DB) catalog JSON
+        serialization runs outside it, so concurrent searches and ingest
+        never stall behind a checkpoint of a large store. A crash at any
+        point leaves both catalog generations referencing fully-written
+        files (files are never modified in place). Replaces the
+        reference's save-only-at-unload SQLite backup (PARITY.md D2;
         /root/reference/src/db_ctx_handler.c:673-717)."""
+        with self._save_lock:
+            self._save_locked(directory)
+
+    def _save_locked(self, directory: str) -> None:
+        rollback: dict[int, int] = {}  # tier -> pre-save dirty_from
         with self._lock:
             os.makedirs(directory, exist_ok=True)
             fresh = directory != self._save_dir
@@ -1153,39 +1220,61 @@ class FingerprintStore:
                     tmp = os.path.join(directory, fname + ".tmp")
                     with open(tmp, "wb") as f:  # np.save(path) appends .npy
                         np.save(f, tier.matrix[lo:hi])
+                        f.flush()
+                        os.fsync(f.fileno())
                     os.replace(tmp, os.path.join(directory, fname))
                     segs.append([fname, hi - lo])
                 manifest[t] = segs
+                # mark clean NOW (segments are on disk) so mutations during
+                # the unlocked catalog write re-dirty exactly their own rows;
+                # rolled back if the catalog commit fails
+                rollback[t] = dirty_from
+                tier.dirty_from = n
+            # lightweight snapshots (pointer copies; entries are immutable
+            # once created) — the expensive serialization happens unlocked
+            entries_snap = list(self.entries)
+            contexts_snap = dict(self.contexts)
+            dead_snap = {
+                str(t): sorted(self._tiers[t].dead)
+                for t in manifest
+                if self._tiers[t].dead
+            }
+        try:
             catalog = {
                 "version": CHECKPOINT_VERSION,
                 "n_coefs": self.n_coefs,
                 "gen": gen,
-                "contexts": self.contexts,
-                "entries": [e.to_dict() for e in self.entries],
+                "contexts": contexts_snap,
+                "entries": [e.to_dict() for e in entries_snap],
                 "tiers": {str(t): segs for t, segs in manifest.items()},
                 # v4: tombstoned rows stay in their segments (no rewrite on
                 # delete — the save stays O(new rows)); load drops them
-                "dead": {
-                    str(t): sorted(self._tiers[t].dead)
-                    for t in manifest
-                    if self._tiers[t].dead
-                },
+                "dead": dead_snap,
             }
             cat_path = os.path.join(directory, CATALOG_FILE)
             cat_tmp = cat_path + ".tmp"
             with open(cat_tmp, "w") as f:
-                json.dump(catalog, f, indent=1)
+                json.dump(catalog, f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
             if os.path.exists(cat_path):
                 if fresh:
                     self._pair_legacy_backup(directory, cat_path)
                 os.replace(cat_path, cat_path + ".bak")
             os.replace(cat_tmp, cat_path)
+            _fsync_dir(directory)
+        except BaseException:
+            with self._lock:
+                for t, df in rollback.items():
+                    tier = self._tiers.get(t)
+                    if tier is not None:
+                        tier.dirty_from = min(tier.dirty_from, df)
+            raise
+        with self._lock:
             self._seg_manifest = manifest
             self._save_dir = directory
-            for tier in self._tiers.values():
-                tier.dirty_from = len(tier.entries)
-            self._gc_segments(directory)
-            log.debug("checkpointed %d audios to %s", len(self.entries), directory)
+        self._gc_segments(directory)
+        log.debug("checkpointed %d audios to %s", len(entries_snap), directory)
 
     @staticmethod
     def _pair_legacy_backup(directory: str, cat_path: str) -> None:
@@ -1252,8 +1341,13 @@ class FingerprintStore:
     ) -> "FingerprintStore":
         """Restore from a checkpoint; empty store when none exists — the
         restore-on-load path (/root/reference/src/fp_handler.c:80-87).
-        A corrupted current generation falls back to ``*.bak``."""
+        A corrupted current generation falls back to ``*.bak``; when
+        generations EXIST but none is readable, raises
+        :class:`CheckpointUnreadable` instead of returning an empty store
+        (whose next save would rotate + GC the existing data away —
+        a transient read error must never become permanent data loss)."""
         store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
+        errors: list[str] = []
         for suffix in ("", ".bak"):
             cat_path = os.path.join(directory, CATALOG_FILE + suffix)
             if not os.path.exists(cat_path):
@@ -1264,11 +1358,18 @@ class FingerprintStore:
                 )
             except CheckpointIncompatible:
                 raise  # incompatible checkpoint: fail loudly, don't mask
-            except Exception:  # noqa: BLE001 - corrupt generation
+            except Exception as exc:  # noqa: BLE001 - corrupt generation
+                errors.append(f"{suffix or 'current'}: {exc}")
                 log.warning(
                     "checkpoint generation %r unreadable, trying previous",
                     suffix or "current",
                 )
+        if errors:
+            raise CheckpointUnreadable(
+                f"checkpoint in {directory!r} exists but no generation is "
+                f"readable ({'; '.join(errors)}); refusing to start empty — "
+                "repair or move the directory aside to start fresh"
+            )
         return store
 
     @staticmethod
