@@ -18,8 +18,12 @@ import time
 import numpy as np
 
 
-def bench_fingerprint_throughput() -> float:
-    """audio-hours fingerprinted per wall-clock hour (steady state)."""
+def bench_fingerprint_throughput(small: bool = False) -> float:
+    """audio-hours fingerprinted per wall-clock hour (steady state).
+
+    ``small`` shrinks the workload for the CPU-fallback path (dead TPU
+    relay): the TPU-sized batch would take tens of minutes on a host core
+    and the number is explicitly non-representative there anyway."""
     import jax
     import jax.numpy as jnp
 
@@ -28,7 +32,7 @@ def bench_fingerprint_throughput() -> float:
 
     dsp = DspConfig()
     sr = 8000
-    batch, clip_s = 256, 60.0
+    batch, clip_s = (8, 10.0) if small else (256, 60.0)
     n_samples = int(sr * clip_s)
     n_samples -= n_samples % dsp.hop_size
     rng = np.random.default_rng(0)
@@ -43,7 +47,7 @@ def bench_fingerprint_throughput() -> float:
     # warmup / compile, with a readback to force full sync over the tunnel
     float(np.asarray(run()[0, 0, 0]))
 
-    iters = 20
+    iters = 3 if small else 20
     start = time.perf_counter()
     outs = [run() for _ in range(iters)]
     _ = sum(float(np.asarray(o[0, 0, 0])) for o in outs)
@@ -709,25 +713,42 @@ def bench_streams(n_streams: int = 128) -> None:
 
 def main() -> None:
     from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+    from tiresias_tpu.utils.platform import ensure_live_backend
 
     enable_compilation_cache()
-    throughput = bench_fingerprint_throughput()
+    # a dead tunnel relay hangs backend init forever — probe it with a
+    # bounded subprocess and fall back to CPU (clearly marked) so the
+    # driver still gets its one JSON line instead of a silent timeout
+    platform = ensure_live_backend()
+    if platform == "cpu":
+        print(
+            "[bench] WARNING: default TPU backend unreachable (relay "
+            "probe timed out twice); measuring on CPU fallback — numbers "
+            "are NOT representative of the chip",
+            file=sys.stderr,
+        )
+    throughput = bench_fingerprint_throughput(small=platform == "cpu")
     # the headline JSON goes out FIRST: the dev tunnel's remote-compile
     # service occasionally degrades to minutes per program, and a bench
     # killed mid-way through the secondary sections must still have
     # reported its one machine-readable line
     baseline = 1000.0  # audio-hours/hour north star (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "fingerprint_throughput",
-                "value": round(throughput, 1),
-                "unit": "audio_hours_per_hour_per_chip",
-                "vs_baseline": round(throughput / baseline, 3),
-            }
-        ),
-        flush=True,
-    )
+    line = {
+        "metric": "fingerprint_throughput",
+        "value": round(throughput, 1),
+        "unit": "audio_hours_per_hour_per_chip",
+        "vs_baseline": round(throughput / baseline, 3),
+    }
+    if platform == "cpu":
+        line["note"] = "tpu_backend_unreachable_cpu_fallback"
+    print(json.dumps(line), flush=True)
+    if platform == "cpu":
+        print(
+            "[bench] skipping secondary benches on CPU fallback "
+            "(TPU-scale workloads)",
+            file=sys.stderr,
+        )
+        return
     for name, fn in (
         ("host-feed fingerprint", bench_fingerprint_hostfeed),
         ("search", bench_search_latency),

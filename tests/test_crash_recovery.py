@@ -12,11 +12,12 @@ from immediately, with the last committed data intact.
 
 import json
 import os
-import selectors
+import queue
 import signal
 import socket
 import subprocess
 import sys
+import threading
 import time
 
 from tiresias_tpu.api import Tiresias
@@ -35,19 +36,32 @@ def _spawn_serve(conf_path):
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         text=True,
     )
-    sel = selectors.DefaultSelector()
-    sel.register(proc.stdout, selectors.EVENT_READ)
+    # a reader THREAD, not select()-on-the-fd: readline() buffers, so a
+    # banner that arrived in the same pipe read as an earlier log line
+    # would sit in the TextIO buffer where select never sees it
+    lines: queue.Queue = queue.Queue()
+
+    def pump():
+        for ln in proc.stdout:
+            lines.put(ln)
+        lines.put(None)
+
+    threading.Thread(target=pump, daemon=True).start()
     deadline = time.monotonic() + 120
-    line = ""
-    while time.monotonic() < deadline:
-        if not sel.select(timeout=deadline - time.monotonic()):
-            break
-        line = proc.stdout.readline()
-        if not line or "tiresias serving on" in line:
-            break
-    sel.close()
-    assert "tiresias serving on" in line, "server never came up"
-    return proc
+    while True:
+        try:
+            line = lines.get(timeout=max(0.1, deadline - time.monotonic()))
+        except queue.Empty:
+            proc.kill()
+            raise AssertionError("server never came up (timeout)")
+        if line is None:
+            proc.wait(timeout=10)
+            raise AssertionError("server exited before its banner")
+        if "tiresias serving on" in line:
+            return proc
+        if time.monotonic() > deadline:
+            proc.kill()
+            raise AssertionError("server never came up (deadline)")
 
 
 def test_sigkill_leaves_recoverable_data_dir(tmp_path):

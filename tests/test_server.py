@@ -4,6 +4,7 @@ import asyncio
 import base64
 import json
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -313,6 +314,35 @@ class TestProtocolBounds:
         assert "error" in replies[0]
         assert "unknown channel" in replies[0]["error"]
 
+    def test_hangup_releases_writer_mapping(self, server):
+        """Per-call channels on a LONG-LIVED connection must not leak
+        writer/epoch entries: the deferred post-hangup release frees them
+        once in-flight score passes drain (review finding: before this,
+        nothing freed a hung-up channel until disconnect)."""
+        import socket
+
+        with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+            f = s.makefile("rw")
+            for i in range(5):
+                f.write(json.dumps({"op": "open", "channel": f"call-{i}",
+                                    "context": "m", "duration_ms": 3000})
+                        + "\n")
+                f.write(json.dumps({"op": "hangup", "channel": f"call-{i}"})
+                        + "\n")
+                f.flush()
+                assert json.loads(f.readline())["opened"] is True
+                assert (
+                    json.loads(f.readline())["result"]["TIRSTATUS"] == "HANGUP"
+                )
+            # the connection stays up; the per-call entries drain away
+            deadline = time.monotonic() + 10
+            while time.monotonic() < deadline:
+                if not server._writers and not server._chan_epoch:
+                    break
+                time.sleep(0.05)
+            assert not server._writers, server._writers
+            assert not server._chan_epoch, server._chan_epoch
+
     def test_line_too_long_answers_and_closes(self, server):
         import socket
 
@@ -544,17 +574,22 @@ class TestServeHardening:
                  "duration_ms": 3000}
                 for i in range(3)
             ]
-            replies = _talk(holder["server"].port, msgs, expect_lines=3)
+            # ONE connection throughout: the hangup must target a channel
+            # THIS connection opened (ids are connection-scoped), and the
+            # freed slot must be observable while the connection still
+            # holds its other channel
+            msgs += [
+                {"op": "hangup", "channel": "c0"},
+                {"op": "open", "channel": "c3", "context": "m",
+                 "duration_ms": 3000},
+            ]
+            replies = _talk(holder["server"].port, msgs, expect_lines=5)
             assert replies[0]["opened"] and replies[1]["opened"]
             assert replies[2].get("code") == "at_capacity"
-            # hangup frees a slot: a new open succeeds again
-            replies = _talk(
-                holder["server"].port,
-                [{"op": "hangup", "channel": "c0"},
-                 {"op": "open", "channel": "c3", "context": "m",
-                  "duration_ms": 3000}],
-                expect_lines=2,
-            )
+            # hangup mid-recording delivers a HANGUP result...
+            assert replies[3]["result"]["TIRSTATUS"] == "HANGUP"
+            # ...and ACTUALLY freed a slot: the next open succeeds
+            assert replies[4] == {"channel": "c3", "opened": True}
         finally:
             asyncio.run_coroutine_threadsafe(
                 holder["server"].stop(), holder["loop"]
@@ -641,8 +676,18 @@ class TestServeHardening:
             )
             await srv._send_result(cid("c1"), late)
             assert fake.lines[-1]["result"]["TIRFILENAME"] == "tone1"
-            # the closed channel's delivery released the writer mapping
-            assert cid("c1") not in srv._writers
+            # a SECOND in-flight window also delivers — the first delivery
+            # must not have popped the writer (review finding)
+            import dataclasses
+
+            await srv._send_result(
+                cid("c1"), dataclasses.replace(late, window=1)
+            )
+            assert fake.lines[-1]["window"] == 1
+            # the hangup's deferred release (scheduled behind the passes
+            # in flight at hangup time — none here) frees the bookkeeping
+            await asyncio.gather(*srv._cleanups)
+            assert cid("c1") not in srv._writers and cid("c1") not in opened
 
         asyncio.run(drive())
 

@@ -116,6 +116,15 @@ class RecognitionServer:
         self._scorer: asyncio.Task | None = None
         self._watcher: asyncio.Task | None = None
         self._conn_seq = 0
+        # score passes currently running (shared with the hangup handler:
+        # writer cleanup must wait for any pass that may still hold a
+        # window of the hung-up channel)
+        self._in_flight: set[asyncio.Task] = set()
+        self._cleanups: set[asyncio.Task] = set()
+        self._chan_epoch: dict[str, int] = {}
+        # cid -> the owning connection's `opened` set, so deferred
+        # releases can free the connection-local membership too
+        self._opened_ref: dict[str, set] = {}
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(
@@ -173,7 +182,7 @@ class RecognitionServer:
     # ------------------------------------------------------------------ #
 
     async def _score_loop(self) -> None:
-        in_flight: set[asyncio.Task] = set()
+        in_flight = self._in_flight
         try:
             while True:
                 await asyncio.sleep(SCORE_INTERVAL_S)
@@ -206,6 +215,11 @@ class RecognitionServer:
             )
             for channel_id, result in results.items():
                 await self._send_result(channel_id, result)
+                if not self.recognizer.is_open(channel_id):
+                    # a one-shot channel closed with its final window:
+                    # free its writer/opened entries like a hangup would
+                    # (after any still-in-flight earlier windows drain)
+                    self._schedule_channel_release(channel_id)
         except asyncio.CancelledError:
             raise
         except Exception:  # noqa: BLE001
@@ -245,12 +259,13 @@ class RecognitionServer:
                 log.exception("watch sync failed; continuing")
 
     async def _send_result(self, channel_id: str, result: SearchResult) -> None:
-        # continuous channels stay registered for their next window; only
-        # closed channels release the writer mapping
-        if self.recognizer.is_open(channel_id):
-            writer = self._writers.get(channel_id)
-        else:
-            writer = self._writers.pop(channel_id, None)
+        # never pops: several pipelined passes may each deliver a window
+        # for a now-closed channel (the protocol promises delivery of every
+        # dispatched window, in any order) — popping on the first delivery
+        # would drop the rest. Release is the hangup handler's deferred
+        # cleanup (after in-flight passes finish) or the connection's
+        # finally-block on disconnect.
+        writer = self._writers.get(channel_id)
         if writer is None or writer.is_closing():
             return
         payload = result.to_channel_vars()
@@ -277,6 +292,33 @@ class RecognitionServer:
     @staticmethod
     def _public_id(internal_id: str) -> str:
         return internal_id.split("|", 1)[1]
+
+    def _schedule_channel_release(self, channel_id: str) -> None:
+        """Free a finished channel's writer/opened entries once the score
+        passes in flight right now have drained (hangup op, or a one-shot
+        channel's final window delivered)."""
+        pending = {t for t in self._in_flight if not t.done()}
+        epoch = self._chan_epoch.get(channel_id, 0)
+
+        async def release():
+            if pending:
+                await asyncio.gather(*pending, return_exceptions=True)
+            # the same connection may have RE-opened the same channel id
+            # while we waited (epoch bumped) — that incarnation's own
+            # finish schedules its own release; this one stands down
+            if (
+                self._chan_epoch.get(channel_id, 0) == epoch
+                and not self.recognizer.is_open(channel_id)
+            ):
+                self._writers.pop(channel_id, None)
+                self._chan_epoch.pop(channel_id, None)
+                opened = self._opened_ref.pop(channel_id, None)
+                if opened is not None:
+                    opened.discard(channel_id)
+
+        task = asyncio.get_running_loop().create_task(release())
+        self._cleanups.add(task)
+        task.add_done_callback(self._cleanups.discard)
 
     async def _handle_client(
         self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter
@@ -329,6 +371,8 @@ class RecognitionServer:
             # no flush — there is no one left to deliver a result to
             for channel_id in opened:
                 self._writers.pop(channel_id, None)
+                self._chan_epoch.pop(channel_id, None)
+                self._opened_ref.pop(channel_id, None)
                 self.recognizer.hangup(channel_id, flush=False)
             writer.close()
 
@@ -377,8 +421,22 @@ class RecognitionServer:
                 )
                 if k in msg
             }
-            self.recognizer.open(cid(channel), **kwargs)
+            try:
+                self.recognizer.open(cid(channel), **kwargs)
+            except ValueError as exc:
+                # recognizer errors name the connection-scoped id
+                # ("7|c1"); the client must see its own channel name
+                raise ValueError(
+                    str(exc).replace(repr(cid(channel)), repr(channel))
+                ) from None
             self._writers[cid(channel)] = writer
+            # re-opening the same id invalidates any pending post-hangup
+            # release for the previous incarnation (see
+            # _schedule_channel_release)
+            self._chan_epoch[cid(channel)] = (
+                self._chan_epoch.get(cid(channel), 0) + 1
+            )
+            self._opened_ref[cid(channel)] = opened
             opened.add(cid(channel))
             writer.write(
                 (json.dumps({"channel": channel, "opened": True}) + "\n").encode()
@@ -425,15 +483,15 @@ class RecognitionServer:
                      + "\n").encode()
                 )
                 await writer.drain()
-            # The writer mapping and `opened` membership are NOT released
-            # here, even when a flush result was just delivered: an EARLIER
-            # window of this channel may still be inside a batched pass in
-            # flight (the protocol's window counter promises delivery, in
-            # any order). _send_result releases the writer when it delivers
-            # for a now-closed channel, and the connection's finally-block
-            # is the backstop that frees everything on disconnect. Reusing
-            # the same channel id after hangup reuses the same mapping key,
-            # so long-lived connections don't accumulate entries.
+            # Release the writer mapping only after every score pass that
+            # was in flight AT HANGUP TIME has finished: such a pass may
+            # still hold an earlier window of this channel, and the
+            # protocol's window counter promises delivery in any order.
+            # Passes started after the hangup cannot take windows from a
+            # closed channel, so waiting on this snapshot is sufficient —
+            # and a long-lived connection's per-call channels are freed
+            # instead of accumulating until disconnect.
+            self._schedule_channel_release(cid(channel))
         elif op == "admin":
             # live admin plane: CRUD/sync against THIS process's store —
             # the reference's CLI-inside-the-module operational model

@@ -155,10 +155,18 @@ class CheckpointUnreadable(RuntimeError):
 
 def _fsync_dir(directory: str) -> None:
     """fsync a directory so a completed rename survives power loss (the
-    file-data fsyncs happen before the rename; this persists the name)."""
-    fd = os.open(directory, os.O_RDONLY)
+    file-data fsyncs happen before the rename; this persists the name).
+    Filesystems that don't support directory fsync (some FUSE/overlay/
+    network mounts return EINVAL/ENOTSUP/EBADF) are tolerated: the rename
+    already succeeded, we just lose the power-loss guarantee there."""
+    try:
+        fd = os.open(directory, os.O_RDONLY)
+    except OSError:
+        return
     try:
         os.fsync(fd)
+    except OSError:
+        pass
     finally:
         os.close(fd)
 
