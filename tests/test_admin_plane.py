@@ -308,3 +308,109 @@ class TestNonOwnerServerStop:
         asyncio.run(run())
         assert os.path.exists(os.path.join(str(tmp_path), "server.json"))
         owner.close()
+
+
+class TestServerInfoIdentity:
+    """server.json is trusted only while the process that WROTE it holds
+    the lock (pid cross-check) — a crashed server's leftover address must
+    not be proxied to when an unrelated process owns the dir (the port may
+    have been reused by a server on a DIFFERENT data dir)."""
+
+    def test_other_lock_holder_means_stale(self, tmp_path):
+        import json
+
+        d = str(tmp_path)
+        from tiresias_tpu.utils.locking import write_server_info
+
+        write_server_info(d, "127.0.0.1", 8517)
+        p = tmp_path / "server.json"
+        info = json.loads(p.read_text())
+        info["pid"] = 999_999_999  # the (crashed) server's pid, not ours
+        p.write_text(json.dumps(info))
+        lock = DataDirLock(d).acquire()  # WE hold the lock now
+        try:
+            assert read_server_info(d) is None
+        finally:
+            lock.release()
+
+    def test_matching_pid_holder_trusted(self, tmp_path):
+        d = str(tmp_path)
+        from tiresias_tpu.utils.locking import write_server_info
+
+        lock = DataDirLock(d).acquire()
+        write_server_info(d, "127.0.0.1", 1234)  # records OUR pid
+        try:
+            info = read_server_info(d)
+            assert info and info["port"] == 1234
+        finally:
+            lock.release()
+
+    def test_garbled_server_json_falls_back(self, tmp_path):
+        import json
+
+        d = str(tmp_path)
+        lock = DataDirLock(d).acquire()
+        (tmp_path / "server.json").write_text(
+            json.dumps({"host": "127.0.0.1", "port": "abc", "pid": os.getpid()})
+        )
+        try:
+            assert connect_for_data_dir(d) is None  # no crash, no proxy
+        finally:
+            lock.release()
+
+
+class TestReadOnlyListingFallback:
+    def test_show_contexts_falls_back_when_admin_off(self, tmp_path, capsys):
+        """`tiresias show contexts` against a server running --admin off
+        must list from the catalog instead of exiting 1 (review finding:
+        read-only commands hard-failed on the admin gate)."""
+        media = tmp_path / "media"
+        media.mkdir()
+        write_wav(str(media / "a.wav"), synth_tone(440, 0.8, SR), SR)
+        config = TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        eng = Tiresias(config, restore=False, exclusive=True)
+        eng.sync()  # checkpoints -> catalog exists for the offline read
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(eng, port=0, samplerate=SR, admin="off")
+                await srv.start()
+                holder["server"], holder["loop"] = (
+                    srv, asyncio.get_running_loop(),
+                )
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        threading.Thread(target=runner, daemon=True).start()
+        assert started.wait(10)
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={tmp_path / 'data'}\n\n"
+            f"[m]\ndirectory={media}\n"
+        )
+        try:
+            from tiresias_tpu import cli
+
+            rc = cli.main(["-c", str(conf), "show", "contexts"])
+            out = capsys.readouterr().out
+            assert rc == 0 and any(
+                line.startswith("m ") for line in out.splitlines()
+            )
+            rc = cli.main(["-c", str(conf), "show", "audios", "m"])
+            out = capsys.readouterr().out
+            assert rc == 0 and "a.wav" in out
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(timeout=10)
+            eng.close()

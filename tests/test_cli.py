@@ -123,3 +123,33 @@ def test_serve_watch_validated_before_engine_work(capsys):
 
     assert cli.main(["serve", "--watch", "0"]) == 2
     assert "--watch" in capsys.readouterr().err
+
+
+class TestCliReviewFixes:
+    def test_show_is_catalog_only(self, env, capsys, monkeypatch):
+        """Listings must read catalog metadata, never deserialize the
+        fingerprint tiers (a multi-GB checkpoint just to print a table)."""
+        run(capsys, "-c", env["conf"], "create")
+        from tiresias_tpu.store.fingerprint_store import FingerprintStore
+
+        def boom(*a, **k):
+            raise AssertionError("full store load in a read-only listing")
+
+        monkeypatch.setattr(FingerprintStore, "load", staticmethod(boom))
+        rc, out = run(capsys, "-c", env["conf"], "show", "contexts")
+        assert rc == 0 and any(
+            line.startswith("media") for line in out.splitlines()
+        )
+        rc, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
+        assert rc == 0 and len(out.splitlines()) == 4  # header + 3
+        rc, out = run(capsys, "-c", env["conf"], "show", "audios", "ghost")
+        assert rc == 1 and "Could not find context info" in out
+
+    def test_top_zero_and_negative_rejected(self, env, capsys):
+        with pytest.raises(SystemExit):
+            cli.main(["-c", env["conf"], "search", "media", "x.wav",
+                      "--top", "0"])
+        assert "positive integer" in capsys.readouterr().err
+        with pytest.raises(SystemExit):
+            cli.main(["-c", env["conf"], "search", "media", "x.wav",
+                      "--top=-3"])

@@ -37,8 +37,6 @@ DEFAULT_CONFIG_PATHS = (
 
 
 def _find_config() -> str | None:
-    import os
-
     for path in DEFAULT_CONFIG_PATHS:
         expanded = os.path.expanduser(path)
         if os.path.exists(expanded):
@@ -78,17 +76,40 @@ def _locked_msg(exc) -> int:
     return 1
 
 
+def _catalog_metadata(config: TiresiasConfig) -> dict:
+    """Catalog-only read for the offline listing commands: contexts and
+    entries WITHOUT deserializing the fingerprint tiers (a multi-GB
+    checkpoint would otherwise load just to print a table)."""
+    import os as _os
+
+    from tiresias_tpu.store.fingerprint_store import FingerprintStore
+
+    meta = FingerprintStore.read_catalog_metadata(
+        _os.path.join(config.expanded_data_dir, "checkpoint")
+    )
+    return meta or {"contexts": {}, "entries": []}
+
+
 def cmd_show_contexts(args) -> int:
     config = _config(args)
     proxy = _proxy(config)
+    rows = None
     if proxy is not None:
+        from tiresias_tpu.serve.admin import AdminError
+
         try:
             with proxy:
                 rows = proxy.admin("show_contexts")["contexts"]
+        except AdminError as exc:
+            # a server that refuses op=admin from this peer must not make
+            # a read-only listing fail: fall back to the offline read
+            if getattr(exc, "code", None) != "not_permitted":
+                return _proxy_failed(exc)
         except Exception as exc:  # noqa: BLE001 - proxy I/O failure
             return _proxy_failed(exc)
-    else:
-        rows = _engine(args, exclusive=False).get_contexts()
+    if rows is None:
+        contexts = _catalog_metadata(config)["contexts"]
+        rows = [{"name": n, "directory": d} for n, d in contexts.items()]
     print("%-36.36s %-70.70s" % ("Name", "Directory"))
     for ctx in rows:
         print("%-36.36s %-70.70s" % (ctx["name"], ctx["directory"]))
@@ -103,6 +124,8 @@ def _proxy_failed(exc) -> int:
 def cmd_show_audios(args) -> int:
     config = _config(args)
     proxy = _proxy(config)
+    offline = proxy is None
+    rows: list | None = None
     if proxy is not None:
         from tiresias_tpu.serve.admin import AdminError
 
@@ -111,23 +134,30 @@ def cmd_show_audios(args) -> int:
                 try:
                     rows = proxy.admin("show_audios", context=args.context)["audios"]
                 except AdminError as exc:
-                    # only an unknown context maps to the reference's
-                    # "Could not find context info." — authorization or
-                    # server-side failures must say what actually happened
-                    if getattr(exc, "code", None) != "unknown_context":
+                    code = getattr(exc, "code", None)
+                    if code == "not_permitted":
+                        # read-only listing must not fail on an admin-gated
+                        # server: fall back to the offline catalog read
+                        offline = True
+                    elif code != "unknown_context":
+                        # only an unknown context maps to the reference's
+                        # "Could not find context info." — authorization or
+                        # server-side failures say what actually happened
                         print(f"Admin request failed: {exc}", file=sys.stderr)
                         return 1
-                    rows = None
         except Exception as exc:  # noqa: BLE001 - proxy I/O failure
             return _proxy_failed(exc)
-    else:
-        from tiresias_tpu.serve.admin import audio_row
-
-        eng = _engine(args, exclusive=False)
+    if offline:
+        meta = _catalog_metadata(config)
         rows = (
             None
-            if eng.store.get_context(args.context) is None
-            else [audio_row(a) for a in eng.get_audios(args.context)]
+            if args.context not in meta["contexts"]
+            else [
+                {"uuid": e["uuid"], "name": e["name"],
+                 "context": e["context"], "hash": e["hash"]}
+                for e in meta["entries"]
+                if e["context"] == args.context
+            ]
         )
     if rows is None:
         # cli_handler.c:128
@@ -270,7 +300,7 @@ def cmd_search(args) -> int:
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
     )
-    if args.top > 0:  # any explicit --top N prints the ranked table
+    if args.top is not None:  # any explicit --top N prints the ranked table
         from tiresias_tpu.utils.audio import read_audio
 
         pcm, sr = read_audio(args.file)
@@ -316,7 +346,6 @@ def cmd_serve(args) -> int:
 
 def cmd_bench(args) -> int:
     import importlib.util
-    import os
 
     # the harness lives at the repo root, next to the package directory
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -329,6 +358,15 @@ def cmd_bench(args) -> int:
     spec.loader.exec_module(bench)
     bench.main()
     return 0
+
+
+def _top_n(value: str) -> int:
+    n = int(value)
+    if n < 1:
+        # reject instead of silently falling back to the single-result
+        # path — a typo like `--top -5` must not masquerade as success
+        raise argparse.ArgumentTypeError("N must be a positive integer")
+    return n
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -383,8 +421,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     se.add_argument(
         "--top",
-        type=int,
-        default=0,
+        type=_top_n,
+        default=None,
         metavar="N",
         help="print a ranked table of the top-N candidates instead of the "
         "single TIR* result (extension; the reference returns top-1 only)",

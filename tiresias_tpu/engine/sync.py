@@ -226,14 +226,32 @@ def ingest_files(
 
     buckets: dict[int, list[tuple[str, str, np.ndarray]]] = {}
     seen_hashes: set[tuple[str, str]] = set()
+    # bounded decode window: submit at most ~2x the thread count and
+    # replace each consumed future with the next path. Eager submission
+    # would keep EVERY decoded pcm alive (a consumed Future still
+    # references its result while the list holds it) — on a large corpus
+    # the host RSS would grow to the whole decoded corpus while the
+    # device drains at link speed.
+    path_iter = iter(sorted(paths, key=size_of))
     with ThreadPoolExecutor(max_workers=HOST_DECODE_THREADS) as pool:
-        futures = [pool.submit(load_one, p) for p in sorted(paths, key=size_of)]
-        for future in futures:
+        from collections import deque
+        from itertools import islice
+
+        pending = deque(
+            pool.submit(load_one, p)
+            for p in islice(path_iter, 2 * HOST_DECODE_THREADS)
+        )
+        while pending:
+            future = pending.popleft()
+            nxt = next(path_iter, None)
+            if nxt is not None:
+                pending.append(pool.submit(load_one, nxt))
             try:
                 path, digest, pcm, samplerate = future.result()
             except Exception:  # noqa: BLE001 - any unreadable file is skipped
                 report.failed += 1
                 continue
+            del future  # the Future would otherwise pin the pcm result
             if (context, digest) in seen_hashes or store.find_by_hash(
                 context, digest
             ):

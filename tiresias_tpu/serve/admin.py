@@ -88,5 +88,8 @@ def connect_for_data_dir(data_dir: str, timeout: float = 600.0) -> AdminClient |
         return None
     try:
         return AdminClient(info["host"], int(info["port"]), timeout=timeout)
-    except OSError:
+    except (OSError, KeyError, ValueError, TypeError):
+        # unreachable server, or a hand-edited/garbled server.json (missing
+        # host/port, non-numeric port) — fall back to the offline path
+        # rather than crashing every CLI command on this data dir
         return None

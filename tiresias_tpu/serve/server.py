@@ -502,7 +502,8 @@ class RecognitionServer:
             reply = (
                 await self._dispatch_admin(msg)
                 if admin_ok
-                else {"error": "admin not permitted from this peer"}
+                else {"error": "admin not permitted from this peer",
+                      "code": "not_permitted"}
             )
             writer.write((json.dumps(reply) + "\n").encode())
             await writer.drain()

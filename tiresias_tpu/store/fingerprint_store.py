@@ -1381,6 +1381,41 @@ class FingerprintStore:
         return store
 
     @staticmethod
+    def read_catalog_metadata(directory: str) -> dict | None:
+        """Catalog metadata (contexts + audio-entry dicts) WITHOUT loading
+        any segment data — the cheap path for read-only listings
+        (``tiresias show ...`` against a multi-GB checkpoint must not
+        deserialize every fingerprint tier just to print a table).
+        Returns None when no checkpoint exists; same generation fallback
+        and :class:`CheckpointUnreadable` semantics as :meth:`load`."""
+        errors: list[str] = []
+        for suffix in ("", ".bak"):
+            cat_path = os.path.join(directory, CATALOG_FILE + suffix)
+            if not os.path.exists(cat_path):
+                continue
+            try:
+                with open(cat_path) as f:
+                    catalog = json.load(f)
+                if catalog.get("version") not in (1, 2, 3, 4):
+                    raise CheckpointIncompatible(
+                        f"unsupported checkpoint version {catalog.get('version')}"
+                    )
+                return {
+                    "contexts": dict(catalog["contexts"]),
+                    "entries": list(catalog["entries"]),
+                }
+            except CheckpointIncompatible:
+                raise
+            except Exception as exc:  # noqa: BLE001 - corrupt generation
+                errors.append(f"{suffix or 'current'}: {exc}")
+        if errors:
+            raise CheckpointUnreadable(
+                f"checkpoint in {directory!r} exists but no generation is "
+                f"readable ({'; '.join(errors)})"
+            )
+        return None
+
+    @staticmethod
     def _load_catalog(
         directory, cat_path, suffix, n_coefs, mesh
     ) -> "FingerprintStore":

@@ -17,8 +17,17 @@ protocol instead of failing.
 
 from __future__ import annotations
 
+import errno
 import json
+import logging
 import os
+
+log = logging.getLogger(__name__)
+
+# flock errnos that mean "someone else holds it" — anything else (ENOLCK
+# on NFS without lockd, EOPNOTSUPP, EINVAL on odd filesystems) means this
+# filesystem cannot lock at all and must not masquerade as contention
+_CONTENTION_ERRNOS = (errno.EWOULDBLOCK, errno.EAGAIN, errno.EACCES)
 
 LOCK_FILE = "owner.lock"
 SERVER_FILE = "server.json"  # written by a serving owner: {host, port, pid}
@@ -82,9 +91,21 @@ class DataDirLock:
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except OSError:
+            except OSError as exc:
                 os.close(fd)
                 fd = None
+                if exc.errno not in _CONTENTION_ERRNOS:
+                    # this filesystem cannot flock (e.g. NFS without lock
+                    # support): degrade to advisory-only like the
+                    # no-fcntl platforms, instead of reporting a
+                    # nonexistent owner forever
+                    log.warning(
+                        "flock unsupported on %s (%s); data-dir ownership "
+                        "is advisory only here",
+                        self.directory, exc,
+                    )
+                    self._degraded = True
+                    return self
                 if attempt == 2:
                     raise DataDirLocked(
                         self.directory, self.owner_info()
@@ -144,9 +165,13 @@ class DataDirLock:
 def read_server_info(directory: str) -> dict | None:
     """The running server's address for this data dir, or None.
 
-    Validated against liveness: the ``server.json`` is only trusted while
-    the owner lock is actually HELD by someone (a crashed server leaves the
-    file behind, but its flock died with it)."""
+    Validated against liveness AND identity: ``server.json`` is trusted
+    only while the owner lock is held by THE SAME PROCESS that wrote it
+    (pids compared). A crashed server leaves server.json behind; if some
+    OTHER process later holds the lock (an offline CLI ingest, a fresh
+    non-serving engine), the stale address must not be proxied to — the
+    port may have been reused by an unrelated server on a different data
+    dir, and an admin mutation sent there would hit the wrong store."""
     info = _read_json(os.path.join(directory, SERVER_FILE))
     if not info:
         return None
@@ -161,12 +186,19 @@ def read_server_info(directory: str) -> dict | None:
             return None
         try:
             # SHARED probe: conflicts with a live owner's exclusive lock
-            # (→ info is fresh) but not with concurrent probes, and any
+            # (→ someone is alive) but not with concurrent probes, and any
             # momentary interference with a racing exclusive acquire is
             # absorbed by DataDirLock.acquire's retry
             fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
-        except OSError:
-            return info  # lock held by a live process — server info is fresh
+        except OSError as exc:
+            if exc.errno not in _CONTENTION_ERRNOS:
+                return None  # can't flock here at all: don't trust
+            # lock held by a LIVE process — but is it the server that
+            # wrote server.json? The holder's pid is in the lock content.
+            holder = _read_json(os.path.join(directory, LOCK_FILE))
+            if holder and holder.get("pid") == info.get("pid"):
+                return info
+            return None  # a different process owns the dir: stale address
         else:
             fcntl.flock(fd, fcntl.LOCK_UN)
             return None  # nobody holds the lock — stale server.json
