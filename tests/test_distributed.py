@@ -215,3 +215,25 @@ print(f"PROC{{pid}}_OK name={{r.name}} votes={{r.match_count}}/{{r.frame_count}}
         votes = [line for out in outs for line in out.splitlines()
                  if "_OK name=" in line]
         assert votes[0].split("OK ")[1] == votes[1].split("OK ")[1], votes
+
+
+class TestInitializeIdempotency:
+    def test_external_initialize_detected(self, monkeypatch):
+        """A host program that already called jax.distributed.initialize
+        itself must not make the wrapper re-initialize (JAX raises on a
+        second initialize)."""
+        import jax
+
+        import tiresias_tpu.parallel.distributed as dist
+        from jax._src import distributed as jdist
+
+        monkeypatch.setattr(dist, "_initialized", False)
+        monkeypatch.setattr(jdist.global_state, "client", object())
+
+        def boom(**kwargs):
+            raise AssertionError("re-initialized an initialized cluster")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        dist.initialize_distributed()  # no raise
+        assert dist._initialized
+        monkeypatch.setattr(dist, "_initialized", False)

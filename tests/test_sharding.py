@@ -196,3 +196,57 @@ class TestShardedFingerprint:
         fp_sharded = np.asarray(sharded_fingerprint(mesh, padded, sr, dsp))
         fp_single = np.asarray(fingerprint_padded_batch(padded, sr, dsp))
         np.testing.assert_allclose(fp_sharded, fp_single, atol=1e-5)
+
+
+class TestShardingReviewFixes:
+    def test_negative_tolerance_uses_default(self, rng):
+        """-1 is the reference's 'use default' sentinel in every sibling
+        entry point; sharded_search must honor it too instead of silently
+        matching nothing (|q-d| <= -1 never holds)."""
+        from tiresias_tpu.config import DEF_SEARCH_TOLERANCE
+
+        db, mask = _random_db(rng)
+        mesh = make_mesh(4, 2)
+        db_s, mask_s, a = shard_db(mesh, db, mask)
+        q = rng.uniform(-30, 20, (2, 16, 2)).astype(np.float32)
+        _, _, v_neg = sharded_search(
+            mesh, db_s, mask_s, q, coefs=2, tolerance=-1.0, n_audios=a
+        )
+        _, _, v_def = sharded_search(
+            mesh, db_s, mask_s, q, coefs=2,
+            tolerance=DEF_SEARCH_TOLERANCE, n_audios=a,
+        )
+        np.testing.assert_array_equal(np.asarray(v_neg), np.asarray(v_def))
+
+    def test_with_top1_false_returns_same_votes(self, rng):
+        db, mask = _random_db(rng)
+        mesh = make_mesh(4, 2)
+        db_s, mask_s, a = shard_db(mesh, db, mask)
+        q = rng.uniform(-30, 20, (2, 16, 2)).astype(np.float32)
+        best, count, votes = sharded_search(
+            mesh, db_s, mask_s, q, coefs=2, tolerance=1.0, n_audios=a
+        )
+        b2, c2, votes2 = sharded_search(
+            mesh, db_s, mask_s, q, coefs=2, tolerance=1.0, n_audios=a,
+            with_top1=False,
+        )
+        assert b2 is None and c2 is None
+        np.testing.assert_array_equal(np.asarray(votes), np.asarray(votes2))
+
+    def test_long_signal_shorter_than_overlap_rejected(self, dsp):
+        """A per-shard slice shorter than the window overlap would silently
+        truncate the halo; the precondition must be a clear ValueError."""
+        from tiresias_tpu.parallel.sharding import sharded_fingerprint_long
+
+        mesh = make_mesh(8, 1)
+        # at the default dsp (buf 512, hop 256) a minimal divisible signal
+        # is still legal (256/shard == overlap 256); a wider window makes
+        # the per-shard slice (256) smaller than its overlap (768)
+        from tiresias_tpu.config import DspConfig
+
+        wide = DspConfig(buf_size=1024, hop_size=256)
+        s = wide.hop_size * 8  # 256 per shard < overlap 768
+        with pytest.raises(ValueError, match="overlap"):
+            sharded_fingerprint_long(
+                mesh, np.zeros(s, np.float32), 8000, wide
+            )

@@ -855,6 +855,10 @@ class Tiresias:
                     # dialplan configuration → exact MXU lattice fast path
                     from tiresias_tpu.ops.match_lattice import search_lattice
 
+                    # with_top1=False everywhere below: the engine ranks on
+                    # host (D5 insertion-rank tiebreak), so the wrappers'
+                    # device argmax+gather over [B, A] would be dispatched
+                    # and discarded on every search
                     _, _, votes = search_lattice(
                         self.store.value_map_for(view),
                         qfp,
@@ -862,6 +866,7 @@ class Tiresias:
                         tolerance=tolerance,
                         freq_ignore_low=freq_ignore_low,
                         freq_ignore_high=freq_ignore_high,
+                        with_top1=False,
                     )
                 elif use_pallas or use_pallas_aligned:
                     # generic semantics, fused Pallas kernel (bag-of-frames
@@ -897,6 +902,7 @@ class Tiresias:
                             freq_ignore_high=freq_ignore_high,
                             trunc_coef1=trunc_coef1,
                             aligned=aligned,
+                            with_top1=False,
                         )
                 elif sharded_mode is not None and kernel_fits:
                     # sharded store on a TPU mesh: fused Mosaic matcher per
@@ -921,6 +927,7 @@ class Tiresias:
                         aligned=aligned,
                         use_pallas=True,
                         interpret=sharded_mode == "interpret",
+                        with_top1=False,
                     )
                 else:
                     _, _, votes = match_jax.search_batch(
@@ -934,6 +941,7 @@ class Tiresias:
                         freq_ignore_high=freq_ignore_high,
                         trunc_coef1=trunc_coef1,
                         aligned=aligned,
+                        with_top1=False,
                     )
                 vote_parts.append(np.asarray(votes)[:, : view.n_audios])
                 entries.extend(view.entries)

@@ -212,12 +212,16 @@ def search_batch(
     audio_filter: jax.Array | None = None,
     trunc_coef1: bool = True,
     aligned: bool = False,
+    with_top1: bool = True,
 ):
     """Full reference-semantics search over a batch of queries.
 
     Returns (best_index [B] int32 (-1 = not found), match_count [B] int32,
     votes [B, A] int32). ``aligned=True`` switches to offset-consistent
-    voting (see :func:`match_votes`).
+    voting (see :func:`match_votes`). ``with_top1=False`` returns
+    ``(None, None, votes)`` — callers that rank on host (the engine's D5
+    insertion-rank tiebreak) would otherwise pay a discarded device
+    argmax+gather dispatch over the full [B, A] votes per search.
     """
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
@@ -227,5 +231,7 @@ def search_batch(
     votes = match_votes(
         db, db_mask, q, active, use2, tolerance, coefs=coefs, aligned=aligned
     )
+    if not with_top1:
+        return None, None, votes
     best, count = top1(votes, audio_filter)
     return best, count, votes

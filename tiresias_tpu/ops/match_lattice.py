@@ -331,11 +331,14 @@ def search_lattice(
     freq_ignore_low: int = -1,
     freq_ignore_high: int = -1,
     audio_filter: jax.Array | None = None,
+    with_top1: bool = True,
 ):
     """Drop-in equivalent of ``match_jax.search_batch`` for the
     ``coefs=1, trunc_coef1=True`` (dialplan) path.
 
-    Returns (best [B] int32, match_count [B] int32, votes [B, A] int32).
+    Returns (best [B] int32, match_count [B] int32, votes [B, A] int32);
+    ``with_top1=False`` skips the device argmax and returns
+    ``(None, None, votes)`` for callers that rank on host.
     """
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
@@ -355,5 +358,7 @@ def search_lattice(
         jnp.float32(lo),
         jnp.float32(hi),
     )
+    if not with_top1:
+        return None, None, votes
     best, count = match_jax.top1(votes, audio_filter)
     return best, count, votes

@@ -527,6 +527,7 @@ def search_batch_pallas(
     trunc_coef1: bool = True,
     aligned: bool = False,
     interpret: bool = False,
+    with_top1: bool = True,
 ):
     """Drop-in fused-kernel equivalent of ``match_jax.search_batch``.
 
@@ -545,5 +546,7 @@ def search_batch_pallas(
         db, q, active, use2, jnp.float32(tolerance), coefs=coefs,
         interpret=interpret,
     )
+    if not with_top1:
+        return None, None, votes
     best, count = match_jax.top1(votes, audio_filter)
     return best, count, votes

@@ -156,6 +156,36 @@ def to_float_pcm(pcm: jax.Array) -> jax.Array:
     return pcm.astype(jnp.float32)
 
 
+def spectral_chain(
+    frames: jax.Array,
+    window: jax.Array,
+    mel_t: jax.Array,
+    dct_t: jax.Array,
+) -> jax.Array:
+    """Frames ``[..., F, buf_size]`` → fingerprint ``[..., F, n_coefs]``:
+    window → |rFFT| → mel → log10 → DCT → ``10·log10|c|``.
+
+    The ONE parity-sensitive post-framing implementation, shared by the
+    batch path and the sequence-parallel shard function
+    (parallel/sharding.py) — a fix here (precision, log floor) must reach
+    both or the sharded fingerprint silently diverges from single-device.
+
+    HIGHEST precision: TPU matmuls otherwise truncate to bf16, which is
+    visible (±0.03) in the log-log fingerprint domain and would break
+    aubio parity. These matmuls are a negligible share of the chain's cost.
+    """
+    mags = jnp.abs(jnp.fft.rfft(frames * window, axis=-1))
+    mels = jnp.matmul(
+        mags, mel_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    coefs = jnp.matmul(
+        safe_log10(mels), dct_t, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 10.0 * safe_log10(jnp.abs(coefs))
+
+
 @functools.partial(jax.jit, static_argnames=("hop_size", "buf_size"))
 def _fingerprint_padded(
     pcm: jax.Array,
@@ -166,21 +196,8 @@ def _fingerprint_padded(
     buf_size: int,
 ) -> jax.Array:
     """[B, S] float32 or int16 → [B, F, n_coefs] fingerprint values."""
-    frames = frames_from_pcm(to_float_pcm(pcm), hop_size, buf_size) * window
-    mags = jnp.abs(jnp.fft.rfft(frames, axis=-1))
-    # HIGHEST precision: TPU matmuls otherwise truncate to bf16, which is
-    # visible (±0.03) in the log-log fingerprint domain and would break
-    # aubio parity. These matmuls are a negligible share of the chain's cost.
-    mels = jnp.matmul(
-        mags, mel_t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    logm = safe_log10(mels)
-    coefs = jnp.matmul(
-        logm, dct_t, preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return 10.0 * safe_log10(jnp.abs(coefs))
+    frames = frames_from_pcm(to_float_pcm(pcm), hop_size, buf_size)
+    return spectral_chain(frames, window, mel_t, dct_t)
 
 
 def _use_pallas() -> bool:

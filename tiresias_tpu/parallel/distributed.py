@@ -58,6 +58,17 @@ def initialize_distributed(
     global _initialized
     if _initialized:
         return
+    # idempotent against OUTSIDE initializers too: a host program (or
+    # another library) may have called jax.distributed.initialize itself
+    # before constructing the engine — re-initializing would raise
+    try:
+        from jax._src.distributed import global_state
+
+        if getattr(global_state, "client", None) is not None:
+            _initialized = True
+            return
+    except ImportError:  # pragma: no cover - internal layout changed
+        pass
     kwargs = {}
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")

@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tiresias_tpu.ops import match_jax
 from tiresias_tpu.ops.mfcc_jax import dsp_constants
-from tiresias_tpu.config import DspConfig
+from tiresias_tpu.config import DEF_SEARCH_TOLERANCE, DspConfig
 
 DB_AXIS = "db"
 BATCH_AXIS = "batch"
@@ -149,6 +149,7 @@ def sharded_search(
     audio_block: int = match_jax.AUDIO_BLOCK,
     use_pallas: bool = False,
     interpret: bool | None = None,
+    with_top1: bool = True,
 ):
     """Reference-semantics search with the DB sharded across the mesh.
 
@@ -164,6 +165,12 @@ def sharded_search(
     interpret mode from the mesh's device platform (CPU test meshes
     interpret; real TPU meshes compile).
     """
+    if tolerance < 0:
+        # the -1 "use default" sentinel, same as every sibling entry point
+        # (match_jax.search_batch, search_lattice, search_batch_pallas —
+        # fp_handler.c:252-256); without this, |q-d| <= -1 never holds and
+        # every query silently returns NOTFOUND
+        tolerance = DEF_SEARCH_TOLERANCE
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
     )
@@ -193,6 +200,8 @@ def sharded_search(
     votes = votes[:b]
     if n_audios is not None:
         votes = votes[:, :n_audios]
+    if not with_top1:
+        return None, None, votes
     best, count = match_jax.top1(votes)
     return best, count, votes
 
@@ -298,6 +307,15 @@ def sharded_fingerprint_long(
             f"({dsp.hop_size}*{n})"
         )
     overlap = dsp.buf_size - dsp.hop_size
+    if s // n < overlap:
+        # each shard ships its LAST `overlap` samples right; a shorter
+        # local slice would silently truncate the halo and fail deep in
+        # the shard_map reshape with an opaque shape error
+        raise ValueError(
+            f"per-shard slice {s // n} is shorter than the window overlap "
+            f"{overlap} (buf_size-hop_size); use a longer signal or fewer "
+            "devices"
+        )
     axes = (DB_AXIS, BATCH_AXIS)
 
     def shard_fn(chunk, w, m, d):
@@ -328,19 +346,11 @@ def sharded_fingerprint_long(
                 )
                 parts.append(shifted)
         frames = jnp.concatenate(parts, axis=-1)  # [1, F_loc, win]
-        frames = frames * w
-        mags = jnp.abs(jnp.fft.rfft(frames, axis=-1))
-        mels = jnp.matmul(
-            mags, m, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        from tiresias_tpu.ops.mfcc_jax import safe_log10
+        # the shared parity-sensitive chain — drift vs the single-device
+        # fingerprint is impossible by construction
+        from tiresias_tpu.ops.mfcc_jax import spectral_chain
 
-        coefs = jnp.matmul(
-            safe_log10(mels), d, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        return 10.0 * safe_log10(jnp.abs(coefs))
+        return spectral_chain(frames, w, m, d)
 
     out = shard_map(
         shard_fn,
