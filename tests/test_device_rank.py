@@ -1,0 +1,129 @@
+"""Device-side top-1 ranking (engine._device_ranked_batch).
+
+The staged search path used to read the full [B, A] votes matrix back to
+host per search just to argmax it (4 MB/query at 1M tracks); the
+device-ranked path reduces each view to three [B] vectors on device. These
+tests pin exact agreement with the full-votes path, including the D5
+lowest-insertion tiebreak ACROSS tiers, and that the heavy path is not
+silently re-engaged.
+"""
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import TiresiasConfig
+from tiresias_tpu.utils.audio import synth_tone
+
+SR = 8000
+
+
+@pytest.fixture()
+def eng(tmp_path):
+    e = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    e.create_context("c")
+    yield e
+    e.close()
+
+
+def _strict(**kw):
+    # tolerance small enough that distinct pure tones do NOT cross-match
+    # (at 1.0 dB they do, turning every case into a D5 tie)
+    return dict(coefs=2, tolerance=0.01, trunc_coef1=False, **kw)
+
+
+class TestDeviceRankedParity:
+    def test_cross_tier_tie_prefers_first_inserted(self, eng):
+        """A hop-aligned query fully matches both a 6 s audio (tier 256)
+        and an identical short audio (tier 128) under bag voting — the D5
+        tiebreak must pick the FIRST INSERTED across tiers, exactly like
+        the full-votes lexsort. (Durations are exact hop multiples so the
+        final query frame carries no zero padding, which would otherwise
+        break the tie: the padded frame only exists verbatim in the short
+        audio.)"""
+        tone = synth_tone(440, 8192 / SR, SR)  # 32 hops exactly
+        eng.add_audio_pcm("c", "long_first", synth_tone(440, 6.0, SR), SR)
+        eng.add_audio_pcm("c", "short_second", tone, SR)
+        assert len(eng.store.search_views()) == 2  # really two tiers
+        r = eng.search_pcm("c", tone, SR, **_strict())
+        # the full-votes path (topk uses it) must agree exactly, tie
+        # included
+        topk = eng.search_pcm_topk("c", tone, SR, k=2, **_strict())
+        assert topk[0].match_count == topk[1].match_count  # a true tie
+        assert r.status == "FOUND" and r.name == "long_first"
+        assert topk[0].name == r.name
+        assert topk[0].match_count == r.match_count == r.frame_count
+
+    def test_reversed_insertion_flips_winner(self, eng):
+        tone = synth_tone(440, 8192 / SR, SR)
+        eng.add_audio_pcm("c", "short_first", tone, SR)
+        eng.add_audio_pcm("c", "long_second", synth_tone(440, 6.0, SR), SR)
+        r = eng.search_pcm("c", tone, SR, **_strict())
+        assert r.name == "short_first"
+
+    def test_notfound_and_counts(self, eng):
+        eng.add_audio_pcm("c", "a", synth_tone(300, 1.0, SR), SR)
+        r = eng.search_pcm(
+            "c", synth_tone(2600, 1.0, SR), SR,
+            coefs=2, tolerance=0.001, trunc_coef1=False,
+        )
+        assert r.status == "NOTFOUND" and r.match_count == 0
+        assert r.frame_count == 32
+
+    def test_device_path_engages_and_full_votes_path_skipped(
+        self, eng, monkeypatch
+    ):
+        """For an unfiltered multi-tier search the [B, A] readback path
+        must not run at all."""
+        eng.add_audio_pcm("c", "a", synth_tone(300, 1.0, SR), SR)
+        eng.add_audio_pcm("c", "b", synth_tone(500, 6.0, SR), SR)
+
+        def boom(*a, **k):
+            raise AssertionError("full-votes readback on the hot path")
+
+        monkeypatch.setattr(eng, "_compute_votes", boom)
+        r = eng.search_pcm("c", synth_tone(500, 1.0, SR), SR, **_strict())
+        assert r.status == "FOUND" and r.name == "b"
+
+    def test_filtered_search_still_exact(self, eng):
+        """filter_context falls back to the full-votes path (per-entry
+        keep mask) — results must stay exact."""
+        eng.create_context("other")
+        eng.add_audio_pcm("other", "decoy", synth_tone(440, 1.0, SR), SR)
+        eng.add_audio_pcm("c", "mine", synth_tone(440, 1.0, SR), SR)
+        r = eng.search_pcm(
+            "c", synth_tone(440, 1.0, SR), SR,
+            filter_context=True, **_strict(),
+        )
+        assert r.name == "mine"
+
+    def test_live_append_keeps_seq_cache_correct(self, eng):
+        """seq_dev extends incrementally on append; a new first-place
+        entry appended after a search must win subsequent searches."""
+        eng.add_audio_pcm("c", "a", synth_tone(300, 1.0, SR), SR)
+        r = eng.search_pcm("c", synth_tone(300, 1.0, SR), SR, **_strict())
+        assert r.name == "a"  # builds + caches seq_dev for the view
+        eng.add_audio_pcm("c", "b", synth_tone(900, 1.0, SR), SR)
+        r = eng.search_pcm("c", synth_tone(900, 1.0, SR), SR, **_strict())
+        assert r.name == "b"
+        # and a delete (tombstone) cannot leave the dead row winning
+        uuid = [e for e in eng.get_audios("c") if e.name == "b"][0].uuid
+        assert eng.delete_audio(uuid)
+        r = eng.search_pcm("c", synth_tone(900, 1.0, SR), SR, **_strict())
+        assert r.name != "b"
+
+    def test_batch_matches_singletons(self, eng):
+        for i in range(4):
+            eng.add_audio_pcm(
+                "c", f"t{i}", synth_tone(250 + 120 * i, 1.0, SR), SR
+            )
+        eng.add_audio_pcm("c", "long", synth_tone(610, 6.0, SR), SR)
+        queries = [synth_tone(250 + 120 * i, 1.0, SR) for i in range(4)]
+        batch = eng.search_pcm_batch("c", queries, SR, **_strict())
+        singles = [
+            eng.search_pcm("c", q, SR, **_strict()) for q in queries
+        ]
+        for b, s in zip(batch, singles):
+            assert (b.name, b.match_count, b.frame_count) == (
+                s.name, s.match_count, s.frame_count
+            )

@@ -176,6 +176,40 @@ def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
     return run
 
 
+def _top1_scored(votes, seq):
+    """Per-view device top-1 with the D5 tiebreak: maximize votes, tie →
+    lowest global insertion seq.
+
+    Pure int32 on device (TPU default disables x64; a packed 64-bit score
+    would silently truncate). Padding/tombstone-beyond-view rows carry
+    seq = int32.max (store.seq_for) and 0 votes, so they can never beat a
+    live row at votes > 0.
+
+    Returns (votes [B] int32, seq [B] int32, row [B] int32) — three
+    vectors instead of the full [B, A] votes matrix crossing the link;
+    the cross-view lexicographic combine happens on host in int64."""
+    global _top1_scored_fn
+    if _top1_scored_fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def run(v, s):
+            m = jnp.max(v, axis=1)  # [B] winning vote count
+            # among max-vote rows: the lowest seq, and its row (argmin
+            # returns the first minimal seq — seqs are unique)
+            cand = jnp.where(v == m[:, None], s[None, :], jnp.int32(2**31 - 1))
+            i = jnp.argmin(cand, axis=1).astype(jnp.int32)
+            rows = jnp.arange(v.shape[0])
+            return m, cand[rows, i], i
+
+        _top1_scored_fn = run
+    return _top1_scored_fn(votes, seq)
+
+
+_top1_scored_fn = None
+
+
 class Tiresias:
     """TPU-native audio fingerprinting engine (the framework's front door)."""
 
@@ -520,6 +554,13 @@ class Tiresias:
         )
         if fast is not None:
             return fast
+        fast = self._device_ranked_batch(
+            context, pcms, samplerate, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned,
+        )
+        if fast is not None:
+            return fast
         votes_all, entries, n_frames = self._compute_votes(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -588,9 +629,10 @@ class Tiresias:
     def _aligned_prefiltered(
         self, view, qfp, n_frames, coefs, tolerance,
         freq_ignore_low, freq_ignore_high, trunc_coef1,
-    ) -> np.ndarray | None:
-        """Certified prefiltered aligned votes for one view, or None when
-        any query's exactness certificate fails (→ caller full-scans)."""
+    ):
+        """Certified prefiltered aligned votes (device array) for one
+        view, or None when any query's exactness certificate fails
+        (→ caller full-scans)."""
         import jax
 
         from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
@@ -607,11 +649,14 @@ class Tiresias:
             view.db, maps, q, active, use2, tolerance, specs=specs,
             coefs=coefs,
         )
-        votes, cert = jax.device_get((votes_d, cert_d))
+        # only the [B] certificate crosses the link here; the [B, A] votes
+        # stay on device (the device-ranked path reduces them there, the
+        # host-ranked path reads them back itself)
+        cert = jax.device_get(cert_d)
         if not cert.all():
             metrics.add("search.prefilter_fallbacks", 1)
             return None
-        return votes
+        return votes_d
 
     @staticmethod
     def _merge_segment_votes(
@@ -844,105 +889,11 @@ class Tiresias:
             # mid-request — see the budget notes in ops.match_pallas
             f_q = int(qfp.shape[1])
             for view in views:
-                kernel_fits = (
-                    aligned_kernel_fits(view.tier_frames, f_q, coefs)
-                    if aligned
-                    else bag_kernel_fits(view.tier_frames, f_q, coefs)
+                votes = self._votes_for_view(
+                    view, qfp, n_frames, f_q, coefs, tolerance,
+                    freq_ignore_low, freq_ignore_high, trunc_coef1,
+                    aligned, prefilter, use_lattice, on_tpu, sharded_mode,
                 )
-                use_pallas = on_tpu and not aligned and kernel_fits
-                use_pallas_aligned = on_tpu and aligned and kernel_fits
-                if use_lattice:
-                    # dialplan configuration → exact MXU lattice fast path
-                    from tiresias_tpu.ops.match_lattice import search_lattice
-
-                    # with_top1=False everywhere below: the engine ranks on
-                    # host (D5 insertion-rank tiebreak), so the wrappers'
-                    # device argmax+gather over [B, A] would be dispatched
-                    # and discarded on every search
-                    _, _, votes = search_lattice(
-                        self.store.value_map_for(view),
-                        qfp,
-                        n_frames,
-                        tolerance=tolerance,
-                        freq_ignore_low=freq_ignore_low,
-                        freq_ignore_high=freq_ignore_high,
-                        with_top1=False,
-                    )
-                elif use_pallas or use_pallas_aligned:
-                    # generic semantics, fused Pallas kernel (bag-of-frames
-                    # or offset-consistent aligned accumulation in VMEM)
-                    from tiresias_tpu.ops.match_pallas import (
-                        PREFILTER_K,
-                        search_batch_pallas,
-                    )
-
-                    votes = None
-                    if (
-                        use_pallas_aligned
-                        and prefilter
-                        and view.db.shape[0] > 2 * PREFILTER_K
-                    ):
-                        # certified two-stage accuracy mode: lattice bound
-                        # (shared with the dialplan path's distance map) →
-                        # exact aligned rescore of the top-K candidates;
-                        # provably identical to the full scan when the
-                        # certificate holds, full scan otherwise
-                        votes = self._aligned_prefiltered(
-                            view, qfp, n_frames, coefs, tolerance,
-                            freq_ignore_low, freq_ignore_high, trunc_coef1,
-                        )
-                    if votes is None:
-                        _, _, votes = search_batch_pallas(
-                            view.db,
-                            qfp,
-                            n_frames,
-                            coefs=coefs,
-                            tolerance=tolerance,
-                            freq_ignore_low=freq_ignore_low,
-                            freq_ignore_high=freq_ignore_high,
-                            trunc_coef1=trunc_coef1,
-                            aligned=aligned,
-                            with_top1=False,
-                        )
-                elif sharded_mode is not None and kernel_fits:
-                    # sharded store on a TPU mesh: fused Mosaic matcher per
-                    # DB shard under shard_map (bag or aligned), vote
-                    # columns disjoint — same result as the GSPMD XLA
-                    # matcher, kernel-resident DB tiles per chip
-                    from tiresias_tpu.parallel.sharding import (
-                        sharded_search,
-                    )
-
-                    _, _, votes = sharded_search(
-                        self.mesh,
-                        view.db,
-                        view.mask,
-                        qfp,
-                        n_frames,
-                        coefs=coefs,
-                        tolerance=tolerance,
-                        freq_ignore_low=freq_ignore_low,
-                        freq_ignore_high=freq_ignore_high,
-                        trunc_coef1=trunc_coef1,
-                        aligned=aligned,
-                        use_pallas=True,
-                        interpret=sharded_mode == "interpret",
-                        with_top1=False,
-                    )
-                else:
-                    _, _, votes = match_jax.search_batch(
-                        view.db,
-                        view.mask,
-                        qfp,
-                        n_frames,
-                        coefs=coefs,
-                        tolerance=tolerance,
-                        freq_ignore_low=freq_ignore_low,
-                        freq_ignore_high=freq_ignore_high,
-                        trunc_coef1=trunc_coef1,
-                        aligned=aligned,
-                        with_top1=False,
-                    )
                 vote_parts.append(np.asarray(votes)[:, : view.n_audios])
                 entries.extend(view.entries)
 
@@ -961,6 +912,198 @@ class Tiresias:
                 votes_all = np.where(keep[None, :], votes_all, 0)
         metrics.add("search.queries", len(pcms))
         return votes_all, entries, np.asarray(n_frames)
+
+    def _votes_for_view(
+        self, view, qfp, n_frames, f_q, coefs, tolerance,
+        freq_ignore_low, freq_ignore_high, trunc_coef1, aligned,
+        prefilter, use_lattice, on_tpu, sharded_mode,
+    ):
+        """Device votes ``[B, A_pad]`` for one view — the kernel-dispatch
+        rules shared by the staged host-ranked path (:meth:`_compute_votes`)
+        and the device-ranked path (:meth:`_device_ranked_batch`).
+
+        with_top1=False everywhere: the engine ranks with the D5
+        insertion tiebreak itself, so the wrappers' device argmax+gather
+        over [B, A] would be dispatched and discarded on every search."""
+        from tiresias_tpu.ops.match_pallas import (
+            aligned_kernel_fits,
+            bag_kernel_fits,
+        )
+
+        kernel_fits = (
+            aligned_kernel_fits(view.tier_frames, f_q, coefs)
+            if aligned
+            else bag_kernel_fits(view.tier_frames, f_q, coefs)
+        )
+        use_pallas = on_tpu and not aligned and kernel_fits
+        use_pallas_aligned = on_tpu and aligned and kernel_fits
+        if use_lattice:
+            # dialplan configuration → exact MXU lattice fast path
+            from tiresias_tpu.ops.match_lattice import search_lattice
+
+            _, _, votes = search_lattice(
+                self.store.value_map_for(view),
+                qfp,
+                n_frames,
+                tolerance=tolerance,
+                freq_ignore_low=freq_ignore_low,
+                freq_ignore_high=freq_ignore_high,
+                with_top1=False,
+            )
+        elif use_pallas or use_pallas_aligned:
+            # generic semantics, fused Pallas kernel (bag-of-frames
+            # or offset-consistent aligned accumulation in VMEM)
+            from tiresias_tpu.ops.match_pallas import (
+                PREFILTER_K,
+                search_batch_pallas,
+            )
+
+            votes = None
+            if (
+                use_pallas_aligned
+                and prefilter
+                and view.db.shape[0] > 2 * PREFILTER_K
+            ):
+                # certified two-stage accuracy mode: lattice bound
+                # (shared with the dialplan path's distance map) →
+                # exact aligned rescore of the top-K candidates;
+                # provably identical to the full scan when the
+                # certificate holds, full scan otherwise
+                votes = self._aligned_prefiltered(
+                    view, qfp, n_frames, coefs, tolerance,
+                    freq_ignore_low, freq_ignore_high, trunc_coef1,
+                )
+            if votes is None:
+                _, _, votes = search_batch_pallas(
+                    view.db,
+                    qfp,
+                    n_frames,
+                    coefs=coefs,
+                    tolerance=tolerance,
+                    freq_ignore_low=freq_ignore_low,
+                    freq_ignore_high=freq_ignore_high,
+                    trunc_coef1=trunc_coef1,
+                    aligned=aligned,
+                    with_top1=False,
+                )
+        elif sharded_mode is not None and kernel_fits:
+            # sharded store on a TPU mesh: fused Mosaic matcher per
+            # DB shard under shard_map (bag or aligned), vote
+            # columns disjoint — same result as the GSPMD XLA
+            # matcher, kernel-resident DB tiles per chip
+            from tiresias_tpu.parallel.sharding import sharded_search
+
+            _, _, votes = sharded_search(
+                self.mesh,
+                view.db,
+                view.mask,
+                qfp,
+                n_frames,
+                coefs=coefs,
+                tolerance=tolerance,
+                freq_ignore_low=freq_ignore_low,
+                freq_ignore_high=freq_ignore_high,
+                trunc_coef1=trunc_coef1,
+                aligned=aligned,
+                use_pallas=True,
+                interpret=sharded_mode == "interpret",
+                with_top1=False,
+            )
+        else:
+            _, _, votes = match_jax.search_batch(
+                view.db,
+                view.mask,
+                qfp,
+                n_frames,
+                coefs=coefs,
+                tolerance=tolerance,
+                freq_ignore_low=freq_ignore_low,
+                freq_ignore_high=freq_ignore_high,
+                trunc_coef1=trunc_coef1,
+                aligned=aligned,
+                with_top1=False,
+            )
+        return votes
+
+    def _device_ranked_batch(
+        self,
+        context: str | None,
+        pcms: list[np.ndarray],
+        samplerate: int,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        filter_context: bool,
+        trunc_coef1: bool | None,
+        aligned: bool | None,
+    ) -> list[SearchResult] | None:
+        """Top-1 computed ON DEVICE for the staged multi-matcher path.
+
+        The host-ranked path reads the full ``[B, A]`` votes matrix back
+        per search (4 MB/query at 1M tracks) just to argmax it; here each
+        view reduces to three ``[B]`` vectors on device — score (votes
+        lexically combined with the D5 insertion key), winning votes, and
+        winning row — and only those cross the link. Returns None when the
+        search needs full votes on host: context filtering (per-entry
+        keep mask) or auto-split audios (per-segment vote sums, D15)."""
+        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
+         aligned) = self._resolve_search(
+            coefs, tolerance, freq_ignore_low, freq_ignore_high,
+            trunc_coef1, aligned,
+        )
+        if filter_context and context is not None:
+            return None
+        views = self.store.search_views()
+        if not views or any(v.segments for v in views):
+            return None
+        pcms, samplerate = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate
+        )
+        with phase("search.fingerprint"):
+            qfp, n_frames = fingerprint_signals_async(
+                pcms, samplerate, self.config.dsp
+            )
+        use_lattice = coefs == 1 and trunc_coef1 and not aligned
+        on_tpu = _on_tpu() and self.mesh is None
+        sharded_mode = (
+            _sharded_pallas_mode(self.mesh) if self.mesh is not None else None
+        )
+        f_q = int(qfp.shape[1])
+        per_view = []
+        with phase("search.match"):
+            for view in views:
+                votes = self._votes_for_view(
+                    view, qfp, n_frames, f_q, coefs, tolerance,
+                    freq_ignore_low, freq_ignore_high, trunc_coef1,
+                    aligned, True, use_lattice, on_tpu, sharded_mode,
+                )
+                per_view.append(
+                    _top1_scored(votes, self.store.seq_for(view))
+                )
+            import jax
+
+            got = jax.device_get(per_view)
+        metrics.add("search.queries", len(pcms))
+        n_frames = np.asarray(n_frames)
+        # cross-view lexicographic combine in host int64: maximize votes,
+        # tie → lowest seq. Seqs are globally unique, so the argmax picks
+        # the exact D5 winner deterministically.
+        votes_v = np.stack([g[0] for g in got]).astype(np.int64)  # [V, B]
+        seqs_v = np.stack([g[1] for g in got]).astype(np.int64)
+        win = np.argmax(votes_v * (1 << 32) - seqs_v, axis=0)
+        results: list[SearchResult] = []
+        for i in range(len(pcms)):
+            v = int(win[i])
+            count = int(got[v][0][i])
+            fc = int(n_frames[i])
+            if count <= 0:
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            results.append(
+                self._found(views[v].entries[int(got[v][2][i])], fc, count)
+            )
+        return results
 
     def search_file(
         self,

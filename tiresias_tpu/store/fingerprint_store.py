@@ -483,6 +483,9 @@ class TierView:
     # append (new rows built + sliced in) and delete (+inf row scatter),
     # like value_map
     bound_maps: dict | None = None
+    # lazily-built per-row global insertion seqs [A_pad] int32 on device
+    # (the engine's device-side D5 tiebreak); padding rows = int32.max
+    seq_dev: object = None
     dead_rows: frozenset = frozenset()  # tombstoned row indices
     # per-row frame counts (== entry.n_frames except for auto-split audios,
     # whose segment rows repeat one entry — split_frames)
@@ -892,6 +895,9 @@ class FingerprintStore:
             entries=old.entries,
             value_map=vm,
             bound_maps=bms,
+            # seq keys are row-positional and tombstoning changes no rows;
+            # dead rows can't vote, so their stale seq can never win
+            seq_dev=old.seq_dev,
             dead_rows=old.dead_rows | frozenset(rows),
             row_frames=old.row_frames,
             segments=old.segments,
@@ -977,6 +983,12 @@ class FingerprintStore:
                     new_maps.append(_update_rows(m, m_rows, lo, self.mesh))
                 new_bms[key] = (specs, tuple(new_maps))
             bound_maps = new_bms
+        seq_dev = old.seq_dev
+        if seq_dev is not None:
+            # row-independent like the maps: only the new rows' seqs ship
+            seq_new = np.full(k_pad, np.iinfo(np.int32).max, np.int32)
+            seq_new[: a - lo] = [e.seq for e in tier.entries[lo:a]]
+            seq_dev = _update_rows(seq_dev, to_dev(seq_new), lo, self.mesh)
         return TierView(
             tier_frames=t,
             db=db,
@@ -985,10 +997,39 @@ class FingerprintStore:
             entries=list(tier.entries),
             value_map=value_map,
             bound_maps=bound_maps,
+            seq_dev=seq_dev,
             dead_rows=frozenset(tier.dead),
             row_frames=tuple(tier.row_frames),
             segments=segments,
         )
+
+    def seq_for(self, view: TierView):
+        """Per-row global insertion seqs for one view, on device
+        ([A_pad] int32, padding rows int32.max) — the engine's
+        device-side D5 tiebreak key (engine._device_ranked_batch).
+        Cached on the view like value_map; append-extended in
+        _extend_view, unchanged by tombstoning (dead rows can't vote)."""
+        with self._lock:
+            if view.seq_dev is not None:
+                return view.seq_dev
+            seqs = np.full(
+                view.db.shape[0], np.iinfo(np.int32).max, np.int32
+            )
+            seqs[: view.n_audios] = [e.seq for e in view.entries]
+        import jax.numpy as jnp
+
+        if self.mesh is None:
+            dev = jnp.asarray(seqs)
+        else:
+            from jax.sharding import PartitionSpec
+
+            from tiresias_tpu.parallel.distributed import put_global
+
+            dev = put_global(seqs, self.mesh, PartitionSpec())
+        with self._lock:
+            if view.seq_dev is None:
+                view.seq_dev = dev
+        return view.seq_dev
 
     def value_map_for(self, view: TierView):
         """Lazily-built lattice distance map for one view (MXU fast path);
