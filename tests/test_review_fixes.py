@@ -405,3 +405,78 @@ class TestStoreReviewRound3:
         np.testing.assert_array_equal(
             now.get_fingerprint(store.entries[1].uuid), _fp(7, 2)
         )
+
+
+class TestKernelGateReviewFixes:
+    """Round-3 ops review: A-dependent VMEM term, tolerance cap on
+    value-encoded masking, specs validation, chunked device map build."""
+
+    def test_fit_gates_count_output_block(self):
+        from tiresias_tpu.ops.match_pallas import (
+            aligned_kernel_fits,
+            bag_kernel_fits,
+        )
+
+        # a shape that fits with a small view must stop fitting when the
+        # resident [1, A_pad] output block alone approaches the budget
+        assert bag_kernel_fits(1024, 128, 2, a_pad=128)
+        assert not bag_kernel_fits(1024, 128, 2, a_pad=64 * 1024 * 1024)
+        assert aligned_kernel_fits(1024, 128, 2, a_pad=128)
+        assert not aligned_kernel_fits(1024, 128, 2, a_pad=64 * 1024 * 1024)
+
+    def test_pallas_tolerance_cap_rejected(self):
+        from tiresias_tpu.ops.match_pallas import search_batch_pallas
+
+        db = np.full((4, 128, 2), -20.0, np.float32)
+        q = np.zeros((1, 8, 2), np.float32)
+        with pytest.raises(ValueError, match="value-encoded"):
+            search_batch_pallas(
+                db, q, np.array([8]), coefs=2, tolerance=1e6,
+                trunc_coef1=False, interpret=True,
+            )
+
+    def test_prefiltered_votes_requires_specs(self):
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db = np.full((4, 128, 2), -20.0, np.float32)
+        q = np.zeros((1, 8, 2), np.float32)
+        act = np.ones((1, 8), bool)
+        with pytest.raises(ValueError, match="specs"):
+            aligned_prefiltered_votes(db, (), q, act, act, 0.1)
+
+    def test_value_map_device_build_chunked_matches_block(self, monkeypatch):
+        import jax.numpy as jnp
+
+        import tiresias_tpu.ops.match_lattice as ml
+
+        rng = np.random.default_rng(7)
+        a, t = 50, 16
+        db0 = rng.uniform(-40, 30, (a, t)).astype(np.float32)
+        mask = rng.random((a, t)) > 0.2
+        ref = np.asarray(ml._build_value_map_block(db0, mask))
+        monkeypatch.setattr(ml, "_BUILD_CHUNK", 16)
+        got = np.asarray(ml.build_value_map(jnp.asarray(db0), jnp.asarray(mask)))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_fast_mfcc_flag_is_static(self, monkeypatch):
+        """The precision mode is read once at the entry point and threaded
+        as a static jit arg — a mid-process env toggle must not leave
+        already-traced shapes on the old mode while new shapes pick up the
+        new one."""
+        from tiresias_tpu.ops import mfcc_pallas as mp
+
+        calls = []
+        real = mp._mfcc_rows
+
+        def spy(*a, **k):
+            calls.append(k.get("fast"))
+            return real(*a, **k)
+
+        monkeypatch.setattr(mp, "_mfcc_rows", spy)
+        pcm = (0.1 * np.random.default_rng(0).standard_normal((1, 2560))
+               ).astype(np.float32)
+        monkeypatch.delenv("TIRESIAS_FAST_MFCC", raising=False)
+        mp.fingerprint_padded_batch_pallas(pcm, 8000, interpret=True)
+        monkeypatch.setenv("TIRESIAS_FAST_MFCC", "1")
+        mp.fingerprint_padded_batch_pallas(pcm, 8000, interpret=True)
+        assert calls == [False, True]

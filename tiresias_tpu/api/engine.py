@@ -926,15 +926,21 @@ class Tiresias:
         insertion tiebreak itself, so the wrappers' device argmax+gather
         over [B, A] would be dispatched and discarded on every search."""
         from tiresias_tpu.ops.match_pallas import (
+            PALLAS_TOL_MAX,
             aligned_kernel_fits,
             bag_kernel_fits,
         )
 
+        # per-device rows: a sharded view's [1, A_pad] output block (VMEM
+        # resident) is split over the db axis
+        a_rows = int(view.db.shape[0])
+        if self.mesh is not None:
+            a_rows = -(-a_rows // int(self.mesh.shape.get("db", 1)))
         kernel_fits = (
-            aligned_kernel_fits(view.tier_frames, f_q, coefs)
+            aligned_kernel_fits(view.tier_frames, f_q, coefs, a_rows)
             if aligned
-            else bag_kernel_fits(view.tier_frames, f_q, coefs)
-        )
+            else bag_kernel_fits(view.tier_frames, f_q, coefs, a_rows)
+        ) and tolerance < PALLAS_TOL_MAX  # value-encoded masking bound
         use_pallas = on_tpu and not aligned and kernel_fits
         use_pallas_aligned = on_tpu and aligned and kernel_fits
         if use_lattice:

@@ -64,18 +64,32 @@ def build_value_map(
     rows: ONE compiled executable serves every DB size (per frame-tier),
     instead of a fresh — and, over remote-compile transports, unboundedly
     slow — XLA compile each time the padded audio count grows, and each
-    chunk's H2D upload overlaps the previous chunk's compute. Device-array
-    inputs stay single-call: sharded arrays are already row-partitioned by
-    GSPMD, and slicing a device array at Python level would itself compile
-    one gather per offset.
+    chunk's H2D upload overlaps the previous chunk's compute. Large
+    DEVICE-array inputs (e.g. a stale-view rebuild from ``view.db``) are
+    chunked too, via ``lax.map`` inside one jit: a single-call distance
+    transform materialises ~6 f32 ``[A, K]`` temps at once (tens of GB at
+    1M rows) — the same bound _build_bound_map already enforces.
     """
     a = db0.shape[0]
-    if not isinstance(db0, np.ndarray) or a <= _BUILD_CHUNK:
+    if a <= _BUILD_CHUNK:
         return _build_value_map_block(db0, db_mask, k_min=k_min, k_size=k_size)
+    if not isinstance(db0, np.ndarray):
+        try:  # mesh-sharded arrays stay single-call: GSPMD row-partitions
+            multi = len(db0.sharding.device_set) > 1
+        except Exception:  # noqa: BLE001 - tracers/odd arrays
+            multi = False
+        if multi:
+            return _build_value_map_block(
+                db0, db_mask, k_min=k_min, k_size=k_size
+            )
+        return _build_value_map_chunked(
+            db0, db_mask, k_min=k_min, k_size=k_size
+        )
+    mask_np = np.asarray(db_mask)  # hoisted: one conversion, not per chunk
     parts = []
     for lo in range(0, a, _BUILD_CHUNK):
         hi = min(lo + _BUILD_CHUNK, a)
-        blk, msk = db0[lo:hi], np.asarray(db_mask)[lo:hi]
+        blk, msk = db0[lo:hi], mask_np[lo:hi]
         if hi - lo < _BUILD_CHUNK:
             pad = _BUILD_CHUNK - (hi - lo)
             blk = np.pad(blk, ((0, pad), (0, 0)))
@@ -86,6 +100,27 @@ def build_value_map(
             )
         )
     return jnp.concatenate(parts, axis=0)[:a]
+
+
+@functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
+def _build_value_map_chunked(db0, db_mask, k_min: int, k_size: int):
+    a, t = db0.shape
+    pad = -(-a // _BUILD_CHUNK) * _BUILD_CHUNK - a
+    db_p = jnp.pad(db0, ((0, pad), (0, 0)))
+    mask_p = jnp.pad(db_mask, ((0, pad), (0, 0)))  # pad rows all-masked
+
+    def block(args):
+        blk, msk = args
+        return _build_value_map_block(blk, msk, k_min=k_min, k_size=k_size)
+
+    blocks = jax.lax.map(
+        block,
+        (
+            db_p.reshape(-1, _BUILD_CHUNK, t),
+            mask_p.reshape(-1, _BUILD_CHUNK, t),
+        ),
+    )
+    return blocks.reshape(-1, k_size)[:a]
 
 
 # Fixed row-chunk size for the chunked build: large enough that the O(A·K)

@@ -44,6 +44,17 @@ AUDIO_TILE = 128
 INACTIVE_Q = 1.0e6  # pushed out of every tolerance band (PAD_VALUE is -1e6)
 
 
+def _query_rows(q, active, use2, coefs: int):
+    """Shared operand prep for BOTH fused matchers: query coef values with
+    the active mask value-encoded into row 0 (INACTIVE_Q falls outside
+    every tolerance band) plus the use2 flag as the last row — one
+    definition so a masking-semantics fix cannot reach only one kernel."""
+    q_rows = [jnp.where(active, q[..., 0], INACTIVE_Q)]
+    q_rows += [q[..., ci] for ci in range(1, coefs)]
+    q_rows.append(use2.astype(jnp.float32))
+    return jnp.stack(q_rows, axis=1)
+
+
 def _make_kernel(coefs: int):
     """Kernel for a static coefficient count.
 
@@ -102,15 +113,15 @@ def match_votes_pallas(
     b, f, _ = q.shape
     if coefs < 1 or coefs > c:
         raise ValueError(f"coefs must be in [1, {c}]")
-    if not bag_kernel_fits(t, f, coefs):
+    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
+    if not bag_kernel_fits(t, f, coefs, a_pad):
         raise ValueError(
             f"bag kernel cannot serve tier={t}, query_frames={f}, "
-            f"coefs={coefs} within its VMEM/SMEM budgets — use the XLA "
-            f"matcher (see bag_kernel_fits)"
+            f"coefs={coefs}, audios={a} within its VMEM/SMEM budgets — "
+            f"use the XLA matcher (see bag_kernel_fits)"
         )
     tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
 
-    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
     if a_pad != a:
         # padding audios hold PAD_VALUE → zero votes
         db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
@@ -122,10 +133,7 @@ def match_votes_pallas(
 
     # query rows: coef values with the active mask value-encoded into row 0,
     # plus the use2 flag as the last row
-    q_rows = [jnp.where(active, q[..., 0], INACTIVE_Q)]
-    q_rows += [q[..., ci] for ci in range(1, coefs)]
-    q_rows.append(use2.astype(jnp.float32))
-    q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
+    q_all = _query_rows(q, active, use2, coefs)  # [B, coefs+1, F]
 
     call = pl.pallas_call(
         _make_kernel(coefs),
@@ -260,19 +268,30 @@ _SMEM_QUERY_BUDGET = 512 * 1024
 _VMEM_MATCH_BUDGET = 12 * 1024 * 1024 + 512 * 1024
 
 
+# Value-encoded masking breaks down for absurd tolerances: INACTIVE_Q
+# (1e6) and PAD_VALUE (-1e6) sit ~1e6 away from every reachable
+# fingerprint value ([-417, 127]), so any tolerance approaching that gap
+# would let inactive query frames and padding DB frames "match". The XLA
+# matcher masks explicitly and serves such requests exactly.
+PALLAS_TOL_MAX = 1e5
+
+
 def pallas_query_fits(f: int, coefs: int) -> bool:
     """Whether an F-frame query fits the fused kernels' SMEM block."""
     return (coefs + 1) * f * 4 <= _SMEM_QUERY_BUDGET
 
 
-def bag_kernel_fits(t: int, f: int, coefs: int) -> bool:
+def bag_kernel_fits(t: int, f: int, coefs: int, a_pad: int = 0) -> bool:
     """Whether the bag-of-frames kernel can serve (tier_frames,
     query_frames, coefs) within its VMEM/SMEM budgets — the engine's
     dispatch gate; ineligible shapes (e.g. hours-long audio tiers whose
-    [coefs, T, 128] db tile exceeds VMEM) run the XLA matcher."""
+    [coefs, T, 128] db tile exceeds VMEM) run the XLA matcher.
+    ``a_pad``: padded audio-row count — the full [1, A_pad] f32 output
+    block stays VMEM-resident (out_specs), an A-dependent term the db-tile
+    model alone misses on very large unsharded views."""
     if not pallas_query_fits(f, coefs):
         return False
-    return 4 * 128 * 3 * coefs * t <= _VMEM_MATCH_BUDGET
+    return 4 * 128 * 3 * coefs * t + 4 * a_pad <= _VMEM_MATCH_BUDGET
 
 
 def _aligned_rows(chunk: int, f: int, coefs: int, sliding: bool) -> int:
@@ -290,7 +309,9 @@ def _aligned_rows(chunk: int, f: int, coefs: int, sliding: bool) -> int:
     return rows
 
 
-def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
+def _aligned_time_chunk(
+    t: int, f: int, coefs: int, a_pad: int = 0
+) -> int | None:
     """Largest time-chunk length the aligned kernel can hold in VMEM for
     (tier_frames, query_frames, coefs), or None if no valid chunking
     exists. A chunk must divide T exactly (every grid step sees a full
@@ -298,8 +319,11 @@ def _aligned_time_chunk(t: int, f: int, coefs: int) -> int | None:
     The accumulator is a sliding window of chunk + F − 1 offsets (see
     _make_aligned_kernel), so VMEM cost scales with the CHUNK, not the
     tier — any multiple-of-8 tier length is servable as long as one
-    query-window's offsets (plus the slide's carried copy) fit."""
-    return _aligned_time_chunk_cached(t, f, coefs, _VMEM_MATCH_BUDGET)
+    query-window's offsets (plus the slide's carried copy) fit.
+    ``a_pad`` reserves the resident [1, A_pad] output block's bytes."""
+    return _aligned_time_chunk_cached(
+        t, f, coefs, max(0, _VMEM_MATCH_BUDGET - 4 * a_pad)
+    )
 
 
 @functools.lru_cache(maxsize=4096)
@@ -336,17 +360,20 @@ def _aligned_time_chunk_cached(
     return best
 
 
-def aligned_kernel_fits(t: int, f: int, coefs: int) -> bool:
+def aligned_kernel_fits(
+    t: int, f: int, coefs: int, a_pad: int = 0
+) -> bool:
     """Whether the aligned kernel can serve (tier_frames, query_frames,
     coefs) within its VMEM/SMEM budgets — the engine's dispatch gate;
     ineligible shapes run the (exact, slower) XLA aligned matcher.
     Tier length is unbounded (the sliding-window accumulator streams
     time chunks through a fixed footprint), so this only rejects shapes
     whose single query-window of offsets busts VMEM, whose query busts
-    SMEM, or whose tier has no multiple-of-8 chunking."""
+    SMEM, or whose tier has no multiple-of-8 chunking. ``a_pad`` counts
+    the resident [1, A_pad] output block (see bag_kernel_fits)."""
     if not pallas_query_fits(f, coefs):
         return False
-    return _aligned_time_chunk(t, f, coefs) is not None
+    return _aligned_time_chunk(t, f, coefs, a_pad) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("coefs", "interpret"))
@@ -366,15 +393,15 @@ def match_votes_pallas_aligned(
     b, f, _ = q.shape
     if coefs < 1 or coefs > c:
         raise ValueError(f"coefs must be in [1, {c}]")
-    if not aligned_kernel_fits(t, f, coefs):
+    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
+    if not aligned_kernel_fits(t, f, coefs, a_pad):
         raise ValueError(
             f"aligned kernel cannot serve tier={t}, query_frames={f}, "
-            f"coefs={coefs} within its VMEM/SMEM budgets — use the XLA "
-            f"matcher (see aligned_kernel_fits)"
+            f"coefs={coefs}, audios={a} within its VMEM/SMEM budgets — "
+            f"use the XLA matcher (see aligned_kernel_fits)"
         )
     tol = jnp.asarray(tolerance, dtype=jnp.float32).reshape(1)
 
-    a_pad = -(-a // AUDIO_TILE) * AUDIO_TILE
     if a_pad != a:
         db = jnp.pad(db, ((0, a_pad - a), (0, 0), (0, 0)),
                      constant_values=PAD_VALUE)
@@ -382,12 +409,9 @@ def match_votes_pallas_aligned(
     # [C, T, A_pad]: time on sublanes (see _make_aligned_kernel)
     d_tm = jnp.transpose(db[..., :coefs], (2, 1, 0))
 
-    q_rows = [jnp.where(active, q[..., 0], INACTIVE_Q)]
-    q_rows += [q[..., ci] for ci in range(1, coefs)]
-    q_rows.append(use2.astype(jnp.float32))
-    q_all = jnp.stack(q_rows, axis=1)  # [B, coefs+1, F]
+    q_all = _query_rows(q, active, use2, coefs)  # [B, coefs+1, F]
 
-    t_chunk = _aligned_time_chunk(t, f, coefs)
+    t_chunk = _aligned_time_chunk(t, f, coefs, a_pad)
     n_tchunks = t // t_chunk
     # sliding accumulator window: one chunk's worth of offsets plus the
     # query span, sublane-aligned (see _make_aligned_kernel)
@@ -476,6 +500,13 @@ def aligned_prefiltered_votes(
     Returns (votes [B, A] int32 — candidate scores scattered, zeros
     elsewhere; certificate [B] bool).
     """
+    if not specs or len(specs) != len(maps):
+        # an empty default would crash opaquely deep in tracing
+        # (bound_votes' loop never runs → None flows into approx_max_k)
+        raise ValueError(
+            "aligned_prefiltered_votes requires matching non-empty "
+            "specs/maps (store.bound_maps_for provides both)"
+        )
     from tiresias_tpu.ops.match_lattice import bound_votes
 
     a = db.shape[0]
@@ -538,6 +569,12 @@ def search_batch_pallas(
     the XLA path."""
     if tolerance < 0:
         tolerance = DEF_SEARCH_TOLERANCE  # fp_handler.c:252-256
+    if tolerance >= PALLAS_TOL_MAX:
+        raise ValueError(
+            f"tolerance {tolerance} breaks the fused kernels' "
+            f"value-encoded masking (INACTIVE_Q/PAD_VALUE sentinels at "
+            f"±1e6) — use the XLA matcher for tolerances >= {PALLAS_TOL_MAX}"
+        )
     q, active, use2 = match_jax.prepare_query(
         query, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
     )

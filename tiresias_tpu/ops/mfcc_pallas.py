@@ -133,7 +133,8 @@ def _fast_mfcc() -> bool:
     )
 
 
-def _mfcc_chain(frames, dft_re_ref, dft_im_ref, mel_ref, dct_ref):
+def _mfcc_chain(frames, dft_re_ref, dft_im_ref, mel_ref, dct_ref, *,
+                fast: bool = False):
     """The shared windowed-DFT → |·| → mel → log → DCT → 10·log10|·| body
     of BOTH kernels (frame-materialising and in-kernel-framing) — one
     definition so a numerics change cannot silently break their bitwise
@@ -142,10 +143,12 @@ def _mfcc_chain(frames, dft_re_ref, dft_im_ref, mel_ref, dct_ref):
     HIGHEST precision on every dot: default TPU matmul truncates inputs
     to bf16, visible as ±0.03 in the log-log fingerprint domain — the
     same requirement as the XLA path (mfcc_jax.py / PARITY.md §2).
-    TIRESIAS_FAST_MFCC trades that for throughput (see _fast_mfcc)."""
-    hi = (
-        jax.lax.Precision.DEFAULT if _fast_mfcc() else jax.lax.Precision.HIGHEST
-    )
+    TIRESIAS_FAST_MFCC trades that for throughput; the flag is read
+    ONCE at the entry point and threaded here as a static arg — reading
+    the env var at trace time would let already-traced shapes keep the
+    old mode while new shapes pick up the new one, silently mixing
+    precisions within one process (see _fast_mfcc)."""
+    hi = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
     re = jnp.dot(frames, dft_re_ref[...], preferred_element_type=jnp.float32, precision=hi)
     im = jnp.dot(frames, dft_im_ref[...], preferred_element_type=jnp.float32, precision=hi)
     mag = jnp.sqrt(re * re + im * im)
@@ -165,13 +168,14 @@ def _mfcc_chain(frames, dft_re_ref, dft_im_ref, mel_ref, dct_ref):
     )
 
 
-def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref, out_ref):
+def _mfcc_kernel(frames_ref, dft_re_ref, dft_im_ref, mel_ref, dct_ref,
+                 out_ref, *, fast: bool):
     out_ref[...] = _mfcc_chain(
-        frames_ref[...], dft_re_ref, dft_im_ref, mel_ref, dct_ref
+        frames_ref[...], dft_re_ref, dft_im_ref, mel_ref, dct_ref, fast=fast
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "fast"))
 def _mfcc_rows(
     frames: jax.Array,
     dft_re: jax.Array,
@@ -179,6 +183,7 @@ def _mfcc_rows(
     mel_t: jax.Array,
     dct_t: jax.Array,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """[R, win] windowless frames → [R, Cp] fingerprint values (R % 256 == 0)."""
     r, win = frames.shape
@@ -187,7 +192,7 @@ def _mfcc_rows(
     cp = dct_t.shape[1]
     grid = (r // ROW_TILE,)
     return pl.pallas_call(
-        _mfcc_kernel,
+        functools.partial(_mfcc_kernel, fast=fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((ROW_TILE, win), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -210,7 +215,7 @@ def _mfcc_rows(
 
 
 def _framing_kernel(chunks_hbm, re_ref, im_ref, mel_ref, dct_ref, out_ref,
-                    scratch, sem, *, tile_f: int):
+                    scratch, sem, *, tile_f: int, fast: bool):
     """One row tile with IN-KERNEL framing: DMA ``tile_f + 8`` hop-chunks
     of raw PCM from HBM (the +8 keeps the slice 8-row aligned and covers
     the one-chunk right halo), assemble the overlapping 512-sample frames
@@ -231,11 +236,14 @@ def _framing_kernel(chunks_hbm, re_ref, im_ref, mel_ref, dct_ref, out_ref,
     frames = jnp.concatenate(
         [cur[:tile_f, :], shifted[:tile_f, :]], axis=1
     )
-    out_ref[...] = _mfcc_chain(frames, re_ref, im_ref, mel_ref, dct_ref)
+    out_ref[...] = _mfcc_chain(
+        frames, re_ref, im_ref, mel_ref, dct_ref, fast=fast
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hop", "win", "n_coefs", "tile_f", "interpret")
+    jax.jit,
+    static_argnames=("hop", "win", "n_coefs", "tile_f", "interpret", "fast"),
 )
 def _fingerprint_framed(
     pcm: jax.Array,
@@ -248,6 +256,7 @@ def _fingerprint_framed(
     n_coefs: int,
     tile_f: int = ROW_TILE,
     interpret: bool = False,
+    fast: bool = False,
 ) -> jax.Array:
     """``pcm [B, S]`` float32 → ``[B, F, n_coefs]`` with framing fused into
     the kernel (no frame tensor ever touches HBM)."""
@@ -262,7 +271,7 @@ def _fingerprint_framed(
     # DMA slice 8-row aligned
     pcm_p = jnp.pad(pcm, ((0, 0), (hop, (f_pad - f + 7) * hop)))
     chunks = pcm_p.reshape(b, f_pad + 8, hop)
-    kern = functools.partial(_framing_kernel, tile_f=tile_f)
+    kern = functools.partial(_framing_kernel, tile_f=tile_f, fast=fast)
     out = pl.pallas_call(
         kern,
         grid=(b, t),
@@ -318,6 +327,7 @@ def fingerprint_padded_batch_pallas(
     from tiresias_tpu.ops.mfcc_jax import to_float_pcm
 
     dft_re, dft_im, mel_t, dct_t = _device_constants(dsp, int(samplerate))
+    fast = _fast_mfcc()  # read ONCE here; static through the jit caches
     pcm = to_float_pcm(jnp.asarray(pcm))
     b, s = pcm.shape
     f = s // dsp.hop_size
@@ -329,7 +339,7 @@ def fingerprint_padded_batch_pallas(
         return _fingerprint_framed(
             pcm, dft_re, dft_im, mel_t, dct_t,
             dsp.hop_size, dsp.buf_size, dsp.n_coefs,
-            tile_f=ROW_TILE, interpret=interpret,
+            tile_f=ROW_TILE, interpret=interpret, fast=fast,
         )
     frames = frames_from_pcm(pcm, dsp.hop_size, dsp.buf_size).reshape(
         b * f, dsp.buf_size
@@ -339,6 +349,6 @@ def fingerprint_padded_batch_pallas(
     if rows_pad != rows:
         frames = jnp.pad(frames, ((0, rows_pad - rows), (0, 0)))
     out = _mfcc_rows(
-        frames, dft_re, dft_im, mel_t, dct_t, interpret=interpret
+        frames, dft_re, dft_im, mel_t, dct_t, interpret=interpret, fast=fast
     )
     return out[:rows, : dsp.n_coefs].reshape(b, f, dsp.n_coefs)
