@@ -14,8 +14,16 @@ import pytest
 
 
 def pytest_collection_modifyitems(config, items):
-    from tiresias_tpu.utils.platform import is_tpu
+    from tiresias_tpu.utils.platform import backend_alive, is_tpu
 
+    # a dead tunnel relay hangs backend init forever — probe bounded
+    # BEFORE is_tpu() touches jax.devices(), so the suite skips instead
+    # of freezing collection (one attempt: a skip costs nothing)
+    if not backend_alive(timeout=90.0, attempts=1):
+        skip = pytest.mark.skip(reason="default backend unreachable")
+        for item in items:
+            item.add_marker(skip)
+        return
     if is_tpu():
         return
     skip = pytest.mark.skip(reason="requires a real TPU backend")

@@ -431,3 +431,35 @@ def test_sharded_fused_dispatch_on_device(rng, tmp_path):
     finally:
         sharding_mod.sharded_votes_pallas = real
     assert calls == [(False, False), (True, False)]  # compiled, not interpret
+
+
+def test_device_ranked_top1_on_device(rng, tmp_path):
+    """The device-side top-1 reduction (engine._device_ranked_batch) on
+    the real chip: multi-tier store, exact agreement with the full-votes
+    ranking including a true cross-tier vote tie (D5 first-inserted
+    wins)."""
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.utils.audio import synth_tone
+
+    eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    eng.create_context("c")
+    tone = synth_tone(440, 8192 / SR, SR)  # 32 hops exactly (no pad frame)
+    eng.add_audio_pcm("c", "long_first", synth_tone(440, 6.0, SR), SR)
+    eng.add_audio_pcm("c", "short_second", tone, SR)
+    for i in range(6):
+        eng.add_audio_pcm("c", f"f{i}", synth_tone(700 + 90 * i, 1.0, SR), SR)
+    assert len(eng.store.search_views()) == 2
+    kw = dict(coefs=2, tolerance=0.01, trunc_coef1=False)
+    r = eng.search_pcm("c", tone, SR, **kw)
+    topk = eng.search_pcm_topk("c", tone, SR, k=2, **kw)
+    assert topk[0].match_count == topk[1].match_count  # a true tie
+    assert r.name == "long_first" == topk[0].name
+    assert r.match_count == topk[0].match_count == r.frame_count
+    # distinct winners agree with the full-votes path per query
+    for i in range(6):
+        q = synth_tone(700 + 90 * i, 1.0, SR)
+        rd = eng.search_pcm("c", q, SR, **kw)
+        rk = eng.search_pcm_topk("c", q, SR, k=1, **kw)[0]
+        assert (rd.name, rd.match_count) == (rk.name, rk.match_count)
+    eng.close()
