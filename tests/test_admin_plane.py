@@ -414,3 +414,52 @@ class TestReadOnlyListingFallback:
                 holder["server"].stop(), holder["loop"]
             ).result(timeout=10)
             eng.close()
+
+
+class TestLiveSearch:
+    def test_admin_search_op_over_protocol(self, served):
+        """One-shot recognition against the RUNNING server's store — the
+        dialplan app's operational model (application_handler.c:180)
+        without a per-invocation cold restore."""
+        import base64
+
+        server, eng, config, media = served
+        pcm = synth_tone(500, 1.0, SR)
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+        with AdminClient("127.0.0.1", server.port) as client:
+            reply = client.admin(
+                "search", context="m",
+                pcm=base64.b64encode(i16.tobytes()).decode(),
+                samplerate=SR,
+            )
+        result = reply["result"]
+        assert result["TIRSTATUS"] == "FOUND"
+        assert result["TIRFILENAME"] == "tone1.wav"
+        assert "CONFIDENCE" in result
+
+    def test_cli_search_proxies_to_live_server(
+        self, served, capsys, tmp_path, monkeypatch
+    ):
+        """`tiresias search` must run against the live store when a server
+        owns the data dir (and never build a second engine)."""
+        from tiresias_tpu import cli
+        from tiresias_tpu.utils.audio import write_wav
+
+        server, eng, config, media = served
+        query = tmp_path / "q.wav"
+        write_wav(str(query), synth_tone(700, 1.0, SR), SR)
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={config.data_dir}\ncoefs=2\n"
+            f"tolerance=0.01\ntrunc_coef1=no\n\n[m]\ndirectory={media}\n"
+        )
+
+        def no_engine(*a, **k):
+            raise AssertionError("offline engine built despite live server")
+
+        monkeypatch.setattr(cli, "_engine", no_engine)
+        rc = cli.main(["-c", str(conf), "search", "m", str(query)])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "TIRSTATUS=FOUND" in out and "tone2.wav" in out
+        assert "CONFIDENCE=" in out

@@ -290,8 +290,6 @@ def cmd_create(args) -> int:
 
 
 def cmd_search(args) -> int:
-    # read-only: a one-shot recognition must work alongside a live server
-    eng = _engine(args, exclusive=False)
     kwargs = dict(
         coefs=args.coefs,
         tolerance=args.tolerance,
@@ -300,6 +298,30 @@ def cmd_search(args) -> int:
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
     )
+    config = _config(args)
+    if args.top is None:
+        # a RUNNING server answers one-shot searches against its live
+        # store (the dialplan app's operational model — the reference
+        # searches inside the owning module process) without this
+        # process paying a cold engine restore of the whole checkpoint
+        proxy = _proxy(config)
+        if proxy is not None:
+            from tiresias_tpu.serve.admin import AdminError
+
+            rc = None
+            try:
+                with proxy:
+                    rc = _search_via_server(proxy, args, kwargs)
+            except AdminError as exc:
+                if getattr(exc, "code", None) != "not_permitted":
+                    return _proxy_failed(exc)
+                # admin-gated server: fall through to the offline engine
+            except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+                return _proxy_failed(exc)
+            if rc is not None:
+                return rc
+    # read-only: a one-shot recognition must work alongside a live server
+    eng = _engine(args, exclusive=False)
     if args.top is not None:  # any explicit --top N prints the ranked table
         from tiresias_tpu.utils.audio import read_audio
 
@@ -358,6 +380,33 @@ def cmd_bench(args) -> int:
     spec.loader.exec_module(bench)
     bench.main()
     return 0
+
+
+def _search_via_server(proxy, args, kwargs) -> int:
+    """One-shot recognition proxied to the live server's store."""
+    import base64
+
+    import numpy as np
+
+    from tiresias_tpu.utils.audio import read_audio
+
+    pcm, sr = read_audio(args.file)
+    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    body = base64.b64encode(i16.tobytes()).decode()
+    from tiresias_tpu.serve.server import MAX_LINE_BYTES
+
+    if len(body) > MAX_LINE_BYTES - 4096:
+        return None  # too big for one protocol line — offline path serves it
+    payload = {
+        "context": args.context,
+        "pcm": body,
+        "samplerate": int(sr),
+    }
+    payload.update({k: v for k, v in kwargs.items() if v is not None})
+    result = proxy.admin("search", **payload)["result"]
+    for key, value in result.items():
+        print(f"{key}={value}")
+    return 0 if result.get("TIRSTATUS") == "FOUND" else 2
 
 
 def _top_n(value: str) -> int:

@@ -601,6 +601,36 @@ class RecognitionServer:
                 "created": report.created, "deduped": report.deduped,
                 "deleted": report.deleted, "failed": report.failed,
             }}}
+        if cmd == "search":
+            # one-shot recognition against the LIVE store — the dialplan
+            # app's operational model (runs in the owning process,
+            # /root/reference/src/application_handler.c:180) without a
+            # per-invocation cold engine restore. Read-only: allowed on
+            # read-only replicas too. PCM arrives base64 int16 like the
+            # streaming protocol; per-call knobs mirror search_pcm.
+            raw = base64.b64decode(msg["pcm"], validate=True)
+            if len(raw) > MAX_LINE_BYTES:
+                return {"error": "pcm too large", "code": "too_large"}
+            pcm = np.frombuffer(raw, dtype="<i2")
+            samplerate = int(msg.get("samplerate", self.recognizer.samplerate))
+            kwargs = {
+                k: msg[k]
+                for k in (
+                    "coefs", "tolerance", "freq_ignore_low",
+                    "freq_ignore_high", "trunc_coef1", "aligned",
+                    "filter_context",
+                )
+                if k in msg
+            }
+            context = msg.get("context")
+
+            def work():
+                return eng.search_pcm(context, pcm, samplerate, **kwargs)
+
+            result = await in_executor(work)
+            payload = result.to_channel_vars()
+            payload["CONFIDENCE"] = f"{result.confidence:.4f}"
+            return {"admin": {"result": payload}}
         if cmd == "save":
             await in_executor(eng.save)
             return {"admin": {"saved": True}}
