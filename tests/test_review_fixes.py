@@ -480,3 +480,88 @@ class TestKernelGateReviewFixes:
         monkeypatch.setenv("TIRESIAS_FAST_MFCC", "1")
         mp.fingerprint_padded_batch_pallas(pcm, 8000, interpret=True)
         assert calls == [False, True]
+
+
+class TestUtilsConfigReviewFixes:
+    """Round-3 utils/config review: INI interpolation, float WAVs in pure
+    Python, bounded metrics, failing-phase timing, empty-DB top1."""
+
+    def test_percent_in_config_value(self, tmp_path):
+        from tiresias_tpu.config import load_config
+
+        d = tmp_path / "100%tones"
+        d.mkdir()
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={tmp_path}/data\n\n[m]\ndirectory={d}\n"
+        )
+        cfg = load_config(str(conf))
+        assert cfg.contexts[0].directory.endswith("100%tones")
+
+    def test_hop_size_zero_rejected(self):
+        from tiresias_tpu.config import DspConfig
+
+        with pytest.raises(ValueError, match="hop_size"):
+            DspConfig(hop_size=0)
+        with pytest.raises(ValueError, match="hop_size"):
+            DspConfig(hop_size=-256)
+
+    def test_float32_wav_pure_python(self, tmp_path, monkeypatch):
+        """IEEE-float WAVs (format 3) must decode without the native libs
+        (stdlib wave rejects them)."""
+        import struct
+        import wave as wave_mod
+
+        from tiresias_tpu.utils.audio import read_audio, synth_tone
+
+        monkeypatch.setenv("TIRESIAS_DISABLE_NATIVE", "1")
+        pcm = synth_tone(440, 0.25, 8000).astype("<f4")
+        raw = pcm.tobytes()
+        fmt = struct.pack("<HHIIHH", 3, 1, 8000, 8000 * 4, 4, 32)
+        body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(raw)) + raw)
+        path = tmp_path / "f32.wav"
+        path.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body))
+                         + b"WAVE" + body)
+        with pytest.raises(wave_mod.Error):
+            wave_mod.open(str(path), "rb")  # stdlib really can't read it
+        got, sr = read_audio(str(path))
+        assert sr == 8000
+        np.testing.assert_allclose(got, pcm, atol=1e-7)
+
+    def test_metrics_timings_bounded(self):
+        from tiresias_tpu.utils.tracing import Metrics
+
+        m = Metrics()
+        for i in range(Metrics.MAX_SAMPLES + 500):
+            m.record_time("x", float(i))
+        snap = m.snapshot()
+        assert len(snap["timings"]["x"]) == Metrics.MAX_SAMPLES
+        # the WINDOW is the most recent samples
+        assert snap["timings"]["x"][0] == 500.0
+
+    def test_phase_records_on_raise(self):
+        from tiresias_tpu.utils.tracing import metrics, phase
+
+        before = len(metrics.snapshot()["timings"].get("boom.phase", ()))
+        with pytest.raises(RuntimeError):
+            with phase("boom.phase"):
+                raise RuntimeError("x")
+        after = len(metrics.snapshot()["timings"].get("boom.phase", ()))
+        assert after == before + 1
+
+    def test_top1_empty_db(self):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops import match_jax
+
+        best, count = match_jax.top1(jnp.zeros((3, 0), jnp.int32))
+        assert list(np.asarray(best)) == [-1, -1, -1]
+        assert list(np.asarray(count)) == [0, 0, 0]
+        # and through search_batch's public contract
+        db = np.zeros((0, 128, 2), np.float32)
+        mask = np.zeros((0, 128), bool)
+        q = np.zeros((2, 8, 2), np.float32)
+        b, c, votes = match_jax.search_batch(db, mask, q, np.array([8, 8]))
+        assert list(np.asarray(b)) == [-1, -1]
+        assert votes.shape == (2, 0)

@@ -54,6 +54,8 @@ class DspConfig:
     n_coefs: int = DEF_N_COEFS
 
     def __post_init__(self) -> None:
+        if self.hop_size < 1:
+            raise ValueError("hop_size must be a positive sample count")
         if self.buf_size % self.hop_size != 0:
             raise ValueError("buf_size must be a multiple of hop_size")
         if self.n_coefs < 1 or self.n_coefs > self.n_filters:
@@ -119,7 +121,9 @@ def load_config(path: str) -> TiresiasConfig:
     section without a ``directory`` key is skipped
     (/root/reference/src/app_tiresias.c:299-304).
     """
-    parser = configparser.ConfigParser()
+    # no interpolation: the reference's Asterisk INI treats '%' as a
+    # literal character (a directory named '100%tones' is legal)
+    parser = configparser.ConfigParser(interpolation=None)
     read = parser.read(path)
     if not read:
         raise FileNotFoundError(path)

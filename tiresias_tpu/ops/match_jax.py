@@ -192,6 +192,14 @@ def top1(votes: jax.Array, audio_filter: jax.Array | None = None):
     the documented extension over the reference's global scan, PARITY.md D7).
     best_index is -1 when no audio got a vote.
     """
+    b = votes.shape[0]
+    if votes.shape[1] == 0:
+        # empty DB: argmax over a zero-length axis raises — the contract
+        # is best=-1, count=0 (nothing can match nothing)
+        return (
+            jnp.full((b,), -1, jnp.int32),
+            jnp.zeros((b,), votes.dtype),
+        )
     if audio_filter is not None:
         votes = jnp.where(audio_filter[None, :], votes, 0)
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)

@@ -72,12 +72,22 @@ def read_wav(path: str, *, prefer_native: bool = True) -> tuple[np.ndarray, int]
 
 
 def read_wav_py(path: str) -> tuple[np.ndarray, int]:
-    with wave.open(path, "rb") as wf:
-        n_channels = wf.getnchannels()
-        sampwidth = wf.getsampwidth()
-        samplerate = wf.getframerate()
-        n_frames = wf.getnframes()
-        raw = wf.readframes(n_frames)
+    try:
+        with wave.open(path, "rb") as wf:
+            n_channels = wf.getnchannels()
+            sampwidth = wf.getsampwidth()
+            samplerate = wf.getframerate()
+            n_frames = wf.getnframes()
+            raw = wf.readframes(n_frames)
+    except wave.Error as exc:
+        # stdlib wave rejects IEEE-float WAVs ("unknown format: 3") —
+        # parse those ourselves so a pure-Python install (no native libs)
+        # still reads standard float WAVs; anything else re-raises the
+        # original error so read_audio's codec fallback proceeds
+        try:
+            return _read_float_wav(path)
+        except ValueError:
+            raise exc from None
 
     if sampwidth == 2:
         data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
@@ -98,6 +108,50 @@ def read_wav_py(path: str) -> tuple[np.ndarray, int]:
         raise ValueError(f"unsupported WAV sample width {sampwidth} in {path}")
 
     if n_channels > 1:
+        data = data.reshape(-1, n_channels).mean(axis=1)
+    return data, samplerate
+
+
+def _read_float_wav(path: str) -> tuple[np.ndarray, int]:
+    """Minimal RIFF parser for IEEE-float WAVs (format tag 3, or
+    WAVE_FORMAT_EXTENSIBLE wrapping it), which the stdlib ``wave`` module
+    rejects. Raises ValueError for anything that is not a float WAV."""
+    with open(path, "rb") as f:
+        hdr = f.read(12)
+        if len(hdr) < 12 or hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = raw = None
+        while True:
+            chunk = f.read(8)
+            if len(chunk) < 8:
+                break
+            cid = chunk[:4]
+            size = int.from_bytes(chunk[4:8], "little")
+            payload = f.read(size)
+            if cid == b"fmt ":
+                fmt = payload
+            elif cid == b"data":
+                raw = payload
+            if size % 2:  # chunks are word-aligned
+                f.seek(1, 1)
+    if fmt is None or raw is None or len(fmt) < 16:
+        raise ValueError(f"malformed WAV: {path}")
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    samplerate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag == 0xFFFE and len(fmt) >= 26:
+        tag = int.from_bytes(fmt[24:26], "little")  # extensible subformat
+    if tag != 3:
+        raise ValueError(f"not an IEEE-float WAV: {path}")
+    if bits == 32:
+        data = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+    elif bits == 64:
+        data = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported float WAV bit depth {bits} in {path}")
+    if n_channels > 1:
+        data = data[: len(data) - len(data) % n_channels]
         data = data.reshape(-1, n_channels).mean(axis=1)
     return data, samplerate
 

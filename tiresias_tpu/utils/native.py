@@ -96,12 +96,12 @@ def decode_wav(path: str) -> tuple[np.ndarray, int] | None:
         return None
     samplerate = ctypes.c_int(0)
     n_samples = ctypes.c_long(0)
-    rc = lib.tir_wav_info(path.encode(), ctypes.byref(samplerate), ctypes.byref(n_samples))
+    rc = lib.tir_wav_info(os.fsencode(path), ctypes.byref(samplerate), ctypes.byref(n_samples))
     if rc != 0:
         return None
     out = np.empty(n_samples.value, dtype=np.float32)
     rc = lib.tir_wav_decode(
-        path.encode(),
+        os.fsencode(path),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_long(out.size),
     )
@@ -115,7 +115,7 @@ def md5_file(path: str) -> str | None:
     if lib is None:
         return None
     buf = ctypes.create_string_buffer(33)
-    rc = lib.tir_md5_file(path.encode(), buf)
+    rc = lib.tir_md5_file(os.fsencode(path), buf)
     if rc != 0:
         return None
     return buf.value.decode()
@@ -190,7 +190,7 @@ def decode_audio(path: str) -> tuple[np.ndarray, int] | None:
     n = ctypes.c_long(0)
     samplerate = ctypes.c_int(0)
     rc = lib.tir_decode_audio(
-        path.encode(), ctypes.byref(out), ctypes.byref(n),
+        os.fsencode(path), ctypes.byref(out), ctypes.byref(n),
         ctypes.byref(samplerate),
     )
     if rc != 0:
@@ -217,7 +217,7 @@ def encode_audio(path: str, pcm: np.ndarray, samplerate: int) -> bool:
         return False
     pcm = np.ascontiguousarray(np.asarray(pcm, dtype=np.float32))
     rc = lib.tir_encode_audio(
-        path.encode(),
+        os.fsencode(path),
         pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         ctypes.c_long(pcm.size),
         ctypes.c_int(int(samplerate)),

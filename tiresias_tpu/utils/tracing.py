@@ -12,16 +12,25 @@ from __future__ import annotations
 import contextlib
 import threading
 import time
-from collections import defaultdict
+from collections import defaultdict, deque
 
 
 class Metrics:
     """Process-wide counters and latency records (thread-safe)."""
 
+    # per-phase sample cap: a serving process records one sample per
+    # scored window forever — unbounded lists are a slow memory leak and
+    # make every stats snapshot copy ever-growing data. A sliding window
+    # also keeps the percentiles RECENT (a p50 over millions of ancient
+    # samples hides a regression).
+    MAX_SAMPLES = 4096
+
     def __init__(self) -> None:
         self._lock = threading.Lock()
         self.counters: dict[str, float] = defaultdict(float)
-        self.timings: dict[str, list[float]] = defaultdict(list)
+        self.timings: dict[str, deque] = defaultdict(
+            lambda: deque(maxlen=self.MAX_SAMPLES)
+        )
 
     def add(self, name: str, value: float = 1.0) -> None:
         with self._lock:
@@ -60,7 +69,11 @@ def phase(name: str, record: bool = True):
     except Exception:  # pragma: no cover - jax always present in this env
         ctx = contextlib.nullcontext()
     start = time.perf_counter()
-    with ctx:
-        yield
-    if record:
-        metrics.record_time(name, time.perf_counter() - start)
+    try:
+        with ctx:
+            yield
+    finally:
+        # record failures too: p95/p99 must not silently exclude exactly
+        # the slow/raising requests they exist to expose
+        if record:
+            metrics.record_time(name, time.perf_counter() - start)
