@@ -46,8 +46,9 @@ class TestDeviceRankedParity:
         eng.add_audio_pcm("c", "short_second", tone, SR)
         assert len(eng.store.search_views()) == 2  # really two tiers
         r = eng.search_pcm("c", tone, SR, **_strict())
-        # the full-votes path (topk uses it) must agree exactly, tie
-        # included
+        # CONTROL: the full-votes host-ranked path must agree exactly,
+        # tie included (device top-k forced off for the control)
+        eng._device_ranked_topk = lambda *a, **kw: None
         topk = eng.search_pcm_topk("c", tone, SR, k=2, **_strict())
         assert topk[0].match_count == topk[1].match_count  # a true tie
         assert r.status == "FOUND" and r.name == "long_first"
@@ -111,6 +112,29 @@ class TestDeviceRankedParity:
         assert eng.delete_audio(uuid)
         r = eng.search_pcm("c", synth_tone(900, 1.0, SR), SR, **_strict())
         assert r.name != "b"
+
+    def test_topk_device_matches_full_votes(self, eng):
+        """Device top-k (lax.top_k per view + host merge) must equal the
+        full-votes lexsort ranking, across tiers and including ties."""
+
+        tone = synth_tone(440, 8192 / SR, SR)
+        eng.add_audio_pcm("c", "long_first", synth_tone(440, 6.0, SR), SR)
+        eng.add_audio_pcm("c", "short_second", tone, SR)
+        for i in range(5):
+            eng.add_audio_pcm(
+                "c", f"f{i}", synth_tone(700 + 90 * i, 1.0, SR), SR
+            )
+        for q in (tone, synth_tone(790, 1.0, SR)):
+            dev = eng.search_pcm_topk("c", q, SR, k=4, **_strict())
+            saved = eng._device_ranked_topk
+            eng._device_ranked_topk = lambda *a, **kw: None
+            try:
+                host = eng.search_pcm_topk("c", q, SR, k=4, **_strict())
+            finally:
+                eng._device_ranked_topk = saved
+            assert [(r.name, r.match_count) for r in dev] == [
+                (r.name, r.match_count) for r in host
+            ]
 
     def test_batch_matches_singletons(self, eng):
         for i in range(4):

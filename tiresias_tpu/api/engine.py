@@ -210,6 +210,22 @@ def _top1_scored(votes, seq):
 _top1_scored_fn = None
 
 
+@_functools.lru_cache(maxsize=64)
+def _topk_scored_fn(k: int):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(v, s):
+        tv, ti = jax.lax.top_k(v, k)  # ties → lower row index, which IS
+        # per-tier insertion order (append-only rows, order-preserving
+        # compaction) — so each view's k candidates are its exact
+        # lexicographic (votes desc, seq asc) top-k
+        return tv, jnp.take(s, ti), ti.astype(jnp.int32)
+
+    return run
+
+
 class Tiresias:
     """TPU-native audio fingerprinting engine (the framework's front door)."""
 
@@ -609,6 +625,13 @@ class Tiresias:
         """Ranked top-k candidates for one query (documented extension —
         the reference returns only the top-1 row, fp_handler.c:367-373).
         Only audios with at least one vote appear."""
+        fast = self._device_ranked_topk(
+            context, np.asarray(pcm), samplerate, k, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned,
+        )
+        if fast is not None:
+            return fast
         votes_all, entries, n_frames = self._compute_votes(
             context, [np.asarray(pcm)], samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -1110,6 +1133,80 @@ class Tiresias:
                 self._found(views[v].entries[int(got[v][2][i])], fc, count)
             )
         return results
+
+    def _device_ranked_topk(
+        self,
+        context: str | None,
+        pcm: np.ndarray,
+        samplerate: int,
+        k: int,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        filter_context: bool,
+        trunc_coef1: bool | None,
+        aligned: bool | None,
+    ) -> list[SearchResult] | None:
+        """Top-k computed ON DEVICE: each view reduces to three [1, k]
+        arrays (lax.top_k values + gathered insertion seqs + rows) — the
+        k·V-candidate merge happens on host, never the [1, A] votes row
+        (see _device_ranked_batch for the fallback conditions). Within a
+        view, top_k's lower-index tiebreak IS per-tier insertion order,
+        so each view's candidates are its exact lexicographic top-k and
+        the union is a superset of the global top-k."""
+        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
+         aligned) = self._resolve_search(
+            coefs, tolerance, freq_ignore_low, freq_ignore_high,
+            trunc_coef1, aligned,
+        )
+        if filter_context and context is not None:
+            return None
+        views = self.store.search_views()
+        if not views or any(v.segments for v in views):
+            return None
+        pcms, samplerate = self._resample_queries([pcm], samplerate)
+        with phase("search.fingerprint"):
+            qfp, n_frames = fingerprint_signals_async(
+                pcms, samplerate, self.config.dsp
+            )
+        use_lattice = coefs == 1 and trunc_coef1 and not aligned
+        on_tpu = _on_tpu() and self.mesh is None
+        sharded_mode = (
+            _sharded_pallas_mode(self.mesh) if self.mesh is not None else None
+        )
+        f_q = int(qfp.shape[1])
+        per_view = []
+        with phase("search.match"):
+            for view in views:
+                # prefilter=False: top-k listings need every audio's TRUE
+                # score, not just the certified winner's
+                votes = self._votes_for_view(
+                    view, qfp, n_frames, f_q, coefs, tolerance,
+                    freq_ignore_low, freq_ignore_high, trunc_coef1,
+                    aligned, False, use_lattice, on_tpu, sharded_mode,
+                )
+                kk = min(int(k), int(votes.shape[1]))
+                per_view.append(
+                    _topk_scored_fn(kk)(votes, self.store.seq_for(view))
+                )
+            import jax
+
+            got = jax.device_get(per_view)
+        metrics.add("search.queries", 1)
+        fc = int(np.asarray(n_frames)[0])
+        cands = []  # (-votes, seq, view, row): sort() IS the D5 order
+        for v, (tv, ts, ti) in enumerate(got):
+            for j in range(tv.shape[1]):
+                votes_j = int(tv[0, j])
+                if votes_j <= 0:
+                    continue
+                cands.append((-votes_j, int(ts[0, j]), v, int(ti[0, j])))
+        cands.sort()
+        return [
+            self._found(views[v].entries[row], fc, -negv)
+            for negv, _seq, v, row in cands[: int(k)]
+        ]
 
     def search_file(
         self,
