@@ -565,3 +565,58 @@ class TestUtilsConfigReviewFixes:
         b, c, votes = match_jax.search_batch(db, mask, q, np.array([8, 8]))
         assert list(np.asarray(b)) == [-1, -1]
         assert votes.shape == (2, 0)
+
+
+class TestCheckpointRotationSafety:
+    """Round-3 store review: a corrupt current catalog must never rotate
+    over the good .bak, and resumed lineages must never overwrite a
+    successor's committed segment files."""
+
+    def _store(self, names):
+        s = FingerprintStore(n_coefs=2)
+        s.create_context("c")
+        for i, n in enumerate(names):
+            s.add_audio(n, "c", _fp(5, i), f"h{n}")
+        return s
+
+    def test_corrupt_current_not_rotated_over_good_bak(self, tmp_path):
+        d = str(tmp_path)
+        s = self._store(["a"])
+        s.save(d)
+        s.add_audio("b", "c", _fp(6, 9), "hb")
+        s.save(d)  # current=gen2(a,b), .bak=gen1(a)
+        (tmp_path / "catalog.json").write_text("junk")  # current corrupt
+        loaded = FingerprintStore.load(d, n_coefs=2)  # falls back to .bak
+        assert sorted(e.name for e in loaded.entries) == ["a"]
+        loaded.add_audio("c2", "c", _fp(7, 3), "hc")
+        loaded.save(d)  # must NOT rotate the junk over the good .bak
+        # the new current is fine...
+        now = FingerprintStore.load(d, n_coefs=2)
+        assert sorted(e.name for e in now.entries) == ["a", "c2"]
+        # ...and if IT gets corrupted, the fallback still restores the
+        # pre-corruption good generation (data survived two fault rounds)
+        (tmp_path / "catalog.json").write_text("junk")
+        fb = FingerprintStore.load(d, n_coefs=2)
+        assert sorted(e.name for e in fb.entries) == ["a"]
+
+    def test_resumed_lineage_never_overwrites_successor_segments(
+        self, tmp_path
+    ):
+        d = str(tmp_path)
+        a = self._store(["a1"])
+        a.save(d)  # a considers d its save dir now
+        b = FingerprintStore.load(d, n_coefs=2)  # successor takes over
+        b.add_audio("b1", "c", _fp(6, 5), "hb1")
+        b.save(d)  # b's generation becomes current
+        # the old lineage resumes saving WITHOUT re-loading: its files
+        # must land in a HIGHER generation, not overwrite b's
+        a.add_audio("a2", "c", _fp(6, 6), "ha2")
+        a.save(d)
+        # b's generation was rotated to .bak; corrupting a's current must
+        # restore b's data intact (same rows b committed)
+        (tmp_path / "catalog.json").write_text("junk")
+        fb = FingerprintStore.load(d, n_coefs=2)
+        assert sorted(e.name for e in fb.entries) == ["a1", "b1"]
+        np.testing.assert_array_equal(
+            fb.get_fingerprint(fb.entries[1].uuid), _fp(6, 5)
+        )

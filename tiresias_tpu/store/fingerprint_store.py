@@ -171,6 +171,34 @@ def _fsync_dir(directory: str) -> None:
         os.close(fd)
 
 
+def _readable_catalog(path: str) -> bool:
+    """Whether a catalog generation parses — the rotation guard: a corrupt
+    current catalog must never be rotated over a good ``.bak``."""
+    try:
+        with open(path) as f:
+            json.load(f)
+        return True
+    except Exception:  # noqa: BLE001 - any unreadable generation
+        return False
+
+
+def _put_replicated(arr, mesh):
+    """A host array as a device array, REPLICATED on ``mesh`` (or plain
+    when mesh is None). The one placement rule every mesh-aware helper
+    here shares: in multi-controller mode a process-local ``jnp.asarray``
+    mixed with a global sharded array is rejected, so replicated operands
+    must be placed via ``put_global``."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray(arr)
+    from jax.sharding import PartitionSpec
+
+    from tiresias_tpu.parallel.distributed import put_global
+
+    return put_global(np.asarray(arr), mesh, PartitionSpec())
+
+
 def _bucket(n: int, multiple: int) -> int:
     return max(multiple, -(-n // multiple) * multiple)
 
@@ -236,17 +264,8 @@ def _combine_segment_rows(vm, groups, mesh=None):
         return vm
     import jax.numpy as jnp
 
-    def to_dev(arr):
-        if mesh is None:
-            return jnp.asarray(arr)
-        from jax.sharding import PartitionSpec
-
-        from tiresias_tpu.parallel.distributed import put_global
-
-        return put_global(np.asarray(arr), mesh, PartitionSpec())
-
     for g in groups:
-        rows = to_dev(np.asarray(list(g), np.int32))
+        rows = _put_replicated(np.asarray(list(g), np.int32), mesh)
         combined = jnp.min(vm[rows], axis=0)
         vm = vm.at[g[0]].set(combined)
         if len(g) > 1:
@@ -292,17 +311,7 @@ def _scatter_rows(buf, idx: np.ndarray, fill, mesh=None):
             spec = PartitionSpec("db", *([None] * (buf.ndim - 1)))
             fn = jax.jit(upd, out_shardings=NamedSharding(mesh, spec))
         _scatter_rows_fns[key] = fn
-    if mesh is None:
-        import jax.numpy as jnp
-
-        idx_dev = jnp.asarray(idx_p)
-    else:
-        from jax.sharding import PartitionSpec
-
-        from tiresias_tpu.parallel.distributed import put_global
-
-        idx_dev = put_global(idx_p, mesh, PartitionSpec())
-    return fn(buf, idx_dev)
+    return fn(buf, _put_replicated(idx_p, mesh))
 
 
 def _max_seg_gen(directory: str) -> int:
@@ -918,7 +927,6 @@ class FingerprintStore:
         from tiresias_tpu.utils import next_pow2
 
         k_pad = min(next_pow2(a - lo), old.db.shape[0] - lo)
-        hi = lo + k_pad
         new_rows = np.full((k_pad, t, self.n_coefs), PAD_VALUE, np.float32)
         new_rows[: a - lo] = tier.matrix[lo:a]
         n_frames = np.zeros(k_pad, dtype=np.int32)
@@ -932,16 +940,7 @@ class FingerprintStore:
         new_mask = np.arange(t)[None, :] < n_frames[:, None]
 
         def to_dev(arr: np.ndarray):
-            # meshed (possibly multi-host) views: the delta must be a
-            # GLOBAL replicated array — a process-local jnp.asarray mixed
-            # with a global buffer is rejected in multi-controller mode
-            if self.mesh is None:
-                return jnp.asarray(arr)
-            from jax.sharding import PartitionSpec
-
-            from tiresias_tpu.parallel.distributed import put_global
-
-            return put_global(arr, self.mesh, PartitionSpec())
+            return _put_replicated(arr, self.mesh)
 
         db = _update_rows(old.db, to_dev(new_rows), lo, self.mesh)
         mask = _update_rows(old.mask, to_dev(new_mask), lo, self.mesh)
@@ -1016,16 +1015,7 @@ class FingerprintStore:
                 view.db.shape[0], np.iinfo(np.int32).max, np.int32
             )
             seqs[: view.n_audios] = [e.seq for e in view.entries]
-        import jax.numpy as jnp
-
-        if self.mesh is None:
-            dev = jnp.asarray(seqs)
-        else:
-            from jax.sharding import PartitionSpec
-
-            from tiresias_tpu.parallel.distributed import put_global
-
-            dev = put_global(seqs, self.mesh, PartitionSpec())
+        dev = _put_replicated(seqs, self.mesh)
         with self._lock:
             if view.seq_dev is None:
                 view.seq_dev = dev
@@ -1240,10 +1230,13 @@ class FingerprintStore:
         with self._lock:
             os.makedirs(directory, exist_ok=True)
             fresh = directory != self._save_dir
-            if fresh:
-                # never collide with files an unrelated lineage in this
-                # directory may still reference (immutability invariant)
-                self._save_gen = max(self._save_gen, _max_seg_gen(directory))
+            # never collide with files another lineage in this directory
+            # may still reference (immutability invariant). Checked on
+            # EVERY save, not just fresh ones: a process that previously
+            # owned this directory and later resumes saving (without the
+            # engine's lock discipline) must not overwrite a successor
+            # lineage's committed segments with same-named files.
+            self._save_gen = max(self._save_gen, _max_seg_gen(directory))
             self._save_gen += 1
             gen = self._save_gen
             manifest: dict[int, list[list]] = {}
@@ -1309,7 +1302,20 @@ class FingerprintStore:
             if os.path.exists(cat_path):
                 if fresh:
                     self._pair_legacy_backup(directory, cat_path)
-                os.replace(cat_path, cat_path + ".bak")
+                if _readable_catalog(cat_path):
+                    os.replace(cat_path, cat_path + ".bak")
+                else:
+                    # the outgoing current generation is CORRUPT (this
+                    # store restored from .bak, or a fresh lineage saves
+                    # over a damaged directory): rotating it would clobber
+                    # the last-known-good backup and _gc_segments would
+                    # then unlink that generation's files — a transient
+                    # read error must never become permanent data loss
+                    log.warning(
+                        "not rotating corrupt catalog over the good "
+                        "backup generation in %s", directory,
+                    )
+                    os.unlink(cat_path)
             os.replace(cat_tmp, cat_path)
             _fsync_dir(directory)
         except BaseException:
@@ -1352,6 +1358,16 @@ class FingerprintStore:
 
         tmp = legacy + ".bak.tmp"
         shutil.copyfile(legacy, tmp)
+        # fsync the copied DATA before the rename: the fallback pair this
+        # function exists to keep consistent must survive power loss too
+        # (save()'s directory fsync persists only the name)
+        fd = os.open(tmp, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        except OSError:
+            pass
+        finally:
+            os.close(fd)
         os.replace(tmp, legacy + ".bak")
 
     @staticmethod
