@@ -151,3 +151,48 @@ class TestDeviceRankedParity:
             assert (b.name, b.match_count, b.frame_count) == (
                 s.name, s.match_count, s.frame_count
             )
+
+
+class TestRandomizedDeviceVsHostRank:
+    def test_random_configs_agree(self, eng):
+        """Seeded sweep: random noise corpus over two tiers, random search
+        configs (coefs/tolerance/truncation/aligned/bands) — the
+        device-ranked result must equal the full-votes host ranking for
+        every single one."""
+        rng = np.random.default_rng(42)
+        for i in range(6):
+            dur = float(rng.uniform(0.5, 1.5))
+            pcm = (0.3 * rng.standard_normal(int(dur * SR))).astype(np.float32)
+            eng.add_audio_pcm("c", f"n{i}", pcm, SR)
+        for i in range(2):
+            pcm = (0.3 * rng.standard_normal(int(5.5 * SR))).astype(np.float32)
+            eng.add_audio_pcm("c", f"big{i}", pcm, SR)
+        assert len(eng.store.search_views()) == 2
+
+        def host_search(q, **kw):
+            saved_b = eng._device_ranked_batch
+            saved_k = eng._device_ranked_topk
+            eng._device_ranked_batch = lambda *a, **k: None
+            eng._device_ranked_topk = lambda *a, **k: None
+            try:
+                return eng.search_pcm("c", q, SR, **kw)
+            finally:
+                eng._device_ranked_batch = saved_b
+                eng._device_ranked_topk = saved_k
+
+        for trial in range(12):
+            q = (0.3 * rng.standard_normal(SR)).astype(np.float32)
+            kw = dict(
+                coefs=int(rng.integers(1, 3)),
+                tolerance=float(rng.choice([0.01, 0.1, 1.0])),
+                trunc_coef1=bool(rng.integers(2)),
+                aligned=bool(rng.integers(2)),
+            )
+            if rng.integers(2):
+                kw["freq_ignore_low"] = int(rng.integers(0, 4))
+                kw["freq_ignore_high"] = int(rng.integers(4, 10))
+            dev = eng.search_pcm("c", q, SR, **kw)
+            host = host_search(q, **kw)
+            assert (dev.status, dev.name, dev.match_count, dev.frame_count) \
+                == (host.status, host.name, host.match_count,
+                    host.frame_count), (trial, kw)
