@@ -43,6 +43,13 @@ def main() -> int:
             "duration_ms": 3000,
         }) + "\n")
         f.flush()
+        opened = json.loads(f.readline())
+        if not opened.get("opened"):
+            # e.g. at_capacity — streaming into a never-opened channel
+            # would be silently dropped and the result wait would time out
+            print(f"open rejected: {opened.get('error', opened)}",
+                  file=sys.stderr)
+            return 1
         for off in range(0, len(pcm), frame_bytes):
             f.write(json.dumps({
                 "op": "pcm", "channel": "demo",
@@ -54,6 +61,9 @@ def main() -> int:
         f.flush()
         for line in f:
             msg = json.loads(line)
+            if "error" in msg:
+                print(f"server error: {msg['error']}", file=sys.stderr)
+                return 1
             if "result" in msg:
                 for key, value in msg["result"].items():
                     print(f"{key}={value}")

@@ -69,6 +69,38 @@ def _to_bool(value, name: str) -> bool | None:
     raise ValueError(f"{name} must be a boolean, got {value!r}")
 
 
+def _drop_front(chunks: list, n: int) -> list:
+    """The chunk list minus its first ``n`` samples — views only, no
+    sample is ever copied (the scorer's slide must be cheap under the
+    global lock)."""
+    out: list = []
+    for i, c in enumerate(chunks):
+        if n >= len(c):
+            n -= len(c)
+            continue
+        out.append(c[n:] if n else c)
+        out.extend(chunks[i + 1:])
+        break
+    return out
+
+
+def _head_concat(chunks: list, need: int) -> np.ndarray:
+    """The first ``need`` samples of a chunk list as one array — copies
+    exactly ``need`` samples (not the whole buffer) and runs OUTSIDE the
+    recognizer lock."""
+    parts: list = []
+    got = 0
+    for c in chunks:
+        if got >= need:
+            break
+        take = c if got + len(c) <= need else c[: need - got]
+        parts.append(take)
+        got += len(take)
+    if not parts:
+        return np.zeros(0, np.float32)
+    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+
 @dataclasses.dataclass
 class ChannelState:
     """One live stream (the per-call state the reference keeps on its
@@ -265,8 +297,11 @@ class StreamingRecognizer:
                 and not state.closed
                 and state.buffered >= state.needed_samples
             ):
-                pcm = np.concatenate(state.chunks)
-                window = pcm[: state.needed_samples]
+                # pointer snapshot only; the O(samples) copy happens
+                # below, outside the lock (same rule as _take_ready)
+                window = state.chunks
+        if window is not None:
+            window = _head_concat(window, state.needed_samples)
         if state is None or state.closed:
             return None
         if window is not None:
@@ -322,31 +357,40 @@ class StreamingRecognizer:
     # ------------------------------------------------------------------ #
 
     def _take_ready(self) -> list[tuple[ChannelState, np.ndarray, int]]:
-        """(state, window, window_index) per channel with a full window."""
-        ready: list[tuple[ChannelState, np.ndarray, int]] = []
+        """(state, window, window_index) per channel with a full window.
+
+        The lock protects only O(chunks) POINTER work — snapshotting each
+        ready channel's chunk list and sliding it by hop via views. The
+        O(samples) concatenation happens OUTSIDE the lock: pushes arrive
+        on the asyncio event loop, and copying ~12 MB for 128 ready 3 s
+        channels under the global lock would stall every connection's IO
+        for the duration of each scorer tick."""
+        taken: list[tuple[ChannelState, list, int]] = []
         with self._lock:
             for state in list(self._channels.values()):
                 need = state.needed_samples
                 if state.buffered < need or state.closed:
                     continue
-                pcm = np.concatenate(state.chunks) if state.chunks else np.zeros(0)
-                window = pcm[:need]
+                chunks = state.chunks
                 if state.continuous:
-                    # slide by hop: keep duration−hop samples of history for
-                    # overlapping windows; when hop exceeds what's buffered,
-                    # carry the shortfall as debt so window spacing stays
-                    # exactly one hop regardless of scorer timing
+                    # slide by hop: keep duration−hop samples of history
+                    # for overlapping windows; when hop exceeds what's
+                    # buffered, carry the shortfall as debt so window
+                    # spacing stays exactly one hop regardless of scorer
+                    # timing. _drop_front slices views, it never copies.
                     hop = state.hop_samples
-                    rest = pcm[hop:]
-                    state.skip_debt += max(0, hop - len(pcm))
-                    state.chunks = [rest] if len(rest) else []
-                    state.buffered = len(rest)
+                    state.skip_debt += max(0, hop - state.buffered)
+                    state.chunks = _drop_front(chunks, hop)
+                    state.buffered = max(0, state.buffered - hop)
                 else:
                     state.closed = True
                     del self._channels[state.channel_id]
                 state.windows_taken += 1
-                ready.append((state, window, state.windows_taken - 1))
-        return ready
+                taken.append((state, chunks, state.windows_taken - 1))
+        return [
+            (state, _head_concat(chunks, state.needed_samples), idx)
+            for state, chunks, idx in taken
+        ]
 
     def process_ready(self) -> dict[str, SearchResult]:
         """Score every channel that has a full window — ONE batched device

@@ -13,7 +13,9 @@ import tempfile
 
 import numpy as np
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tiresias_tpu.api import Tiresias
 from tiresias_tpu.config import TiresiasConfig
@@ -69,7 +71,7 @@ def main() -> None:
     print(f"corpus: {len(names)} clips x {CLIP_S}s", file=sys.stderr)
 
     qn = int(QUERY_S * SR)
-    picks = rng.choice(n_clips, size=n_queries, replace=False)
+    picks = rng.choice(n_clips, size=min(n_queries, n_clips), replace=False)
     excerpts, truth = [], []
     for i in picks:
         off = rng.integers(0, int((CLIP_S - QUERY_S) * SR))

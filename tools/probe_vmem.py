@@ -51,11 +51,16 @@ def run_probe(t: int, f: int, coefs: int, aligned: bool) -> tuple[bool, str]:
     n_frames = rng.integers(t // 2, t, size=a)
     mask = np.arange(t)[None, :] < n_frames[:, None]
     db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+    valid = int(n_frames[3])
     q = db[3, 16 : 16 + f][None].copy()
-    if f > t - 16:  # query longer than the tier: synthesize the tail
+    if 16 + f > valid:
+        # the slice would include PAD_VALUE frames beyond the audio's
+        # valid length: the value-encoded Pallas matcher and the masked
+        # XLA matcher legitimately diverge on such a query (pad frames
+        # "match" pad frames by value) — synthesize real values instead
         q = np.concatenate(
-            [db[3, 16:][None],
-             rng.uniform(-40, 25, size=(1, f - (t - 16), max(coefs, 2)))],
+            [db[3, 16:valid][None],
+             rng.uniform(-40, 25, size=(1, f - (valid - 16), max(coefs, 2)))],
             axis=1,
         ).astype(np.float32)
     try:

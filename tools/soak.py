@@ -116,9 +116,16 @@ def client(
                 delay = next_t - time.monotonic()
                 if delay > 0:
                     time.sleep(delay)
+            n_before = len(results)
             f.write(json.dumps({"op": "hangup", "channel": f"c{channel}"}) + "\n")
             f.flush()
-            time.sleep(0.3)  # drain the last result
+            # the hangup ALWAYS answers (flush result or HANGUP ack) —
+            # wait for it instead of a fixed nap, or under load the last
+            # window of every client would be dropped from the stats
+            deadline = time.monotonic() + 10
+            while len(results) <= n_before and time.monotonic() < deadline:
+                time.sleep(0.05)
+            time.sleep(0.5)  # stragglers from still-in-flight passes
         # the final hangup legitimately answers HANGUP when the last window
         # is still partial — that is contract behavior, not a scored window
         results = [r for r in results if r.get("TIRSTATUS") != "HANGUP"]
@@ -219,14 +226,24 @@ def main() -> int:
 
     eng = build_engine()
     for b in warmup_batch_sizes(args.channels):
-        eng.warmup(samplerate=SR, batch_sizes=(b,))
+        # warm the ACTUAL window shape: a non-default --duration-ms in a
+        # different frame bucket would otherwise compile every batch
+        # shape mid-soak, stalling the measured run
+        eng.warmup(
+            samplerate=SR, batch_sizes=(b,), duration_ms=args.duration_ms
+        )
 
     holder: dict = {}
     started = threading.Event()
 
     def runner():
         async def amain():
-            srv = RecognitionServer(eng, port=0, samplerate=SR)
+            # fleet + hostile client both need slots: the default cap
+            # (128) would make --hostile at 128 channels fail spuriously
+            srv = RecognitionServer(
+                eng, port=0, samplerate=SR,
+                max_channels=args.channels + 8,
+            )
             await srv.start()
             holder["server"] = srv
             holder["loop"] = asyncio.get_running_loop()
