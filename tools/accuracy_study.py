@@ -51,6 +51,12 @@ def add_noise(pcm: np.ndarray, snr_db: float, rng) -> np.ndarray:
 
 
 def main() -> None:
+    from tiresias_tpu.utils.platform import ensure_live_backend
+
+    # a dead tunnel relay hangs backend init forever — degrade to CPU
+    # (accuracy numbers are backend-independent; only speed differs)
+    if ensure_live_backend() == "cpu":
+        print("default backend unreachable; running the study on CPU")
     n_clips = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
     rng = np.random.default_rng(99)

@@ -86,9 +86,11 @@ def main() -> int:
         aligned_kernel_fits,
         bag_kernel_fits,
     )
-    from tiresias_tpu.utils.platform import is_tpu
+    from tiresias_tpu.utils.platform import backend_alive, is_tpu
 
-    if not is_tpu():
+    # bounded probe BEFORE is_tpu() touches jax.devices(): a dead tunnel
+    # relay would hang this tool forever instead of exiting 2
+    if not backend_alive(timeout=90.0, attempts=1) or not is_tpu():
         print("probe_vmem: needs a real TPU backend", file=sys.stderr)
         return 2
 
