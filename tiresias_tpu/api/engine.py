@@ -411,6 +411,9 @@ class Tiresias:
         for view in self.store.search_views():
             if view.n_audios == 0:
                 continue
+            # the device-rank tiebreak key is tiny next to the maps but
+            # pays an H2D upload on first use — prebuild it too
+            self.store.seq_for(view)
             if lattice_mode:
                 # only the dialplan configuration routes through the
                 # lattice value map — other modes must not pay its
