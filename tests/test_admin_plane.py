@@ -463,3 +463,98 @@ class TestLiveSearch:
         assert rc == 0
         assert "TIRSTATUS=FOUND" in out and "tone2.wav" in out
         assert "CONFIDENCE=" in out
+
+
+class TestReplicaFollow:
+    def test_replica_follows_owner_checkpoints(self, tmp_path):
+        """An owner ingests and checkpoints; a read-only replica server
+        polls the checkpoint, swaps in each committed generation, and
+        answers searches for audios it never ingested itself."""
+        import base64
+        import time
+
+        media = tmp_path / "media"
+        media.mkdir()
+        write_wav(str(media / "a.wav"), synth_tone(440, 1.0, SR), SR)
+        config = TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
+            match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+            data_dir=str(tmp_path / "data"),
+        )
+        owner = Tiresias(config, exclusive=True)
+        owner.sync()  # checkpoints a.wav
+        replica = Tiresias(config, exclusive=False)
+        assert not replica.lock.held
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(
+                    replica, port=0, samplerate=SR, follow_interval=0.2
+                )
+                await srv.start()
+                holder["server"], holder["loop"] = (
+                    srv, asyncio.get_running_loop(),
+                )
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        threading.Thread(target=runner, daemon=True).start()
+        assert started.wait(10)
+        try:
+            # the owner commits a NEW audio after the replica started
+            write_wav(str(media / "b.wav"), synth_tone(900, 1.0, SR), SR)
+            owner.sync()
+            deadline = time.monotonic() + 15
+            while time.monotonic() < deadline:
+                if len(replica.store) == 2:
+                    break
+                time.sleep(0.1)
+            assert len(replica.store) == 2, "replica never followed"
+            # and the replica ANSWERS for the new audio over its socket
+            import socket
+
+            pcm = synth_tone(900, 1.0, SR)
+            i16 = np.clip(
+                np.round(pcm * 32768.0), -32768, 32767
+            ).astype("<i2")
+            with AdminClient(
+                "127.0.0.1", holder["server"].port
+            ) as client:
+                reply = client.admin(
+                    "search", context="m",
+                    pcm=base64.b64encode(i16.tobytes()).decode(),
+                    samplerate=SR,
+                )
+            assert reply["result"]["TIRFILENAME"] == "b.wav"
+            # mutations on the replica are refused
+            with AdminClient(
+                "127.0.0.1", holder["server"].port
+            ) as client:
+                import pytest as _pytest
+
+                from tiresias_tpu.serve.admin import AdminError
+
+                with _pytest.raises(AdminError, match="read-only"):
+                    client.admin("sync")
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(timeout=10)
+            replica.close()
+            owner.close()
+
+    def test_follow_mode_rejects_owner_engine(self, tmp_path):
+        cfg = TiresiasConfig(data_dir=str(tmp_path / "d"))
+        owner = Tiresias(cfg, restore=False, exclusive=True)
+        try:
+            with pytest.raises(ValueError, match="replica"):
+                RecognitionServer(owner, port=0, follow_interval=1.0)
+        finally:
+            owner.close()

@@ -346,6 +346,47 @@ class Tiresias:
             self.save()
             return report
 
+    def refresh_from_checkpoint(self) -> bool:
+        """Re-read the checkpoint and atomically swap in the new store
+        when the OWNER committed a newer generation — the read-only
+        REPLICA's follow path (``tiresias serve --replica --follow N``).
+
+        The owner checkpoints after every mutation; replicas poll this.
+        Generation comparison is a cheap catalog-metadata read (no
+        fingerprint deserialization when nothing changed). In-flight
+        searches keep their old store snapshot; the swap is one attribute
+        assignment. Returns True when a newer generation was loaded.
+        Owners return False (their store IS the source of truth), and an
+        unreadable checkpoint keeps serving the current store."""
+        if self.lock.held:
+            return False
+        try:
+            meta = FingerprintStore.read_catalog_metadata(self.checkpoint_dir)
+        except Exception:  # noqa: BLE001 - transient fault: keep serving
+            log.warning("follow: checkpoint metadata unreadable; keeping "
+                        "the current store")
+            return False
+        if meta is None or int(meta.get("gen", 0)) <= self.store._save_gen:
+            return False
+        try:
+            store = FingerprintStore.load(
+                self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs,
+                mesh=self.mesh,
+            )
+        except Exception:  # noqa: BLE001 - torn mid-rotation read etc.
+            log.warning("follow: checkpoint reload failed; keeping the "
+                        "current store", exc_info=True)
+            return False
+        for ctx in self.config.contexts:
+            store.create_context(ctx.name, ctx.directory)
+        self.store = store
+        self.warm_search_maps()
+        log.info(
+            "follow: refreshed store from checkpoint (gen %d, %d audios)",
+            store._save_gen, len(store),
+        )
+        return True
+
     def reload(self, config: TiresiasConfig | None = None) -> SyncReport:
         """Live config reload — adopt a new config and re-sync.
 

@@ -352,16 +352,33 @@ def cmd_serve(args) -> int:
     if args.watch is not None and args.watch <= 0:
         print("serve: --watch must be positive seconds", file=sys.stderr)
         return 2
-    try:
-        # the server must OWN the data dir: it checkpoints live mutations
-        eng = _engine(args, exclusive=True)
-    except DataDirLocked as exc:
-        return _locked_msg(exc)
-    eng.sync()
+    if args.follow is not None and args.follow <= 0:
+        print("serve: --follow must be positive seconds", file=sys.stderr)
+        return 2
+    if args.replica and args.watch is not None:
+        print("serve: --watch needs ownership; replicas use --follow",
+              file=sys.stderr)
+        return 2
+    if args.follow is not None and not args.replica:
+        print("serve: --follow requires --replica", file=sys.stderr)
+        return 2
+    if args.replica:
+        # read-only replica by choice (never touches the lock): the OWNER
+        # (another `tiresias serve` or the ingest CLI) mutates and
+        # checkpoints; this process serves reads and follows committed
+        # generations
+        eng = _engine(args, exclusive=False)
+    else:
+        try:
+            # the server must OWN the data dir: it checkpoints mutations
+            eng = _engine(args, exclusive=True)
+        except DataDirLocked as exc:
+            return _locked_msg(exc)
+        eng.sync()
     run_server(
         eng, host=args.host, port=args.port, samplerate=args.samplerate,
         max_channels=args.max_channels, admin=args.admin,
-        watch_interval=args.watch,
+        watch_interval=args.watch, follow_interval=args.follow,
     )
     return 0
 
@@ -507,6 +524,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="re-sync the media directories against the live store every "
         "SECONDS (the reference only syncs at module load; watch mode "
         "picks up added/removed files without a restart)",
+    )
+    sv.add_argument(
+        "--replica", action="store_true",
+        help="serve READ-ONLY from the checkpoint without taking data-dir "
+        "ownership (scale out reads next to an owning server/ingest)",
+    )
+    sv.add_argument(
+        "--follow", type=float, default=None, metavar="SECONDS",
+        help="with --replica: poll the owner's checkpoint every SECONDS "
+        "and swap in newer generations",
     )
     sv.set_defaults(func=cmd_serve)
     return p

@@ -82,6 +82,7 @@ class RecognitionServer:
         admin: str = "local",
         watch_interval: float | None = None,
         max_channels: int = 128,
+        follow_interval: float | None = None,
     ) -> None:
         """``admin``: who may issue ``op: "admin"`` mutations — ``"local"``
         (default: loopback peers only; the reference's CLI is equally
@@ -97,11 +98,27 @@ class RecognitionServer:
         ``watch_interval``: seconds between automatic directory re-syncs
         against the live store (None = off). The reference only syncs at
         module load (/root/reference/src/app_tiresias.c:66-123); a serving
-        deployment wants media directories picked up without a restart."""
+        deployment wants media directories picked up without a restart.
+
+        ``follow_interval``: seconds between checkpoint-refresh polls for
+        a READ-ONLY replica server (None = off) — the engine must NOT own
+        the data dir; the owner ingests and checkpoints, replicas swap in
+        each committed generation (engine.refresh_from_checkpoint) and
+        scale out read traffic."""
         if admin not in ("local", "any", "off"):
             raise ValueError("admin must be 'local', 'any', or 'off'")
         if watch_interval is not None and watch_interval <= 0:
             raise ValueError("watch_interval must be positive seconds")
+        if follow_interval is not None:
+            if follow_interval <= 0:
+                raise ValueError("follow_interval must be positive seconds")
+            if engine.lock.held:
+                raise ValueError(
+                    "follow mode is for read-only replicas; this engine "
+                    "OWNS the data dir (its store is the source of truth)"
+                )
+            if watch_interval is not None:
+                raise ValueError("watch and follow modes are exclusive")
         if max_channels < 1:
             raise ValueError("max_channels must be at least 1")
         self.max_channels = int(max_channels)
@@ -110,11 +127,13 @@ class RecognitionServer:
         self.port = port
         self.admin = admin
         self.watch_interval = watch_interval
+        self.follow_interval = follow_interval
         self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
         self._writers: dict[str, asyncio.StreamWriter] = {}
         self._server: asyncio.AbstractServer | None = None
         self._scorer: asyncio.Task | None = None
         self._watcher: asyncio.Task | None = None
+        self._follower: asyncio.Task | None = None
         self._conn_seq = 0
         # score passes currently running (shared with the hangup handler:
         # writer cleanup must wait for any pass that may still hold a
@@ -135,6 +154,8 @@ class RecognitionServer:
         self._scorer = asyncio.create_task(self._score_loop())
         if self.watch_interval is not None:
             self._watcher = asyncio.create_task(self._watch_loop())
+        if self.follow_interval is not None:
+            self._follower = asyncio.create_task(self._follow_loop())
         # advertise the admin endpoint so an offline CLI on this data dir
         # can proxy mutations here instead of racing the checkpoints
         # (reference live-CLI semantics, cli_handler.c:26-31)
@@ -178,6 +199,10 @@ class RecognitionServer:
             self._watcher.cancel()
             with contextlib.suppress(asyncio.CancelledError):
                 await self._watcher
+        if self._follower is not None:
+            self._follower.cancel()
+            with contextlib.suppress(asyncio.CancelledError):
+                await self._follower
 
     # ------------------------------------------------------------------ #
 
@@ -257,6 +282,27 @@ class RecognitionServer:
                 raise
             except Exception:  # noqa: BLE001 - the watcher must never die
                 log.exception("watch sync failed; continuing")
+
+    async def _follow_loop(self) -> None:
+        """Replica follow: poll the owner's checkpoint and swap in newer
+        generations (engine.refresh_from_checkpoint). Runs off the event
+        loop; a failed refresh logs and keeps serving the current store."""
+        loop = asyncio.get_running_loop()
+        while True:
+            await asyncio.sleep(self.follow_interval)
+            try:
+                refreshed = await loop.run_in_executor(
+                    None, self.engine.refresh_from_checkpoint
+                )
+                if refreshed:
+                    log.info(
+                        "follow: now serving %d audios",
+                        len(self.engine.store),
+                    )
+            except asyncio.CancelledError:
+                raise
+            except Exception:  # noqa: BLE001 - the follower must never die
+                log.exception("follow refresh failed; continuing")
 
     async def _send_result(self, channel_id: str, result: SearchResult) -> None:
         # never pops: several pipelined passes may each deliver a window
@@ -678,7 +724,7 @@ def warmup_batch_sizes(max_channels: int) -> tuple[int, ...]:
 def run_server(
     engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
     samplerate: int = 8000, max_channels: int = 128, admin: str = "local",
-    watch_interval: float | None = None,
+    watch_interval: float | None = None, follow_interval: float | None = None,
 ) -> None:
     """Blocking entry point (the `tiresias serve` CLI command).
 
@@ -702,6 +748,7 @@ def run_server(
         server = RecognitionServer(
             engine, host, port, samplerate, admin=admin,
             watch_interval=watch_interval, max_channels=max_channels,
+            follow_interval=follow_interval,
         )
         await server.start()
         stop_ev = asyncio.Event()

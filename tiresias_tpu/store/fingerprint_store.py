@@ -1460,6 +1460,7 @@ class FingerprintStore:
                 return {
                     "contexts": dict(catalog["contexts"]),
                     "entries": list(catalog["entries"]),
+                    "gen": int(catalog.get("gen", 0)),
                 }
             except CheckpointIncompatible:
                 raise
