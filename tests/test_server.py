@@ -180,6 +180,8 @@ class TestProtocol:
         stats = replies[0]["stats"]
         assert stats["audios"] == 4
         assert "counters" in stats and "channels" in stats
+        # generation/owner let an operator confirm replica catch-up
+        assert stats["generation"] >= 0 and stats["owner"] in (True, False)
 
     def test_two_clients_same_channel_name(self, server):
         pcm_a = synth_tone(300, 0.7, SR)  # tone0

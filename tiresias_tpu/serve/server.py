@@ -502,6 +502,10 @@ class RecognitionServer:
                 return {
                     "channels": self.recognizer.n_channels,
                     "audios": len(self.engine.store),
+                    # checkpoint generation being served: lets an operator
+                    # confirm a --follow replica has caught up to the owner
+                    "generation": self.engine.store._save_gen,
+                    "owner": self.engine.lock.held,
                     "counters": snap["counters"],
                     "search_p50_ms": _p50_ms(snap, "search.match"),
                 }
