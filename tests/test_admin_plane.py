@@ -558,3 +558,23 @@ class TestReplicaFollow:
                 RecognitionServer(owner, port=0, follow_interval=1.0)
         finally:
             owner.close()
+
+
+class TestAdminSearchF32:
+    def test_f32_payload_matches_offline(self, served):
+        """The CLI proxy ships float32 PCM so a proxied search is
+        bit-identical to the offline one (int16 quantization could flip
+        frames at a tolerance boundary)."""
+        import base64
+
+        server, eng, config, media = served
+        pcm = synth_tone(700, 1.0, SR).astype("<f4")
+        with AdminClient("127.0.0.1", server.port) as client:
+            reply = client.admin(
+                "search", context="m",
+                pcm=base64.b64encode(pcm.tobytes()).decode(),
+                dtype="f32", samplerate=SR,
+            )
+        offline = eng.search_pcm("m", pcm, SR)
+        assert reply["result"]["TIRFILENAME"] == "tone2.wav"
+        assert int(reply["result"]["TIRMATCHCOUNT"]) == offline.match_count

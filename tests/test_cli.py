@@ -153,3 +153,15 @@ class TestCliReviewFixes:
         with pytest.raises(SystemExit):
             cli.main(["-c", env["conf"], "search", "media", "x.wav",
                       "--top=-3"])
+
+
+class TestShowBeforeFirstCheckpoint:
+    def test_configured_context_lists_before_ingest(self, env, capsys):
+        """A configured-but-never-ingested data dir must list its
+        contexts (empty audio table, rc 0) — the catalog-only read merges
+        config contexts exactly like engine construction does."""
+        rc, out = run(capsys, "-c", env["conf"], "show", "contexts")
+        assert rc == 0
+        assert any(line.startswith("media") for line in out.splitlines())
+        rc, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
+        assert rc == 0 and len(out.splitlines()) == 1  # header only

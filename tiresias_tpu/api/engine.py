@@ -466,8 +466,12 @@ class Tiresias:
                 and self.mesh is None
                 # necessary condition for the prefilter to ever dispatch:
                 # the rescore runs the aligned kernel on this tier (f=1 is
-                # the most permissive query length)
-                and aligned_kernel_fits(view.tier_frames, 1, mc.coefs)
+                # the most permissive query length); a_pad must match the
+                # search-time gate or warm start builds maps the dispatch
+                # never uses
+                and aligned_kernel_fits(
+                    view.tier_frames, 1, mc.coefs, int(view.db.shape[0])
+                )
                 and view.db.shape[0] > 2 * PREFILTER_K
                 and not view.segments
             ):
@@ -945,15 +949,6 @@ class Tiresias:
                 if self.mesh is not None
                 else None
             )
-            from tiresias_tpu.ops.match_pallas import (
-                aligned_kernel_fits,
-                bag_kernel_fits,
-            )
-
-            # shapes beyond the fused kernels' measured SMEM/VMEM budgets
-            # (very long windows, hours-long audio tiers) run the exact,
-            # slower XLA matcher instead of failing Mosaic compilation
-            # mid-request — see the budget notes in ops.match_pallas
             f_q = int(qfp.shape[1])
             for view in views:
                 votes = self._votes_for_view(
@@ -1098,6 +1093,52 @@ class Tiresias:
             )
         return votes
 
+    def _device_rank_setup(
+        self, context, pcms, samplerate, coefs, tolerance,
+        freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+        aligned,
+    ) -> dict | None:
+        """Shared front half of BOTH device-ranked paths (top-1 and
+        top-k): resolve parameters, check the fallback conditions, and
+        fingerprint. One definition so the eligibility rules cannot
+        diverge between the two. Returns None when the search needs full
+        votes on host: context filtering (per-entry keep mask) or
+        auto-split audios (per-segment vote sums, D15)."""
+        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
+         aligned) = self._resolve_search(
+            coefs, tolerance, freq_ignore_low, freq_ignore_high,
+            trunc_coef1, aligned,
+        )
+        if filter_context and context is not None:
+            return None
+        views = self.store.search_views()
+        if not views or any(v.segments for v in views):
+            return None
+        pcms, samplerate = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate
+        )
+        with phase("search.fingerprint"):
+            qfp, n_frames = fingerprint_signals_async(
+                pcms, samplerate, self.config.dsp
+            )
+        return {
+            "views": views,
+            "qfp": qfp,
+            "n_frames": n_frames,
+            "n": len(pcms),
+            "vote_args": (
+                coefs, tolerance, freq_ignore_low, freq_ignore_high,
+                trunc_coef1, aligned,
+            ),
+            "dispatch": (
+                coefs == 1 and trunc_coef1 and not aligned,  # use_lattice
+                _on_tpu() and self.mesh is None,  # on_tpu
+                _sharded_pallas_mode(self.mesh)
+                if self.mesh is not None else None,
+            ),
+            "f_q": int(qfp.shape[1]),
+        }
+
     def _device_ranked_batch(
         self,
         context: str | None,
@@ -1117,39 +1158,22 @@ class Tiresias:
         per search (4 MB/query at 1M tracks) just to argmax it; here each
         view reduces to three ``[B]`` vectors on device — score (votes
         lexically combined with the D5 insertion key), winning votes, and
-        winning row — and only those cross the link. Returns None when the
-        search needs full votes on host: context filtering (per-entry
-        keep mask) or auto-split audios (per-segment vote sums, D15)."""
-        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
-         aligned) = self._resolve_search(
-            coefs, tolerance, freq_ignore_low, freq_ignore_high,
-            trunc_coef1, aligned,
+        winning row — and only those cross the link. Returns None when
+        _device_rank_setup says the search needs full votes on host."""
+        setup = self._device_rank_setup(
+            context, pcms, samplerate, coefs, tolerance, freq_ignore_low,
+            freq_ignore_high, filter_context, trunc_coef1, aligned,
         )
-        if filter_context and context is not None:
+        if setup is None:
             return None
-        views = self.store.search_views()
-        if not views or any(v.segments for v in views):
-            return None
-        pcms, samplerate = self._resample_queries(
-            [np.asarray(p) for p in pcms], samplerate
-        )
-        with phase("search.fingerprint"):
-            qfp, n_frames = fingerprint_signals_async(
-                pcms, samplerate, self.config.dsp
-            )
-        use_lattice = coefs == 1 and trunc_coef1 and not aligned
-        on_tpu = _on_tpu() and self.mesh is None
-        sharded_mode = (
-            _sharded_pallas_mode(self.mesh) if self.mesh is not None else None
-        )
-        f_q = int(qfp.shape[1])
+        views, qfp, n_frames = setup["views"], setup["qfp"], setup["n_frames"]
+        use_lattice, on_tpu, sharded_mode = setup["dispatch"]
         per_view = []
         with phase("search.match"):
             for view in views:
                 votes = self._votes_for_view(
-                    view, qfp, n_frames, f_q, coefs, tolerance,
-                    freq_ignore_low, freq_ignore_high, trunc_coef1,
-                    aligned, True, use_lattice, on_tpu, sharded_mode,
+                    view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
+                    True, use_lattice, on_tpu, sharded_mode,
                 )
                 per_view.append(
                     _top1_scored(votes, self.store.seq_for(view))
@@ -1157,7 +1181,7 @@ class Tiresias:
             import jax
 
             got = jax.device_get(per_view)
-        metrics.add("search.queries", len(pcms))
+        metrics.add("search.queries", setup["n"])
         n_frames = np.asarray(n_frames)
         # cross-view lexicographic combine in host int64: maximize votes,
         # tie → lowest seq. Seqs are globally unique, so the argmax picks
@@ -1199,36 +1223,22 @@ class Tiresias:
         view, top_k's lower-index tiebreak IS per-tier insertion order,
         so each view's candidates are its exact lexicographic top-k and
         the union is a superset of the global top-k."""
-        (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
-         aligned) = self._resolve_search(
-            coefs, tolerance, freq_ignore_low, freq_ignore_high,
-            trunc_coef1, aligned,
+        setup = self._device_rank_setup(
+            context, [pcm], samplerate, coefs, tolerance, freq_ignore_low,
+            freq_ignore_high, filter_context, trunc_coef1, aligned,
         )
-        if filter_context and context is not None:
+        if setup is None:
             return None
-        views = self.store.search_views()
-        if not views or any(v.segments for v in views):
-            return None
-        pcms, samplerate = self._resample_queries([pcm], samplerate)
-        with phase("search.fingerprint"):
-            qfp, n_frames = fingerprint_signals_async(
-                pcms, samplerate, self.config.dsp
-            )
-        use_lattice = coefs == 1 and trunc_coef1 and not aligned
-        on_tpu = _on_tpu() and self.mesh is None
-        sharded_mode = (
-            _sharded_pallas_mode(self.mesh) if self.mesh is not None else None
-        )
-        f_q = int(qfp.shape[1])
+        views, qfp, n_frames = setup["views"], setup["qfp"], setup["n_frames"]
+        use_lattice, on_tpu, sharded_mode = setup["dispatch"]
         per_view = []
         with phase("search.match"):
             for view in views:
                 # prefilter=False: top-k listings need every audio's TRUE
                 # score, not just the certified winner's
                 votes = self._votes_for_view(
-                    view, qfp, n_frames, f_q, coefs, tolerance,
-                    freq_ignore_low, freq_ignore_high, trunc_coef1,
-                    aligned, False, use_lattice, on_tpu, sharded_mode,
+                    view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
+                    False, use_lattice, on_tpu, sharded_mode,
                 )
                 kk = min(int(k), int(votes.shape[1]))
                 per_view.append(

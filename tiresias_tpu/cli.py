@@ -79,15 +79,22 @@ def _locked_msg(exc) -> int:
 def _catalog_metadata(config: TiresiasConfig) -> dict:
     """Catalog-only read for the offline listing commands: contexts and
     entries WITHOUT deserializing the fingerprint tiers (a multi-GB
-    checkpoint would otherwise load just to print a table)."""
+    checkpoint would otherwise load just to print a table).
+
+    Config-declared contexts are merged in (config wins on directory),
+    exactly as engine construction does (store.create_context after
+    restore) — a configured-but-not-yet-ingested context must list with
+    an empty table, not 'Could not find context info.'"""
     import os as _os
 
     from tiresias_tpu.store.fingerprint_store import FingerprintStore
 
     meta = FingerprintStore.read_catalog_metadata(
         _os.path.join(config.expanded_data_dir, "checkpoint")
-    )
-    return meta or {"contexts": {}, "entries": []}
+    ) or {"contexts": {}, "entries": []}
+    for ctx in config.contexts:
+        meta["contexts"][ctx.name] = ctx.directory
+    return meta
 
 
 def cmd_show_contexts(args) -> int:
@@ -407,9 +414,18 @@ def _search_via_server(proxy, args, kwargs) -> int:
 
     from tiresias_tpu.utils.audio import read_audio
 
-    pcm, sr = read_audio(args.file)
-    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
-    body = base64.b64encode(i16.tobytes()).decode()
+    try:
+        pcm, sr = read_audio(args.file)
+    except (OSError, ValueError) as exc:
+        # a local decode problem must not read as "the server failed"
+        print(f"cannot read {args.file}: {exc}", file=sys.stderr)
+        return 1
+    # float32 on the wire: quantizing to int16 here could flip frames
+    # sitting within quantization error of the tolerance band, making the
+    # proxied search differ from the offline one for >16-bit sources
+    body = base64.b64encode(
+        np.asarray(pcm, dtype="<f4").tobytes()
+    ).decode()
     from tiresias_tpu.serve.server import MAX_LINE_BYTES
 
     if len(body) > MAX_LINE_BYTES - 4096:
@@ -417,6 +433,7 @@ def _search_via_server(proxy, args, kwargs) -> int:
     payload = {
         "context": args.context,
         "pcm": body,
+        "dtype": "f32",
         "samplerate": int(sr),
     }
     payload.update({k: v for k, v in kwargs.items() if v is not None})

@@ -661,7 +661,13 @@ class RecognitionServer:
             raw = base64.b64decode(msg["pcm"], validate=True)
             if len(raw) > MAX_LINE_BYTES:
                 return {"error": "pcm too large", "code": "too_large"}
-            pcm = np.frombuffer(raw, dtype="<i2")
+            # dtype "f32" carries float PCM unquantized (the CLI proxy
+            # uses it so a proxied search is bit-identical to offline for
+            # >16-bit sources); default stays int16 like the pcm op
+            if msg.get("dtype", "i16") == "f32":
+                pcm = np.frombuffer(raw, dtype="<f4")
+            else:
+                pcm = np.frombuffer(raw, dtype="<i2")
             samplerate = int(msg.get("samplerate", self.recognizer.samplerate))
             kwargs = {
                 k: msg[k]
