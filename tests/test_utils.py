@@ -89,3 +89,10 @@ class TestHashing:
         path = tmp_path / "f.bin"
         path.write_bytes(b"abc")
         assert file_md5(str(path)) == "900150983cd24fb0d6963f7d28e17f72"
+
+
+def test_read_audio_missing_file_message(tmp_path):
+    from tiresias_tpu.utils.audio import read_audio
+
+    with pytest.raises(ValueError, match="no such file"):
+        read_audio(str(tmp_path / "ghost.wav"))

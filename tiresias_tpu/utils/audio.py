@@ -28,6 +28,10 @@ def read_audio(path: str) -> tuple[np.ndarray, int]:
     backend (/root/reference/src/fp_handler.c:604). Raises ValueError when
     the format is unsupported (codec library absent or undecodable file).
     """
+    if not os.path.exists(path):
+        # _is_riff_wave swallows OSError, so a missing file would fall
+        # through to a misleading "unsupported audio format"
+        raise ValueError(f"cannot read {path}: no such file")
     if _is_riff_wave(path):
         try:
             return read_wav(path)
