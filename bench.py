@@ -436,6 +436,54 @@ def bench_engine_search(n_tracks: int = 10_000) -> None:
         )
 
 
+def bench_device_rank(n_tracks: int = 100_000) -> None:
+    """The staged path's device-side top-1 vs the full-votes host
+    ranking, at a scale where the [1, A] readback matters (400 KB/query
+    at 100k tracks; 4 MB at 1M). Strict config (coefs=2, no truncation)
+    so dispatch takes the staged path, not the single-dispatch fused
+    lattice."""
+    import tempfile
+
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.utils.audio import synth_tone
+
+    sr = 8000
+    eng = Tiresias(
+        TiresiasConfig(data_dir=tempfile.mkdtemp(prefix="tir_bench_rank")),
+        restore=False,
+    )
+    eng.create_context("c")
+    rng = np.random.default_rng(5)
+    for i in range(n_tracks):
+        fp = rng.uniform(-30, 25, size=(128, 2)).astype(np.float32)
+        eng.store.add_audio(f"t{i}", "c", fp, f"r{i:08d}")
+    q = synth_tone(440, 3.0, sr)
+    kw = dict(coefs=2, tolerance=0.01, trunc_coef1=False)
+
+    def p50(label):
+        eng.search_pcm("c", q, sr, **kw)  # warm
+        times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            eng.search_pcm("c", q, sr, **kw)
+            times.append((time.perf_counter() - t0) * 1e3)
+        print(
+            f"[bench] device-rank @ {n_tracks} tracks, {label}: "
+            f"p50={np.percentile(times, 50):.2f} ms/query full-stack",
+            file=sys.stderr,
+        )
+
+    p50("device top-1 (O(B) readback)")
+    saved = eng._device_ranked_batch
+    eng._device_ranked_batch = lambda *a, **k: None
+    try:
+        p50("host ranking (full [1, A] readback)")
+    finally:
+        eng._device_ranked_batch = saved
+    eng.close()
+
+
 def bench_server_latency(
     n_tracks: int = 10_000, n_clients: int = 64, rounds: int = 8
 ) -> None:
@@ -753,6 +801,7 @@ def main() -> None:
         ("host-feed fingerprint", bench_fingerprint_hostfeed),
         ("search", bench_search_latency),
         ("engine search", bench_engine_search),
+        ("device rank", bench_device_rank),
         ("server", bench_server_latency),
         ("db build", bench_db_build),
         ("streams", bench_streams),
