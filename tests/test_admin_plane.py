@@ -578,3 +578,21 @@ class TestAdminSearchF32:
         offline = eng.search_pcm("m", pcm, SR)
         assert reply["result"]["TIRFILENAME"] == "tone2.wav"
         assert int(reply["result"]["TIRMATCHCOUNT"]) == offline.match_count
+
+
+class TestStatsProxy:
+    def test_cli_stats_proxies_to_live_server(
+        self, served, capsys, tmp_path
+    ):
+        from tiresias_tpu import cli
+
+        server, eng, config, media = served
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={config.data_dir}\n\n[m]\ndirectory={media}\n"
+        )
+        rc = cli.main(["-c", str(conf), "stats"])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "audios: 3" in out and "owner: True" in out
+        assert "generation:" in out

@@ -165,3 +165,13 @@ class TestShowBeforeFirstCheckpoint:
         assert any(line.startswith("media") for line in out.splitlines())
         rc, out = run(capsys, "-c", env["conf"], "show", "audios", "media")
         assert rc == 0 and len(out.splitlines()) == 1  # header only
+
+
+class TestStatsCommand:
+    def test_offline_stats_summary(self, env, capsys):
+        rc, out = run(capsys, "-c", env["conf"], "stats")
+        assert rc == 0 and "no running server" in out
+        assert "0 audios in 1 contexts" in out
+        run(capsys, "-c", env["conf"], "create")
+        rc, out = run(capsys, "-c", env["conf"], "stats")
+        assert rc == 0 and "3 audios in 1 contexts" in out

@@ -350,6 +350,30 @@ def cmd_search(args) -> int:
     return 0 if res.found else 2
 
 
+def cmd_stats(args) -> int:
+    """Operational snapshot: the RUNNING server's stats op when one owns
+    the data dir (channels, audios, checkpoint generation, search p50),
+    else a catalog-metadata summary — never a full store load."""
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is not None:
+        try:
+            with proxy:
+                stats = proxy.request({"op": "stats"})["stats"]
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
+        for key in ("channels", "audios", "generation", "owner",
+                    "search_p50_ms"):
+            print(f"{key}: {stats.get(key)}")
+        return 0
+    meta = _catalog_metadata(config)
+    print(
+        f"no running server; checkpoint generation {meta.get('gen', 0)}: "
+        f"{len(meta['entries'])} audios in {len(meta['contexts'])} contexts"
+    )
+    return 0
+
+
 def cmd_serve(args) -> int:
     from tiresias_tpu.serve.server import run_server
     from tiresias_tpu.utils.locking import DataDirLocked
@@ -521,6 +545,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     be = sub.add_parser("bench", help="run the benchmark harness")
     be.set_defaults(func=cmd_bench)
+
+    st = sub.add_parser(
+        "stats", help="running server's stats, or a checkpoint summary"
+    )
+    st.set_defaults(func=cmd_stats)
 
     sv = sub.add_parser("serve", help="run the TCP recognition service")
     sv.add_argument("--host", default="127.0.0.1")
