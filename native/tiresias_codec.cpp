@@ -18,7 +18,6 @@
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
-#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
@@ -66,20 +65,46 @@ struct DecodeCtx {
   }
 };
 
+// malloc-backed growable PCM sink: no C++ exception can escape the
+// ctypes boundary on allocation failure, and the finished buffer is
+// handed to the caller directly — no final vector->malloc memcpy of the
+// whole decoded file.
+struct PcmSink {
+  float* p = nullptr;
+  size_t len = 0, cap = 0;
+  ~PcmSink() { free(p); }
+  bool reserve(size_t need) {
+    if (len + need <= cap) return true;
+    size_t ncap = cap ? cap : (size_t)1 << 16;
+    while (ncap < len + need) {
+      if (ncap > (SIZE_MAX / sizeof(float)) / 2) return false;
+      ncap *= 2;
+    }
+    float* np = static_cast<float*>(realloc(p, ncap * sizeof(float)));
+    if (!np) return false;
+    p = np;
+    cap = ncap;
+    return true;
+  }
+  float* release() {
+    float* out = p;
+    p = nullptr;
+    return out;
+  }
+};
+
 // Convert one decoded frame to mono float32 and append to sink.
-int append_converted(SwrContext* swr, const AVFrame* frame,
-                     std::vector<float>* sink) {
+int append_converted(SwrContext* swr, const AVFrame* frame, PcmSink* sink) {
   int cap = swr_get_out_samples(swr, frame ? frame->nb_samples : 0);
   if (cap <= 0) return 0;
-  size_t base = sink->size();
-  sink->resize(base + (size_t)cap);
-  uint8_t* dst[1] = {reinterpret_cast<uint8_t*>(sink->data() + base)};
+  if (!sink->reserve((size_t)cap)) return AVERROR(ENOMEM);
+  uint8_t* dst[1] = {reinterpret_cast<uint8_t*>(sink->p + sink->len)};
   int got = swr_convert(swr, dst, cap,
                         frame ? const_cast<const uint8_t**>(frame->extended_data)
                               : nullptr,
                         frame ? frame->nb_samples : 0);
   if (got < 0) return got;
-  sink->resize(base + (size_t)got);
+  sink->len += (size_t)got;
   return 0;
 }
 
@@ -124,7 +149,16 @@ int tir_decode_audio(const char* path, float** out, long* n_samples,
   c.frame = av_frame_alloc();
   if (!c.pkt || !c.frame) return 10;
 
-  std::vector<float> pcm;
+  PcmSink pcm;
+  auto drain_frames = [&]() -> int {
+    for (;;) {
+      int rc = avcodec_receive_frame(c.dec, c.frame);
+      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) return 0;
+      if (rc < 0) return 13;
+      if (append_converted(c.swr, c.frame, &pcm) < 0) return 14;
+      av_frame_unref(c.frame);
+    }
+  };
   int rc;
   bool eof = false;
   while (!eof) {
@@ -137,25 +171,25 @@ int tir_decode_audio(const char* path, float** out, long* n_samples,
       av_packet_unref(c.pkt);
       continue;
     }
-    rc = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
-    if (!eof) av_packet_unref(c.pkt);
-    if (rc < 0 && rc != AVERROR(EAGAIN)) return 12;
+    // ffmpeg contract: EAGAIN from send_packet means "drain frames, then
+    // resend the SAME packet" — dropping it would silently lose audio
+    // (wrong fingerprints) with decoders that buffer several frames
     for (;;) {
-      rc = avcodec_receive_frame(c.dec, c.frame);
-      if (rc == AVERROR(EAGAIN) || rc == AVERROR_EOF) break;
-      if (rc < 0) return 13;
-      if (append_converted(c.swr, c.frame, &pcm) < 0) return 14;
-      av_frame_unref(c.frame);
+      rc = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
+      if (rc != AVERROR(EAGAIN)) break;
+      int dr = drain_frames();
+      if (dr != 0) return dr;
     }
+    if (!eof) av_packet_unref(c.pkt);
+    if (rc < 0 && !(eof && rc == AVERROR_EOF)) return 12;
+    int dr = drain_frames();
+    if (dr != 0) return dr;
   }
   if (append_converted(c.swr, nullptr, &pcm) < 0) return 15;  // drain swr
 
-  float* buf = static_cast<float*>(malloc(pcm.size() * sizeof(float)));
-  if (!buf && !pcm.empty()) return 16;
-  if (!pcm.empty()) memcpy(buf, pcm.data(), pcm.size() * sizeof(float));
-  *out = buf;
-  *n_samples = (long)pcm.size();
+  *n_samples = (long)pcm.len;
   *samplerate = c.dec->sample_rate;
+  *out = pcm.release();  // caller frees via tir_buffer_free
   return 0;
 }
 

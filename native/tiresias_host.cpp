@@ -16,6 +16,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <memory>
+#include <new>
 
 extern "C" {
 int tir_wav_info(const char* path, int* samplerate, long* n_samples);
@@ -58,11 +59,15 @@ bool parse_wav(FILE* f, WavFmt* out) {
     if (fread(chunk, 1, 8, f) != 8) break;
     uint32_t size = rd_u32(chunk + 4);
     if (memcmp(chunk, "fmt ", 4) == 0) {
+      if (size < 16) return false;  // a shorter fmt cannot hold the fields
       unsigned char fmt[40];
       size_t want = size < sizeof(fmt) ? size : sizeof(fmt);
       if (fread(fmt, 1, want, f) != want) return false;
-      if (size > want && fseek(f, (long)(size - want), SEEK_CUR) != 0)
-        return false;
+      // skip the remainder INCLUDING the RIFF odd-size pad byte (every
+      // branch must; a quirky writer's odd fmt size would otherwise
+      // misalign all following chunk headers)
+      long rest = (long)(((size + 1) & ~1u) - want);
+      if (rest > 0 && fseek(f, rest, SEEK_CUR) != 0) return false;
       out->format = rd_u16(fmt + 0);
       out->channels = rd_u16(fmt + 2);
       out->samplerate = rd_u32(fmt + 4);
@@ -76,9 +81,24 @@ bool parse_wav(FILE* f, WavFmt* out) {
     } else {
       if (fseek(f, (long)((size + 1) & ~1u), SEEK_CUR) != 0) break;
     }
-    if (size & 1) { /* padding handled above */ }
   }
-  return out->data_offset >= 0 && out->channels > 0 && out->samplerate > 0 &&
+  if (out->data_offset >= 0) {
+    // clamp the declared data size to what the file actually holds:
+    // streaming-convention WAVs write 0xFFFFFFFF (and truncated files
+    // lie), which would otherwise make the binding allocate gigabytes
+    if (fseek(f, 0, SEEK_END) == 0) {
+      long end = ftell(f);
+      if (end >= out->data_offset) {
+        uint64_t avail = (uint64_t)(end - out->data_offset);
+        if ((uint64_t)out->data_bytes > avail)
+          out->data_bytes = (uint32_t)avail;
+      }
+    }
+  }
+  // channel cap: bounds the decode chunk buffer (and no real audio
+  // exceeds it; a crafted 65535-channel header would demand ~17 GB)
+  return out->data_offset >= 0 && out->channels > 0 && out->channels <= 64 &&
+         out->samplerate > 0 &&
          (out->format == 1 || out->format == 3) &&
          (out->bits == 8 || out->bits == 16 || out->bits == 24 ||
           out->bits == 32);
@@ -115,7 +135,8 @@ int tir_wav_decode(const char* path, float* out, long capacity) {
   const long frame_bytes = (long)ch * bytes;
   constexpr long kChunkFrames = 65536;
   std::unique_ptr<unsigned char[]> buf(
-      new unsigned char[kChunkFrames * frame_bytes]);
+      new (std::nothrow) unsigned char[kChunkFrames * frame_bytes]);
+  if (!buf) return 6;  // never throw across the ctypes boundary
 
   long done = 0;
   while (done < frames) {
@@ -269,6 +290,7 @@ int tir_md5_file(const char* path, char* hex_out) {
   size_t got;
   while ((got = fread(buf, 1, sizeof(buf), f.get())) > 0)
     md5_update(&ctx, buf, got);
+  if (ferror(f.get())) return 2;  // a truncated digest must not look valid
   unsigned char digest[16];
   md5_final(&ctx, digest);
   static const char* hex = "0123456789abcdef";

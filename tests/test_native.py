@@ -106,3 +106,85 @@ class TestMd5:
         with open(path, "wb") as f:
             f.write(b"hello tiresias")
         assert file_md5(path) == hashlib.md5(b"hello tiresias").hexdigest()
+
+
+class TestMalformedWavs:
+    """Native-parser hardening (round-3 review): hostile/quirky WAV
+    headers must be rejected or clamped, never crash or misparse."""
+
+    @staticmethod
+    def _wav(fmt_payload: bytes, data: bytes, extra=b"") -> bytes:
+        import struct
+
+        body = (b"fmt " + struct.pack("<I", len(fmt_payload)) + fmt_payload
+                + (b"\x00" if len(fmt_payload) % 2 else b"")
+                + extra
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    @staticmethod
+    def _fmt(tag=1, ch=1, sr=8000, bits=16, trailing=b"") -> bytes:
+        import struct
+
+        block = min(ch * bits // 8, 0xFFFF)  # u16 field; the lie is fine
+        return struct.pack(
+            "<HHIIHH", tag, ch, sr, (sr * block) & 0xFFFFFFFF, block, bits
+        ) + trailing
+
+    def test_streaming_size_data_chunk_clamped(self, tmp_path):
+        """A streaming-convention data size (0xFFFFFFFF) must clamp to
+        the actual file content instead of driving a ~17 GB allocation."""
+        import struct
+
+        from tiresias_tpu.utils.native import available, decode_wav
+
+        if not available():
+            pytest.skip("native lib not built")
+        samples = (np.arange(64, dtype="<i2") * 100).tobytes()
+        body = (b"fmt " + struct.pack("<I", 16) + self._fmt()
+                + b"data" + struct.pack("<I", 0xFFFFFFFF) + samples)
+        path = tmp_path / "stream.wav"
+        path.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(body))
+                         + b"WAVE" + body)
+        decoded = decode_wav(str(path))
+        assert decoded is not None
+        pcm, sr = decoded
+        assert sr == 8000 and len(pcm) == 64
+        np.testing.assert_allclose(
+            pcm, np.arange(64, dtype=np.float32) * 100 / 32768.0
+        )
+
+    def test_odd_sized_fmt_chunk_alignment(self, tmp_path):
+        """An odd fmt size must skip its pad byte or every following
+        chunk header is read misaligned (the data chunk vanishes)."""
+        from tiresias_tpu.utils.native import available, decode_wav
+
+        if not available():
+            pytest.skip("native lib not built")
+        samples = (np.arange(32, dtype="<i2") * 50).tobytes()
+        path = tmp_path / "oddfmt.wav"
+        path.write_bytes(self._wav(self._fmt(trailing=b"\x07"), samples))
+        decoded = decode_wav(str(path))
+        assert decoded is not None
+        pcm, sr = decoded
+        assert sr == 8000 and len(pcm) == 32
+
+    def test_short_fmt_chunk_rejected(self, tmp_path):
+        from tiresias_tpu.utils.native import available, decode_wav
+
+        if not available():
+            pytest.skip("native lib not built")
+        path = tmp_path / "shortfmt.wav"
+        path.write_bytes(self._wav(b"\x01\x00", b"\x00" * 8))
+        assert decode_wav(str(path)) is None  # rejected, not garbage-parsed
+
+    def test_absurd_channel_count_rejected(self, tmp_path):
+        from tiresias_tpu.utils.native import available, decode_wav
+
+        if not available():
+            pytest.skip("native lib not built")
+        path = tmp_path / "manych.wav"
+        path.write_bytes(
+            self._wav(self._fmt(ch=65535, bits=32), b"\x00" * 64)
+        )
+        assert decode_wav(str(path)) is None

@@ -41,27 +41,34 @@ def _candidate_paths(
     return paths
 
 
+def _load_lib(name: str, env_var: str, bind):
+    """The one lazy loader both libraries share: env kill-switch, candidate
+    path walk, bind-or-skip. Returns the bound CDLL or None."""
+    if os.environ.get("TIRESIAS_DISABLE_NATIVE"):
+        return None
+    for path in _candidate_paths(name, env_var):
+        if not os.path.exists(path):
+            continue
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            continue  # e.g. runtime deps (ffmpeg) missing
+        try:
+            bind(lib)
+        except AttributeError:
+            continue
+        return lib
+    return None
+
+
 def _load() -> ctypes.CDLL | None:
     global _lib, _lib_tried
     with _lock:
-        if _lib_tried:
-            return _lib
-        _lib_tried = True
-        if os.environ.get("TIRESIAS_DISABLE_NATIVE"):
-            return None
-        for path in _candidate_paths():
-            if not os.path.exists(path):
-                continue
-            try:
-                lib = ctypes.CDLL(path)
-            except OSError:
-                continue
-            try:
-                _bind(lib)
-            except AttributeError:
-                continue
-            _lib = lib
-            break
+        if not _lib_tried:
+            _lib_tried = True
+            _lib = _load_lib(
+                "libtiresias_host.so", "TIRESIAS_NATIVE_LIB", _bind
+            )
         return _lib
 
 
@@ -133,26 +140,11 @@ _codec_tried = False
 def _load_codec() -> ctypes.CDLL | None:
     global _codec, _codec_tried
     with _lock:
-        if _codec_tried:
-            return _codec
-        _codec_tried = True
-        if os.environ.get("TIRESIAS_DISABLE_NATIVE"):
-            return None
-        for path in _candidate_paths(
-            "libtiresias_codec.so", "TIRESIAS_CODEC_LIB"
-        ):
-            if not os.path.exists(path):
-                continue
-            try:
-                lib = ctypes.CDLL(path)
-            except OSError:
-                continue  # e.g. ffmpeg runtime libs missing
-            try:
-                _bind_codec(lib)
-            except AttributeError:
-                continue
-            _codec = lib
-            break
+        if not _codec_tried:
+            _codec_tried = True
+            _codec = _load_lib(
+                "libtiresias_codec.so", "TIRESIAS_CODEC_LIB", _bind_codec
+            )
         return _codec
 
 
