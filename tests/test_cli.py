@@ -76,6 +76,56 @@ class TestCli:
         assert vars_["TIRFILENAME"] == "t1.wav"
         assert float(vars_["CONFIDENCE"]) == 1.0
 
+    def test_search_many_table(self, env, capsys):
+        run(capsys, "-c", env["conf"], "create")
+        rc, out = run(
+            capsys, "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t2.wav"),
+            os.path.join(env["dir"], "t0.wav"),
+            os.path.join(env["dir"], "t1.wav"),
+        )
+        assert rc == 0
+        lines = out.splitlines()
+        assert lines[0].split() == [
+            "File", "Status", "Name", "Votes", "Frames", "Confidence"]
+        # rows keep the argument order and each file self-matches
+        for row, name in zip(lines[1:], ("t2.wav", "t0.wav", "t1.wav")):
+            cols = row.split()
+            assert cols[0] == name and cols[1] == "FOUND" and cols[2] == name
+
+    def test_search_many_notfound_and_error_codes(self, env, capsys, tmp_path):
+        run(capsys, "-c", env["conf"], "create")
+        from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+        alien = tmp_path / "alien.wav"
+        write_wav(str(alien), synth_tone(2600, 0.8, SR), SR)
+        rc, out = run(
+            capsys, "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t0.wav"), str(alien),
+        )
+        assert rc == 2  # one NOTFOUND row
+        rows = out.splitlines()[1:]
+        assert rows[0].split()[1] == "FOUND"
+        assert rows[1].split()[:3] == ["alien.wav", "NOTFOUND", "-"]
+
+        rc, out = run(
+            capsys, "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t0.wav"), str(tmp_path / "missing.wav"),
+        )
+        assert rc == 1  # unreadable file wins the exit code
+        assert "ERROR" in out
+
+    def test_search_many_rejects_top(self, env, capsys):
+        run(capsys, "-c", env["conf"], "create")
+        rc = cli.main([
+            "-c", env["conf"], "search", "media",
+            os.path.join(env["dir"], "t0.wav"),
+            os.path.join(env["dir"], "t1.wav"),
+            "--top", "3",
+        ])
+        captured = capsys.readouterr()
+        assert rc == 1 and "--top supports a single file" in captured.err
+
     def test_search_topk_table(self, env, capsys):
         run(capsys, "-c", env["conf"], "create")
         rc, out = run(

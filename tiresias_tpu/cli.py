@@ -12,7 +12,7 @@ at module load; search only via dialplan):
     tiresias remove audio <uuid>
     tiresias remove context <name>
     tiresias create [<context>]        # directory sync/ingest
-    tiresias search <context> <wav>    # one-shot recognition
+    tiresias search <context> <wav>... # one-shot (or batched) recognition
     tiresias bench                     # quick local throughput check
 
 Config comes from ``--config tiresias.conf`` (same INI schema as
@@ -305,6 +305,13 @@ def cmd_search(args) -> int:
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
     )
+    files = args.file if isinstance(args.file, list) else [args.file]
+    if len(files) > 1:
+        if args.top is not None:
+            print("--top supports a single file", file=sys.stderr)
+            return 1
+        return _search_many(args, files, kwargs)
+    args.file = files[0]
     config = _config(args)
     if args.top is None:
         # a RUNNING server answers one-shot searches against its live
@@ -430,6 +437,58 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def _search_many(args, files, kwargs) -> int:
+    """Batched recognition over many files in one table.
+
+    Extension over the reference (its dialplan app recognizes one
+    recording at a time, /root/reference/src/application_handler.c:151-164);
+    all files sharing a samplerate go through the store in ONE batched
+    device pass (`search_pcm_batch`), which is where the TPU's batch
+    throughput shows up at the CLI. Read-only engine — works alongside a
+    live server. Exit code: 1 if any file was unreadable, else 2 if any
+    was NOTFOUND, else 0."""
+    from tiresias_tpu.utils.audio import read_audio
+
+    eng = _engine(args, exclusive=False)
+    errors: dict[int, str] = {}
+    by_rate: dict[int, list[tuple[int, "object"]]] = {}
+    for i, path in enumerate(files):
+        try:
+            pcm, sr = read_audio(path)
+        except (OSError, ValueError) as exc:
+            errors[i] = str(exc)
+            continue
+        by_rate.setdefault(int(sr), []).append((i, pcm))
+    results: dict[int, "object"] = {}
+    for sr, items in sorted(by_rate.items()):
+        batch = eng.search_pcm_batch(
+            args.context, [p for _, p in items], sr, **kwargs
+        )
+        for (i, _), res in zip(items, batch):
+            results[i] = res
+    print("%-30.30s %-9s %-45.45s %-7s %-7s %-10s" % (
+        "File", "Status", "Name", "Votes", "Frames", "Confidence"))
+    missed = False
+    for i, path in enumerate(files):
+        base = os.path.basename(path)
+        if i in errors:
+            print("%-30.30s %-9s %s" % (base, "ERROR", errors[i]))
+            continue
+        r = results[i]
+        print("%-30.30s %-9s %-45.45s %-7d %-7d %-10.4f" % (
+            base,
+            "FOUND" if r.found else "NOTFOUND",
+            r.name if r.found else "-",
+            r.match_count,
+            r.frame_count,
+            r.confidence,
+        ))
+        missed = missed or not r.found
+    if errors:
+        return 1
+    return 2 if missed else 0
+
+
 def _search_via_server(proxy, args, kwargs) -> int:
     """One-shot recognition proxied to the live server's store."""
     import base64
@@ -513,9 +572,14 @@ def build_parser() -> argparse.ArgumentParser:
     cr.add_argument("context", nargs="?")
     cr.set_defaults(func=cmd_create)
 
-    se = sub.add_parser("search", help="recognize a WAV file")
+    se = sub.add_parser("search", help="recognize one or more WAV files")
     se.add_argument("context")
-    se.add_argument("file")
+    se.add_argument(
+        "file",
+        nargs="+",
+        help="audio file(s); multiple files are recognized in one batched "
+        "device pass and printed as a table",
+    )
     se.add_argument("--coefs", type=int, default=None)
     se.add_argument("--tolerance", type=float, default=None)
     se.add_argument("--freq-ignore-low", type=int, default=-1)
