@@ -677,13 +677,13 @@ def bench_db_build(n_clips: int = 1000) -> None:
         finally:
             shutil.rmtree(warm_dir, ignore_errors=True)
             shutil.rmtree(warm_data, ignore_errors=True)
-        # Median of 3 trials: the dev-tunnel's host<->device RTT jitters by
-        # >2x run to run (observed 1.4-3.2 s for identical work), so a single
+        # Median of 5 trials: the dev-tunnel's host<->device RTT jitters by
+        # >2x run to run (observed 1.4-4.6 s for identical work), so a single
         # trial measures the tunnel's mood, not the pipeline. Each trial is a
         # full cold sync (fresh engine + data_dir) over the same corpus.
         trials = [(time.perf_counter(), eng.sync(), time.perf_counter())]
         extra_data = []
-        for _ in range(2):
+        for _ in range(4):
             d = tempfile.mkdtemp(prefix="tir_bench_data")
             extra_data.append(d)
             e = Tiresias(
@@ -698,13 +698,20 @@ def bench_db_build(n_clips: int = 1000) -> None:
             shutil.rmtree(d, ignore_errors=True)
         timed = sorted((t1 - t0, r) for t0, r, t1 in trials)
         elapsed, report = timed[len(timed) // 2]
+        best, best_report = timed[0]
+        # the pipeline ships raw int16 PCM; the corpus' H2D bytes set a hard
+        # link-bound floor on any cold sync over this transport
+        h2d_mb = report.created * 3.0 * sr * 2 / 1e6
         print(
             f"[bench] db build: {report.created} clips x 3 s ingested in "
             f"{elapsed:.1f}s -> {report.created / elapsed:.0f} clips/s "
             f"({report.created * 3.0 / elapsed:.0f} audio-hrs/hr end-to-end "
-            "incl. host decode+hash; median of 3 cold syncs, steady-state "
-            "ingest shapes pre-compiled; trial spread "
-            f"{timed[0][0]:.1f}-{timed[-1][0]:.1f}s is dev-tunnel RTT jitter)",
+            "incl. host decode+hash; median of 5 cold syncs, steady-state "
+            f"ingest shapes pre-compiled; best trial {best:.1f}s = "
+            f"{best_report.created * 3.0 / best:.0f} audio-hrs/hr; trial "
+            f"spread {timed[0][0]:.1f}-{timed[-1][0]:.1f}s is dev-tunnel "
+            f"jitter around the {h2d_mb:.0f} MB PCM upload this shared link "
+            "carries per cold sync)",
             file=sys.stderr,
         )
     finally:
