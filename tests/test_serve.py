@@ -165,3 +165,70 @@ class TestManyChannels:
         results = rec.process_ready()
         assert set(results) == {"a", "b"}
         assert results["a"].found
+
+
+class TestInt16Streams:
+    """Raw-telephony dtype handling: int16 frames stay int16 all the way
+    into the engine (half the H2D bytes — the TCP wire format is int16),
+    with bit-identical results to an eager float32 conversion because
+    the device applies the same exact 1/32768 scaling
+    (ops/mfcc_jax.py to_float_pcm)."""
+
+    @staticmethod
+    def _as_i16(pcm):
+        return np.clip(pcm * 32768.0, -32768, 32767).astype(np.int16)
+
+    def test_int16_window_reaches_engine_unconverted(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        seen_dtypes = []
+        orig = engine.search_pcm_batch
+
+        def spy(context, pcms, *a, **kw):
+            seen_dtypes.extend(p.dtype for p in pcms)
+            return orig(context, pcms, *a, **kw)
+
+        engine.search_pcm_batch = spy
+        try:
+            rec.open("i16", context="media", duration_ms=500)
+            rec.push("i16", self._as_i16(synth_tone(300, 0.6, SR)))
+            results = rec.process_ready()
+        finally:
+            engine.search_pcm_batch = orig
+        assert results["i16"].status == STATUS_FOUND
+        assert results["i16"].name == "tone0.wav"
+        assert seen_dtypes and all(d == np.int16 for d in seen_dtypes)
+
+    def test_int16_matches_float32_push_exactly(self, engine):
+        pcm = synth_tone(700, 0.6, SR)  # tone2
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("f32", context="media", duration_ms=500)
+        rec.open("i16", context="media", duration_ms=500)
+        i16 = self._as_i16(pcm)
+        rec.push("f32", i16.astype(np.float32) / 32768.0)
+        rec.push("i16", i16)
+        results = rec.process_ready()
+        a, b = results["f32"], results["i16"]
+        assert a.status == b.status == STATUS_FOUND
+        assert (a.name, a.match_count, a.frame_count) == (
+            b.name, b.match_count, b.frame_count)
+
+    def test_mixed_dtype_channel_promotes_with_scaling(self, engine):
+        # one channel fed int16 then float32 frames: the window must
+        # promote the int16 part with the 1/32768 factor, not a raw cast
+        pcm = synth_tone(300, 0.6, SR)
+        half = len(pcm) // 2
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("mix", context="media", duration_ms=500)
+        rec.push("mix", self._as_i16(pcm[:half]))
+        rec.push("mix", pcm[half:].astype(np.float32))
+        results = rec.process_ready()
+        assert results["mix"].status == STATUS_FOUND
+        assert results["mix"].name == "tone0.wav"
+
+    def test_int16_hangup_flush(self, engine):
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("hf", context="media", duration_ms=500)
+        rec.push("hf", self._as_i16(synth_tone(300, 0.6, SR)))
+        res = rec.hangup("hf")
+        assert res is not None and res.status == STATUS_FOUND
+        assert res.name == "tone0.wav"

@@ -365,7 +365,10 @@ class TestProtocolBounds:
                 return  # RST wiped the queue mid-close: the bound held
             if line:  # the polite path: one error reply, then closed
                 assert json.loads(line) == {"error": "line too long"}
-                assert f.readline() == ""
+                try:
+                    assert f.readline() == ""
+                except (ConnectionResetError, OSError):
+                    pass  # RST landed after the reply: still closed
             # empty line == connection closed without the reply being
             # readable — the server closing with our unread bytes in
             # flight RSTs, which can clear the receive queue first; the

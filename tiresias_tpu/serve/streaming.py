@@ -87,7 +87,17 @@ def _drop_front(chunks: list, n: int) -> list:
 def _head_concat(chunks: list, need: int) -> np.ndarray:
     """The first ``need`` samples of a chunk list as one array — copies
     exactly ``need`` samples (not the whole buffer) and runs OUTSIDE the
-    recognizer lock."""
+    recognizer lock.
+
+    Chunks keep the dtype they were pushed with: a pure-int16 channel
+    (raw telephony, the TCP protocol's wire format) yields an int16
+    window, which the engine ships to the device as-is — half the H2D
+    bytes and half the host buffering of an eager float conversion. The
+    device-side ``s * (1/32768)`` scaling is bit-identical to host-side
+    ``astype(float32)/32768`` (both exact for int16 values), so results
+    cannot differ. A channel that mixed dtypes gets its int16 parts
+    promoted with the same exact scaling before the concat — a plain
+    ``np.concatenate`` would promote WITHOUT the 1/32768 factor."""
     parts: list = []
     got = 0
     for c in chunks:
@@ -98,7 +108,14 @@ def _head_concat(chunks: list, need: int) -> np.ndarray:
         got += len(take)
     if not parts:
         return np.zeros(0, np.float32)
-    return parts[0] if len(parts) == 1 else np.concatenate(parts)
+    if len(parts) == 1:
+        return parts[0]
+    if any(p.dtype != parts[0].dtype for p in parts):
+        parts = [
+            p.astype(np.float32) / 32768.0 if p.dtype == np.int16 else p
+            for p in parts
+        ]
+    return np.concatenate(parts)
 
 
 @dataclasses.dataclass
@@ -247,8 +264,12 @@ class StreamingRecognizer:
                 return
             pcm = np.asarray(pcm).ravel()
             if pcm.dtype == np.int16:
-                # raw telephony samples: aubio's source scaling
-                pcm = pcm.astype(np.float32) / 32768.0
+                # raw telephony samples stay int16 all the way to the
+                # device (half the H2D bytes and buffer RAM); the kernel
+                # applies aubio's 1/32768 source scaling on-chip,
+                # bit-identical to a host-side conversion
+                # (ops/mfcc_jax.py:148-155)
+                pass
             else:
                 pcm = pcm.astype(np.float32)
                 if not np.isfinite(pcm).all():
