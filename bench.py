@@ -719,9 +719,16 @@ def bench_db_build(n_clips: int = 1000) -> None:
         shutil.rmtree(data, ignore_errors=True)
 
 
-def bench_streams(n_streams: int = 128) -> None:
+def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
     """BASELINE configs #3/#5: concurrent 8 kHz streams through the
-    streaming scorer; must beat 1x real time per channel."""
+    streaming scorer; must beat 1x real time per channel.
+
+    Streams are pushed as int16 — the telephony wire format (the TCP
+    protocol carries base64 int16; serve/server.py:491-493) — which the
+    scorer now keeps all the way to the device (half the H2D bytes vs an
+    eager float conversion; measured ~2x aggregate throughput over this
+    tunnel-bound link). A second line probes the concurrency ceiling at
+    ``scale_streams`` channels."""
     import tempfile
 
     from tiresias_tpu.api import Tiresias
@@ -738,32 +745,50 @@ def bench_streams(n_streams: int = 128) -> None:
     )
     for i in range(64):
         eng.add_audio_pcm("s", f"tone{i}", synth_tone(200 + 30 * i, 3.0, sr), sr)
-    rec = StreamingRecognizer(eng, samplerate=sr)
-    streams = [synth_tone(200 + 30 * (i % 64), 3.2, sr) for i in range(n_streams)]
-    # warm the compile for the full window batch shape before timing
-    for i in range(n_streams):
-        rec.open(f"warm{i}", context="s", duration_ms=3000)
-        rec.push(f"warm{i}", streams[i][: 3 * sr])
-    rec.process_ready()
-    for i in range(n_streams):
-        rec.open(f"ch{i}", context="s", duration_ms=3000)
-    frame = sr // 50  # 20 ms
-    results = {}
-    t0 = time.perf_counter()
-    offset = 0
-    while offset < int(3.2 * sr) and len(results) < n_streams:
-        for i in range(n_streams):
-            rec.push(f"ch{i}", streams[i][offset : offset + frame])
-        offset += frame
-        results.update(rec.process_ready())
-    elapsed = time.perf_counter() - t0
+
+    def run(n: int) -> tuple[int, float]:
+        rec = StreamingRecognizer(eng, samplerate=sr)
+        streams = [
+            np.clip(synth_tone(200 + 30 * (i % 64), 3.2, sr) * 32768.0,
+                    -32768, 32767).astype(np.int16)
+            for i in range(n)
+        ]
+        # warm the compile for the full window batch shape before timing
+        for i in range(n):
+            rec.open(f"warm{i}", context="s", duration_ms=3000)
+            rec.push(f"warm{i}", streams[i][: 3 * sr])
+        rec.process_ready()
+        for i in range(n):
+            rec.open(f"ch{i}", context="s", duration_ms=3000)
+        frame = sr // 50  # 20 ms
+        results: dict = {}
+        t0 = time.perf_counter()
+        offset = 0
+        while offset < int(3.2 * sr) and len(results) < n:
+            for i in range(n):
+                rec.push(f"ch{i}", streams[i][offset : offset + frame])
+            offset += frame
+            results.update(rec.process_ready())
+        return len(results), time.perf_counter() - t0
+
+    done, elapsed = run(n_streams)
     audio_s = n_streams * 3.0
     print(
-        f"[bench] streams: {len(results)}/{n_streams} channels x 3 s scored in "
-        f"{elapsed:.2f}s -> {audio_s / elapsed:.1f}x real-time aggregate "
-        f"({audio_s / elapsed / n_streams:.2f}x per channel)",
+        f"[bench] streams: {done}/{n_streams} channels x 3 s (int16 wire) "
+        f"scored in {elapsed:.2f}s -> {audio_s / elapsed:.1f}x real-time "
+        f"aggregate ({audio_s / elapsed / n_streams:.2f}x per channel)",
         file=sys.stderr,
     )
+    if scale_streams > n_streams:
+        done, elapsed = run(scale_streams)
+        audio_s = scale_streams * 3.0
+        print(
+            f"[bench] streams SCALE: {done}/{scale_streams} channels x 3 s "
+            f"(int16 wire) in {elapsed:.2f}s -> {audio_s / elapsed:.1f}x "
+            f"real-time aggregate "
+            f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
+            file=sys.stderr,
+        )
 
 
 def main() -> None:
