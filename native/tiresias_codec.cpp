@@ -173,10 +173,16 @@ int tir_decode_audio(const char* path, float** out, long* n_samples,
     }
     // ffmpeg contract: EAGAIN from send_packet means "drain frames, then
     // resend the SAME packet" — dropping it would silently lose audio
-    // (wrong fingerprints) with decoders that buffer several frames
+    // (wrong fingerprints) with decoders that buffer several frames.
+    // Bounded: a decoder that keeps signalling EAGAIN while yielding no
+    // frames (a codec bug, not the contract) would otherwise spin this
+    // loop forever; 64 drain+resend rounds is far beyond any real
+    // decoder's frame-buffer depth.
+    int resends = 0;
     for (;;) {
       rc = avcodec_send_packet(c.dec, eof ? nullptr : c.pkt);
       if (rc != AVERROR(EAGAIN)) break;
+      if (++resends > 64) { rc = AVERROR(EAGAIN); break; }
       int dr = drain_frames();
       if (dr != 0) return dr;
     }

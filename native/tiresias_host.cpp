@@ -77,6 +77,12 @@ bool parse_wav(FILE* f, WavFmt* out) {
     } else if (memcmp(chunk, "data", 4) == 0) {
       out->data_offset = ftell(f);
       out->data_bytes = size;
+      // streaming-convention writers declare 0xFFFFFFFF ("rest of file");
+      // the pad-rounded skip of that sentinel is 0, which would leave the
+      // loop scanning the PCM payload itself as chunk headers — a byte
+      // pattern matching "data"/"fmt " inside loud audio would then
+      // corrupt the parse. The payload is everything that remains: stop.
+      if (size == 0xFFFFFFFFu) break;
       if (fseek(f, (long)((size + 1) & ~1u), SEEK_CUR) != 0) break;
     } else {
       if (fseek(f, (long)((size + 1) & ~1u), SEEK_CUR) != 0) break;

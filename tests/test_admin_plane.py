@@ -464,6 +464,37 @@ class TestLiveSearch:
         assert "TIRSTATUS=FOUND" in out and "tone2.wav" in out
         assert "CONFIDENCE=" in out
 
+    def test_cli_multi_file_search_proxies_to_live_server(
+        self, served, capsys, tmp_path, monkeypatch
+    ):
+        """The batched table must use the same proxy rule as single-file
+        search — an offline engine would answer from a stale checkpoint
+        while the server holds un-checkpointed live audios."""
+        from tiresias_tpu import cli
+        from tiresias_tpu.utils.audio import write_wav
+
+        server, eng, config, media = served
+        q1 = tmp_path / "q1.wav"
+        q2 = tmp_path / "q2.wav"
+        write_wav(str(q1), synth_tone(700, 1.0, SR), SR)
+        write_wav(str(q2), synth_tone(500, 1.0, SR), SR)
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={config.data_dir}\ncoefs=2\n"
+            f"tolerance=0.01\ntrunc_coef1=no\n\n[m]\ndirectory={media}\n"
+        )
+
+        def no_engine(*a, **k):
+            raise AssertionError("offline engine built despite live server")
+
+        monkeypatch.setattr(cli, "_engine", no_engine)
+        rc = cli.main(["-c", str(conf), "search", "m", str(q1), str(q2)])
+        out = capsys.readouterr().out
+        assert rc == 0
+        assert "tone2.wav" in out and "tone1.wav" in out
+        lines = [ln for ln in out.splitlines() if ln.startswith("q")]
+        assert len(lines) == 2 and all("FOUND" in ln for ln in lines)
+
 
 class TestReplicaFollow:
     def test_replica_follows_owner_checkpoints(self, tmp_path):

@@ -232,3 +232,20 @@ class TestInt16Streams:
         res = rec.hangup("hf")
         assert res is not None and res.status == STATUS_FOUND
         assert res.name == "tone0.wav"
+
+    def test_reused_push_buffer_is_not_aliased(self, engine):
+        # a caller reusing ONE writable frame buffer across pushes must not
+        # alias buffered chunks to the buffer's final contents
+        pcm = self._as_i16(synth_tone(300, 0.6, SR))
+        rec = StreamingRecognizer(engine, samplerate=SR)
+        rec.open("reuse", context="media", duration_ms=500)
+        frame = SR // 50
+        buf = np.empty(frame, np.int16)
+        for off in range(0, SR // 2 + frame, frame):
+            chunk = pcm[off : off + frame]
+            buf[: len(chunk)] = chunk
+            rec.push("reuse", buf[: len(chunk)])
+        buf[:] = 0  # aliased chunks would all become silence
+        results = rec.process_ready()
+        assert results["reuse"].status == STATUS_FOUND
+        assert results["reuse"].name == "tone0.wav"

@@ -427,10 +427,18 @@ class Tiresias:
         persistent compilation cache)."""
         n = int(samplerate * duration_ms / 1000)
         n -= n % self.config.dsp.hop_size
-        silence = np.zeros(max(n, self.config.dsp.hop_size), dtype=np.float32)
-        for b in batch_sizes:
-            with phase("engine.warmup"):
-                self.search_pcm_batch(None, [silence] * b, samplerate)
+        n = max(n, self.config.dsp.hop_size)
+        # jit keys on dtype: warm BOTH input dtypes the serve layer ships —
+        # int16 (the TCP wire format, kept unconverted to the device) and
+        # float32 (library callers) — or the first live window of the
+        # other dtype pays a fresh XLA compile per batch bucket
+        for silence in (
+            np.zeros(n, dtype=np.int16),
+            np.zeros(n, dtype=np.float32),
+        ):
+            for b in batch_sizes:
+                with phase("engine.warmup"):
+                    self.search_pcm_batch(None, [silence] * b, samplerate)
         self.warm_search_maps()
 
     def warm_search_maps(self) -> None:

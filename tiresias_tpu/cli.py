@@ -444,11 +444,29 @@ def _search_many(args, files, kwargs) -> int:
     recording at a time, /root/reference/src/application_handler.c:151-164);
     all files sharing a samplerate go through the store in ONE batched
     device pass (`search_pcm_batch`), which is where the TPU's batch
-    throughput shows up at the CLI. Read-only engine — works alongside a
-    live server. Exit code: 1 if any file was unreadable, else 2 if any
-    was NOTFOUND, else 0."""
+    throughput shows up at the CLI. A RUNNING server answers instead from
+    its LIVE store (same proxy rule as the single-file path — an offline
+    engine would miss un-checkpointed live audios); otherwise a read-only
+    engine serves the batch alongside any server. Exit code: 1 if any
+    file was unreadable, else 2 if any was NOTFOUND, else 0."""
     from tiresias_tpu.utils.audio import read_audio
 
+    proxy = _proxy(_config(args))
+    if proxy is not None:
+        from tiresias_tpu.serve.admin import AdminError
+
+        rc = None
+        try:
+            with proxy:
+                rc = _search_many_via_server(proxy, args, files, kwargs)
+        except AdminError as exc:
+            if getattr(exc, "code", None) != "not_permitted":
+                return _proxy_failed(exc)
+            # admin-gated server: fall through to the offline engine
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
+        if rc is not None:
+            return rc
     eng = _engine(args, exclusive=False)
     errors: dict[int, str] = {}
     by_rate: dict[int, list[tuple[int, "object"]]] = {}
@@ -484,6 +502,72 @@ def _search_many(args, files, kwargs) -> int:
             r.confidence,
         ))
         missed = missed or not r.found
+    if errors:
+        return 1
+    return 2 if missed else 0
+
+
+def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
+    """The multi-file table answered from the RUNNING server's live store.
+
+    One admin ``search`` round-trip per file (the server's store is warm,
+    so per-file cost is one scorer dispatch). Returns None — caller falls
+    back to the offline batched engine — when any file's payload exceeds
+    the protocol line bound, so the whole table always answers from ONE
+    store view (mixing live and checkpoint answers per row would be
+    incoherent)."""
+    import base64
+
+    import numpy as np
+
+    from tiresias_tpu.serve.server import MAX_LINE_BYTES
+    from tiresias_tpu.utils.audio import read_audio
+
+    payloads: dict[int, dict] = {}
+    errors: dict[int, str] = {}
+    for i, path in enumerate(files):
+        try:
+            pcm, sr = read_audio(path)
+        except (OSError, ValueError) as exc:
+            errors[i] = str(exc)
+            continue
+        body = base64.b64encode(
+            np.asarray(pcm, dtype="<f4").tobytes()
+        ).decode()
+        if len(body) > MAX_LINE_BYTES - 4096:
+            return None  # oversized for the protocol — offline serves all
+        payload = {
+            "context": args.context,
+            "pcm": body,
+            "dtype": "f32",
+            "samplerate": int(sr),
+        }
+        payload.update({k: v for k, v in kwargs.items() if v is not None})
+        payloads[i] = payload
+    # all round-trips BEFORE the header: a proxy failure mid-table would
+    # otherwise leave a half-printed table ahead of the error message
+    answers = {
+        i: proxy.admin("search", **p)["result"] for i, p in payloads.items()
+    }
+    print("%-30.30s %-9s %-45.45s %-7s %-7s %-10s" % (
+        "File", "Status", "Name", "Votes", "Frames", "Confidence"))
+    missed = False
+    for i, path in enumerate(files):
+        base = os.path.basename(path)
+        if i in errors:
+            print("%-30.30s %-9s %s" % (base, "ERROR", errors[i]))
+            continue
+        result = answers[i]
+        found = result.get("TIRSTATUS") == "FOUND"
+        print("%-30.30s %-9s %-45.45s %-7d %-7d %-10.4f" % (
+            base,
+            "FOUND" if found else "NOTFOUND",
+            result.get("TIRFILENAME", "-") if found else "-",
+            int(result.get("TIRMATCHCOUNT", 0)),
+            int(result.get("TIRFRAMECOUNT", 0)),
+            float(result.get("CONFIDENCE", 0.0)),
+        ))
+        missed = missed or not found
     if errors:
         return 1
     return 2 if missed else 0

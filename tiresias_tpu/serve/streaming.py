@@ -268,8 +268,14 @@ class StreamingRecognizer:
                 # device (half the H2D bytes and buffer RAM); the kernel
                 # applies aubio's 1/32768 source scaling on-chip,
                 # bit-identical to a host-side conversion
-                # (ops/mfcc_jax.py:148-155)
-                pass
+                # (ops/mfcc_jax.py:148-155). Buffering by reference is
+                # only safe when the caller cannot mutate the array later
+                # (the TCP server's frombuffer-over-bytes frames) — a
+                # writable input is copied, or a caller reusing one frame
+                # buffer would alias every buffered chunk to its LAST
+                # contents (the float path's astype always copied).
+                if pcm.flags.writeable:
+                    pcm = pcm.copy()
             else:
                 pcm = pcm.astype(np.float32)
                 if not np.isfinite(pcm).all():
