@@ -286,6 +286,96 @@ class TestLockStaleContent:
         assert result.get("held") is True
 
 
+class TestLockHygiene:
+    def test_failed_init_releases_lock(self, tmp_path):
+        """An unreadable checkpoint must not leave the data-dir flock held
+        by the failed construction: flock treats fds independently, so a
+        same-process retry after repairing the checkpoint would otherwise
+        be locked out by its own leaked fd until process exit."""
+        from tiresias_tpu.store.fingerprint_store import CheckpointUnreadable
+
+        ckpt = tmp_path / "checkpoint"
+        ckpt.mkdir()
+        (ckpt / "catalog.json").write_text("{not json")
+        cfg = TiresiasConfig(data_dir=str(tmp_path))
+        with pytest.raises(CheckpointUnreadable):
+            Tiresias(cfg, exclusive=True)
+        (ckpt / "catalog.json").unlink()  # operator repairs the damage
+        eng = Tiresias(cfg, exclusive=True)  # same process, must succeed
+        assert eng.lock.held
+        eng.close()
+
+    def test_server_info_flock_unsupported_falls_back_to_pid(
+        self, tmp_path, monkeypatch
+    ):
+        """Where flock raises ENOLCK, acquire() degrades to advisory
+        success on the SAME filesystem — so read_server_info answering
+        'no server' there would re-enable the two-writer checkpoint race.
+        It must fall back to pid liveness instead."""
+        import errno
+        import fcntl
+        import json
+        import subprocess
+
+        from tiresias_tpu.utils.locking import write_server_info
+
+        DataDirLock(str(tmp_path)).acquire().release()  # lock file exists
+
+        def no_flock(fd, op):
+            raise OSError(errno.ENOLCK, "No locks available")
+
+        monkeypatch.setattr(fcntl, "flock", no_flock)
+        write_server_info(str(tmp_path), "127.0.0.1", 4242)  # pid: ours
+        info = read_server_info(str(tmp_path))
+        assert info is not None and info["port"] == 4242
+        # a DEAD writer's advertisement is still distrusted
+        p = subprocess.Popen(["sleep", "0"])
+        p.wait()
+        (tmp_path / "server.json").write_text(
+            json.dumps({"host": "127.0.0.1", "port": 4242, "pid": p.pid})
+        )
+        assert read_server_info(str(tmp_path)) is None
+
+
+class TestBakFallbackFollow:
+    def test_bak_fallback_does_not_reload_every_poll(self, tmp_path):
+        """A replica restored from .bak (damaged current generation) must
+        record the newest generation it OBSERVED: comparing polls against
+        its save generation (deliberately 0 after a fallback) would
+        re-deserialize the same checkpoint on every follow tick forever."""
+        import json
+
+        media = tmp_path / "media"
+        media.mkdir()
+        write_wav(str(media / "a.wav"), synth_tone(440, 1.0, SR), SR)
+        config = TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
+            data_dir=str(tmp_path / "data"),
+        )
+        owner = Tiresias(config, exclusive=True)
+        owner.sync()  # generation 1: a.wav
+        write_wav(str(media / "b.wav"), synth_tone(900, 1.0, SR), SR)
+        owner.sync()  # generation 2: + b.wav
+        owner.close()
+        ckpt = tmp_path / "data" / "checkpoint"
+        cur = json.loads((ckpt / "catalog.json").read_text())
+        bak = json.loads((ckpt / "catalog.json.bak").read_text())
+        assert cur["gen"] > bak["gen"]
+        # damage the CURRENT generation only: its catalog stays parseable
+        # (so follow polls read gen N) but a segment it lists is gone
+        tier = next(iter(cur["tiers"]))
+        cur["tiers"][tier] = [["vanished.npy", 1]]
+        (ckpt / "catalog.json").write_text(json.dumps(cur))
+        replica = Tiresias(config, exclusive=False)
+        assert len(replica.store) == len(bak["entries"])  # .bak fallback
+        assert replica.store._save_gen == 0  # never reuse gen-N files
+        assert replica.store._restored_gen == bak["gen"]
+        assert replica.store._seen_gen == cur["gen"]
+        # the poll sees nothing newer than what load already observed
+        assert replica.refresh_from_checkpoint() is False
+        replica.close()
+
+
 class TestNonOwnerServerStop:
     def test_readonly_server_stop_preserves_owner_advertisement(
         self, tmp_path

@@ -271,37 +271,47 @@ class Tiresias:
                 if exclusive:
                     raise
                 log.warning("engine is read-only: %s", exc)
-        if mesh == "auto":
-            import jax
+        try:
+            if mesh == "auto":
+                import jax
 
-            from tiresias_tpu.parallel import make_mesh
+                from tiresias_tpu.parallel import make_mesh
 
-            devices = jax.local_devices()  # only addressable devices
-            mesh = (
-                make_mesh(len(devices), 1, devices=devices)
-                if len(devices) > 1
-                else None
+                devices = jax.local_devices()  # only addressable devices
+                mesh = (
+                    make_mesh(len(devices), 1, devices=devices)
+                    if len(devices) > 1
+                    else None
+                )
+            elif mesh == "global":
+                import jax
+
+                from tiresias_tpu.parallel import global_mesh
+
+                mesh = global_mesh() if len(jax.devices()) > 1 else None
+            self.mesh = mesh
+            self.checkpoint_dir = os.path.join(
+                self.config.expanded_data_dir, "checkpoint"
             )
-        elif mesh == "global":
-            import jax
-
-            from tiresias_tpu.parallel import global_mesh
-
-            mesh = global_mesh() if len(jax.devices()) > 1 else None
-        self.mesh = mesh
-        self.checkpoint_dir = os.path.join(
-            self.config.expanded_data_dir, "checkpoint"
-        )
-        if restore:
-            self.store = FingerprintStore.load(
-                self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs, mesh=mesh
-            )
-        else:
-            self.store = FingerprintStore(
-                n_coefs=self.config.dsp.n_coefs, mesh=mesh
-            )
-        for ctx in self.config.contexts:
-            self.store.create_context(ctx.name, ctx.directory)
+            if restore:
+                self.store = FingerprintStore.load(
+                    self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs,
+                    mesh=mesh,
+                )
+            else:
+                self.store = FingerprintStore(
+                    n_coefs=self.config.dsp.n_coefs, mesh=mesh
+                )
+            for ctx in self.config.contexts:
+                self.store.create_context(ctx.name, ctx.directory)
+        except BaseException:
+            # a failed construction (unreadable checkpoint, bad context)
+            # must not leave the data-dir flock held by a dead engine: a
+            # same-process retry after repairing the checkpoint would be
+            # locked out by its own leaked fd (flock treats fds
+            # independently) until process exit
+            self.lock.release()
+            raise
 
     # ------------------------------------------------------------------ #
     # lifecycle
@@ -366,7 +376,12 @@ class Tiresias:
             log.warning("follow: checkpoint metadata unreadable; keeping "
                         "the current store")
             return False
-        if meta is None or int(meta.get("gen", 0)) <= self.store._save_gen:
+        # _seen_gen, not _save_gen: after a .bak fallback the store's
+        # save generation is deliberately 0, but the newest generation
+        # OBSERVED at load time was recorded — without it every poll
+        # would re-deserialize the same fallback checkpoint forever
+        have = max(self.store._save_gen, self.store._seen_gen)
+        if meta is None or int(meta.get("gen", 0)) <= have:
             return False
         try:
             store = FingerprintStore.load(
@@ -383,7 +398,7 @@ class Tiresias:
         self.warm_search_maps()
         log.info(
             "follow: refreshed store from checkpoint (gen %d, %d audios)",
-            store._save_gen, len(store),
+            store._restored_gen, len(store),
         )
         return True
 

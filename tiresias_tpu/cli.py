@@ -484,71 +484,19 @@ def _search_many(args, files, kwargs) -> int:
         )
         for (i, _), res in zip(items, batch):
             results[i] = res
-    print("%-30.30s %-9s %-45.45s %-7s %-7s %-10s" % (
-        "File", "Status", "Name", "Votes", "Frames", "Confidence"))
-    missed = False
-    for i, path in enumerate(files):
-        base = os.path.basename(path)
-        if i in errors:
-            print("%-30.30s %-9s %s" % (base, "ERROR", errors[i]))
-            continue
+
+    def row_for(i):
         r = results[i]
-        print("%-30.30s %-9s %-45.45s %-7d %-7d %-10.4f" % (
-            base,
-            "FOUND" if r.found else "NOTFOUND",
-            r.name if r.found else "-",
-            r.match_count,
-            r.frame_count,
-            r.confidence,
-        ))
-        missed = missed or not r.found
-    if errors:
-        return 1
-    return 2 if missed else 0
+        return r.found, r.name, r.match_count, r.frame_count, r.confidence
+
+    return _print_search_table(files, errors, row_for)
 
 
-def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
-    """The multi-file table answered from the RUNNING server's live store.
-
-    One admin ``search`` round-trip per file (the server's store is warm,
-    so per-file cost is one scorer dispatch). Returns None — caller falls
-    back to the offline batched engine — when any file's payload exceeds
-    the protocol line bound, so the whole table always answers from ONE
-    store view (mixing live and checkpoint answers per row would be
-    incoherent)."""
-    import base64
-
-    import numpy as np
-
-    from tiresias_tpu.serve.server import MAX_LINE_BYTES
-    from tiresias_tpu.utils.audio import read_audio
-
-    payloads: dict[int, dict] = {}
-    errors: dict[int, str] = {}
-    for i, path in enumerate(files):
-        try:
-            pcm, sr = read_audio(path)
-        except (OSError, ValueError) as exc:
-            errors[i] = str(exc)
-            continue
-        body = base64.b64encode(
-            np.asarray(pcm, dtype="<f4").tobytes()
-        ).decode()
-        if len(body) > MAX_LINE_BYTES - 4096:
-            return None  # oversized for the protocol — offline serves all
-        payload = {
-            "context": args.context,
-            "pcm": body,
-            "dtype": "f32",
-            "samplerate": int(sr),
-        }
-        payload.update({k: v for k, v in kwargs.items() if v is not None})
-        payloads[i] = payload
-    # all round-trips BEFORE the header: a proxy failure mid-table would
-    # otherwise leave a half-printed table ahead of the error message
-    answers = {
-        i: proxy.admin("search", **p)["result"] for i, p in payloads.items()
-    }
+def _print_search_table(files, errors, row_for) -> int:
+    """The multi-file result table + exit code — ONE implementation so the
+    proxied and offline variants of ``tiresias search`` cannot drift.
+    ``row_for(i) -> (found, name, votes, frames, confidence)`` for every
+    index not in ``errors``."""
     print("%-30.30s %-9s %-45.45s %-7s %-7s %-10s" % (
         "File", "Status", "Name", "Votes", "Frames", "Confidence"))
     missed = False
@@ -557,15 +505,14 @@ def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
         if i in errors:
             print("%-30.30s %-9s %s" % (base, "ERROR", errors[i]))
             continue
-        result = answers[i]
-        found = result.get("TIRSTATUS") == "FOUND"
+        found, name, votes, frames, confidence = row_for(i)
         print("%-30.30s %-9s %-45.45s %-7d %-7d %-10.4f" % (
             base,
             "FOUND" if found else "NOTFOUND",
-            result.get("TIRFILENAME", "-") if found else "-",
-            int(result.get("TIRMATCHCOUNT", 0)),
-            int(result.get("TIRFRAMECOUNT", 0)),
-            float(result.get("CONFIDENCE", 0.0)),
+            name if found else "-",
+            votes,
+            frames,
+            confidence,
         ))
         missed = missed or not found
     if errors:
@@ -573,12 +520,78 @@ def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
     return 2 if missed else 0
 
 
-def _search_via_server(proxy, args, kwargs) -> int:
-    """One-shot recognition proxied to the live server's store."""
+def _pcm_wire_query(pcm, sr) -> dict | None:
+    """One query payload for the admin ``search`` op, or None when it
+    exceeds the protocol line bound (caller falls back offline).
+
+    float32 on the wire: quantizing to int16 here could flip frames
+    sitting within quantization error of the tolerance band, making the
+    proxied search differ from the offline one for >16-bit sources."""
     import base64
 
     import numpy as np
 
+    from tiresias_tpu.serve.server import MAX_LINE_BYTES
+
+    body = base64.b64encode(np.asarray(pcm, dtype="<f4").tobytes()).decode()
+    if len(body) > MAX_LINE_BYTES - 4096:
+        return None
+    return {"pcm": body, "dtype": "f32", "samplerate": int(sr)}
+
+
+def _wire_row(result: dict):
+    """Table row from an admin-search reply payload (TIR* dict)."""
+    return (
+        result.get("TIRSTATUS") == "FOUND",
+        result.get("TIRFILENAME", "-"),
+        int(result.get("TIRMATCHCOUNT", 0)),
+        int(result.get("TIRFRAMECOUNT", 0)),
+        float(result.get("CONFIDENCE", 0.0)),
+    )
+
+
+def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
+    """The multi-file table answered from the RUNNING server's live store.
+
+    ONE admin round trip carrying every query; the server runs one batched
+    device pass per samplerate (the same design as the offline path), so
+    the table costs one RTT instead of one per file. Returns None — caller
+    falls back to the offline batched engine — when the combined payload
+    exceeds the protocol line bound, so the whole table always answers
+    from ONE store view (mixing live and checkpoint answers per row would
+    be incoherent)."""
+    from tiresias_tpu.serve.server import MAX_LINE_BYTES
+    from tiresias_tpu.utils.audio import read_audio
+
+    queries: dict[int, dict] = {}
+    errors: dict[int, str] = {}
+    total = 0
+    for i, path in enumerate(files):
+        try:
+            pcm, sr = read_audio(path)
+        except (OSError, ValueError) as exc:
+            errors[i] = str(exc)
+            continue
+        q = _pcm_wire_query(pcm, sr)
+        if q is None:
+            return None  # oversized for the protocol — offline serves all
+        total += len(q["pcm"]) + 256  # + per-query JSON framing slack
+        if total > MAX_LINE_BYTES - 4096:
+            return None  # the COMBINED request is one protocol line
+        queries[i] = q
+    answers: dict[int, dict] = {}
+    if queries:
+        req = {"context": args.context, "queries": list(queries.values())}
+        req.update({k: v for k, v in kwargs.items() if v is not None})
+        results = proxy.admin("search", **req)["results"]
+        answers = dict(zip(queries.keys(), results))
+    return _print_search_table(
+        files, errors, lambda i: _wire_row(answers[i])
+    )
+
+
+def _search_via_server(proxy, args, kwargs) -> int:
+    """One-shot recognition proxied to the live server's store."""
     from tiresias_tpu.utils.audio import read_audio
 
     try:
@@ -587,22 +600,10 @@ def _search_via_server(proxy, args, kwargs) -> int:
         # a local decode problem must not read as "the server failed"
         print(f"cannot read {args.file}: {exc}", file=sys.stderr)
         return 1
-    # float32 on the wire: quantizing to int16 here could flip frames
-    # sitting within quantization error of the tolerance band, making the
-    # proxied search differ from the offline one for >16-bit sources
-    body = base64.b64encode(
-        np.asarray(pcm, dtype="<f4").tobytes()
-    ).decode()
-    from tiresias_tpu.serve.server import MAX_LINE_BYTES
-
-    if len(body) > MAX_LINE_BYTES - 4096:
+    payload = _pcm_wire_query(pcm, sr)
+    if payload is None:
         return None  # too big for one protocol line — offline path serves it
-    payload = {
-        "context": args.context,
-        "pcm": body,
-        "dtype": "f32",
-        "samplerate": int(sr),
-    }
+    payload["context"] = args.context
     payload.update({k: v for k, v in kwargs.items() if v is not None})
     result = proxy.admin("search", **payload)["result"]
     for key, value in result.items():

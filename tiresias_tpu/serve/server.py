@@ -503,8 +503,13 @@ class RecognitionServer:
                     "channels": self.recognizer.n_channels,
                     "audios": len(self.engine.store),
                     # checkpoint generation being served: lets an operator
-                    # confirm a --follow replica has caught up to the owner
-                    "generation": self.engine.store._save_gen,
+                    # confirm a --follow replica has caught up to the
+                    # owner (_restored_gen covers replicas, whose save
+                    # generation is never advanced)
+                    "generation": max(
+                        self.engine.store._save_gen,
+                        self.engine.store._restored_gen,
+                    ),
                     "owner": self.engine.lock.held,
                     "counters": snap["counters"],
                     "search_p50_ms": _p50_ms(snap, "search.match"),
@@ -658,17 +663,32 @@ class RecognitionServer:
             # per-invocation cold engine restore. Read-only: allowed on
             # read-only replicas too. PCM arrives base64 int16 like the
             # streaming protocol; per-call knobs mirror search_pcm.
-            raw = base64.b64decode(msg["pcm"], validate=True)
-            if len(raw) > MAX_LINE_BYTES:
-                return {"error": "pcm too large", "code": "too_large"}
-            # dtype "f32" carries float PCM unquantized (the CLI proxy
-            # uses it so a proxied search is bit-identical to offline for
-            # >16-bit sources); default stays int16 like the pcm op
-            if msg.get("dtype", "i16") == "f32":
-                pcm = np.frombuffer(raw, dtype="<f4")
-            else:
-                pcm = np.frombuffer(raw, dtype="<i2")
-            samplerate = int(msg.get("samplerate", self.recognizer.samplerate))
+            # ``queries`` (a list of {pcm, dtype, samplerate}) answers a
+            # whole table in ONE round trip and one batched device pass
+            # per samplerate — the CLI's multi-file proxy path.
+            queries = msg.get("queries")
+            single = queries is None
+            if single:
+                queries = [msg]
+            if not queries or not isinstance(queries, list):
+                return {"error": "queries must be a non-empty list",
+                        "code": "bad_request"}
+            pcms: list = []
+            for q in queries:
+                raw = base64.b64decode(q["pcm"], validate=True)
+                if len(raw) > MAX_LINE_BYTES:
+                    return {"error": "pcm too large", "code": "too_large"}
+                # dtype "f32" carries float PCM unquantized (the CLI proxy
+                # uses it so a proxied search is bit-identical to offline
+                # for >16-bit sources); default stays int16 like the pcm op
+                if q.get("dtype", "i16") == "f32":
+                    pcm = np.frombuffer(raw, dtype="<f4")
+                else:
+                    pcm = np.frombuffer(raw, dtype="<i2")
+                pcms.append((
+                    pcm,
+                    int(q.get("samplerate", self.recognizer.samplerate)),
+                ))
             kwargs = {
                 k: msg[k]
                 for k in (
@@ -681,12 +701,33 @@ class RecognitionServer:
             context = msg.get("context")
 
             def work():
-                return eng.search_pcm(context, pcm, samplerate, **kwargs)
+                if single:
+                    return [eng.search_pcm(
+                        context, pcms[0][0], pcms[0][1], **kwargs
+                    )]
+                # group by samplerate: one batched device pass per rate
+                # (mirrors the offline CLI's search_pcm_batch design)
+                by_rate: dict[int, list[int]] = {}
+                for i, (_, sr) in enumerate(pcms):
+                    by_rate.setdefault(sr, []).append(i)
+                out: list = [None] * len(pcms)
+                for sr, idxs in sorted(by_rate.items()):
+                    batch = eng.search_pcm_batch(
+                        context, [pcms[i][0] for i in idxs], sr, **kwargs
+                    )
+                    for i, res in zip(idxs, batch):
+                        out[i] = res
+                return out
 
-            result = await in_executor(work)
-            payload = result.to_channel_vars()
-            payload["CONFIDENCE"] = f"{result.confidence:.4f}"
-            return {"admin": {"result": payload}}
+            results = await in_executor(work)
+            payloads = []
+            for result in results:
+                payload = result.to_channel_vars()
+                payload["CONFIDENCE"] = f"{result.confidence:.4f}"
+                payloads.append(payload)
+            if single:
+                return {"admin": {"result": payloads[0]}}
+            return {"admin": {"results": payloads}}
         if cmd == "save":
             await in_executor(eng.save)
             return {"admin": {"saved": True}}

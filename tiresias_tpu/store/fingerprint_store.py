@@ -182,6 +182,15 @@ def _readable_catalog(path: str) -> bool:
         return False
 
 
+def _read_catalog_gen(path: str) -> int:
+    """A catalog generation's ``gen`` field, 0 when unreadable/absent."""
+    try:
+        with open(path) as f:
+            return int(json.load(f).get("gen", 0))
+    except Exception:  # noqa: BLE001 - any unreadable generation
+        return 0
+
+
 def _put_replicated(arr, mesh):
     """A host array as a device array, REPLICATED on ``mesh`` (or plain
     when mesh is None). The one placement rule every mesh-aware helper
@@ -538,6 +547,14 @@ class FingerprintStore:
         self._save_dir: str | None = None
         self._save_gen = 0
         self._seg_manifest: dict[int, list[list]] = {}
+        # restore provenance: the generation actually walked at load time
+        # and the newest generation OBSERVED in the directory then (they
+        # differ after a .bak fallback — _save_gen must stay 0 there so a
+        # later save never reuses the damaged successor's segment files,
+        # but a follower comparing against _save_gen alone would re-reload
+        # the same fallback checkpoint on every poll)
+        self._restored_gen = 0
+        self._seen_gen = 0
         self._dirty = True
 
     # ------------------------------------------------------------------ #
@@ -1418,9 +1435,19 @@ class FingerprintStore:
             if not os.path.exists(cat_path):
                 continue
             try:
-                return FingerprintStore._load_catalog(
+                loaded = FingerprintStore._load_catalog(
                     directory, cat_path, suffix, n_coefs, mesh
                 )
+                loaded._seen_gen = loaded._restored_gen
+                if suffix:
+                    # .bak fallback: record the damaged CURRENT catalog's
+                    # generation (when its JSON is at least parseable) so
+                    # a follower doesn't mistake it for news on every poll
+                    cur = _read_catalog_gen(
+                        os.path.join(directory, CATALOG_FILE)
+                    )
+                    loaded._seen_gen = max(loaded._seen_gen, cur)
+                return loaded
             except CheckpointIncompatible:
                 raise  # incompatible checkpoint: fail loudly, don't mask
             except Exception as exc:  # noqa: BLE001 - corrupt generation
@@ -1514,6 +1541,7 @@ class FingerprintStore:
                 for t, rows in catalog.get("dead", {}).items()
             }
             FingerprintStore._walk_tiered(store, entries, tiers, dead)
+            store._restored_gen = int(catalog.get("gen", 0))
             # a current-generation restore can extend its own manifest on
             # the next save; a .bak restore must not reuse newer-gen files
             if suffix == "":

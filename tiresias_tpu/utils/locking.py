@@ -54,6 +54,19 @@ def _read_json(path: str) -> dict | None:
         return None
 
 
+def _pid_alive(pid) -> bool:
+    """Best-effort same-host liveness of a pid (signal-0 probe)."""
+    if not isinstance(pid, int) or pid <= 0:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except OSError:
+        return True  # exists but not signalable by us: alive
+    return True
+
+
 class DataDirLock:
     """Exclusive flock on ``<directory>/owner.lock``.
 
@@ -192,7 +205,15 @@ def read_server_info(directory: str) -> dict | None:
             fcntl.flock(fd, fcntl.LOCK_SH | fcntl.LOCK_NB)
         except OSError as exc:
             if exc.errno not in _CONTENTION_ERRNOS:
-                return None  # can't flock here at all: don't trust
+                # flock unsupported on this filesystem (ENOLCK NFS,
+                # EOPNOTSUPP): DataDirLock.acquire DEGRADES to advisory
+                # success on the same filesystem, so "cannot probe" must
+                # not read as "no server" — an offline CLI would then
+                # mutate concurrently with the running server, the exact
+                # two-writer race this module exists to prevent. Fall
+                # back to pid liveness (same-host, the trust level the
+                # no-fcntl platforms get).
+                return info if _pid_alive(info.get("pid")) else None
             # lock held by a LIVE process — but is it the server that
             # wrote server.json? The holder's pid is in the lock content.
             holder = _read_json(os.path.join(directory, LOCK_FILE))
@@ -205,7 +226,8 @@ def read_server_info(directory: str) -> dict | None:
         finally:
             os.close(fd)
     except ImportError:
-        return info
+        # non-POSIX: no flock to probe — pid liveness is the best signal
+        return info if _pid_alive(info.get("pid")) else None
 
 
 def write_server_info(directory: str, host: str, port: int) -> None:
