@@ -293,6 +293,18 @@ def sync_context_audio(
     """delete-removed + create-new for one context
     (init_audio per-context body, /root/reference/src/app_tiresias.c:324-358)."""
     report = SyncReport()
+    if not store.get_audios_by_context(context):
+        # COLD context: nothing can be deleted, so the separate MD5
+        # directory pass is pure overhead — let the ingest pipeline hash
+        # each file on the decode pool instead (one read per file, not
+        # two; ~12% of a link-bound 1k-clip cold sync)
+        names = scan_directory(directory)
+        if names is None:
+            # unreadable directory: sync is a no-op, never a mass delete
+            return report
+        paths = [os.path.join(directory, n) for n in names]
+        report += ingest_files(store, context, paths, dsp, None)
+        return report
     hashes = hash_directory(directory)  # one MD5 pass serves both phases
     if hashes is None:
         # unreadable directory: sync is a no-op, never a mass delete
