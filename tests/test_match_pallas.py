@@ -341,6 +341,89 @@ class TestAlignedPrefilter:
             )
             assert (bound >= np.asarray(votes_full)).all()
 
+    def test_context_filter_certifies_in_context_winner(self, rng):
+        """Context-filtered prefilter (the reference's per-context scan,
+        fp_handler.c:308-359): the GLOBAL winner lives in another context,
+        so a naive global certificate would pick it; the filtered search
+        must select, rescore, and certify the IN-context winner only."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=64)
+        # query = exact excerpt of audio 7 (context 0); audio 9 (context 1)
+        # is a noisy copy of 7 — the best IN-context-1 match
+        db[9] = db[7] + rng.normal(0, 0.004, db[7].shape).astype(np.float32)
+        mask[9] = mask[7]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        ctx_ids = (np.arange(64) % 2).astype(np.int32)
+        ctx_ids[7] = 0  # the global winner sits OUTSIDE the filter
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 7, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True, ctx_ids=jnp.asarray(ctx_ids), ctx_id=1,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        votes_p = np.asarray(votes_p)[0]
+        votes_full = np.where(ctx_ids == 1, np.asarray(votes_full)[0], 0)
+        # out-of-context rows never scatter a vote; the in-context winner
+        # and its count equal the masked full scan's
+        assert (votes_p[ctx_ids == 0] == 0).all()
+        assert votes_p.argmax() == votes_full.argmax() == 9
+        assert votes_p.max() == votes_full.max() > 0
+
+    def test_context_filter_fewer_rows_than_k(self, rng):
+        """k exceeds the context's row count: out-of-context rows fill the
+        candidate set but must rescore to zero, and the certificate is
+        trivially satisfied (every in-context row was rescored exactly)."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=16)
+        ctx_ids = np.zeros(16, np.int32)
+        ctx_ids[5] = 1
+        ctx_ids[11] = 1  # two rows in context 1, k=8
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 11, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True, ctx_ids=jnp.asarray(ctx_ids), ctx_id=1,
+        )
+        assert np.asarray(cert).all()
+        votes_p = np.asarray(votes_p)[0]
+        assert (votes_p[ctx_ids == 0] == 0).all()
+        assert votes_p.argmax() == 11 and votes_p.max() > 0
+
+    def test_context_filter_unknown_context_finds_nothing(self, rng):
+        """An id no row carries (store.ctx_id_for of an unknown context):
+        certified, all zeros → NOTFOUND, not a full-scan fallback."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=16)
+        ctx_ids = np.zeros(16, np.int32)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 3, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True, ctx_ids=jnp.asarray(ctx_ids), ctx_id=7,
+        )
+        assert np.asarray(cert).all()
+        assert (np.asarray(votes_p) == 0).all()
+
 
 class TestKernelFitGates:
     """Dispatch gates for the fused kernels, calibrated on real hardware

@@ -200,6 +200,44 @@ class TestIncrementalViews:
         )
         assert e.uuid in [x.uuid for x in v2.entries]
 
+    def test_ctx_ids_append_extend_and_delete(self):
+        """ctx_ids_for (the context-filtered prefilter's keep key): built
+        rows carry their context's dense id, appended rows extend the
+        cached device array in place, padding rows stay -1, and deletes
+        keep the array (a dead row's votes are already 0)."""
+        import numpy as np
+
+        store, rng = self._store_with(3)
+        store.create_context("c2")
+        v1 = store.search_views()[0]
+        ids1 = np.asarray(store.ctx_ids_for(v1))
+        cid_c = store.ctx_id_for("c")
+        cid_c2 = store.ctx_id_for("c2")
+        assert cid_c != cid_c2
+        assert (ids1[:3] == cid_c).all() and (ids1[3:] == -1).all()
+        # appends in a different context extend the cached array
+        fp = rng.uniform(-30, 20, (8, 2)).astype(np.float32)
+        store.add_audio("x", "c2", fp, "hx")
+        v2 = store.search_views()[0]
+        ids2 = np.asarray(store.ctx_ids_for(v2))
+        assert list(ids2[:4]) == [cid_c, cid_c, cid_c, cid_c2]
+        assert (ids2[4:] == -1).all()
+        # matches a from-scratch build on a fresh view
+        v2_fresh = object.__new__(type(v2))
+        for f in v2.__dataclass_fields__:
+            setattr(v2_fresh, f, getattr(v2, f))
+        v2_fresh.ctx_dev = None
+        np.testing.assert_array_equal(
+            ids2, np.asarray(store.ctx_ids_for(v2_fresh))
+        )
+        # unknown context gets an id no row carries
+        assert store.ctx_id_for("ghost") not in set(ids2.tolist())
+        # tombstoning keeps the cached array (dead rows can't vote)
+        e0 = next(iter(store.iter_entries()))
+        store.delete_audio(e0.uuid)
+        v3 = store.search_views()[0]
+        np.testing.assert_array_equal(np.asarray(store.ctx_ids_for(v3)), ids2)
+
     def test_delete_tombstones_in_place(self):
         """A delete must NOT rebuild/re-upload the view buffer (round-3
         incremental-delete contract): the db buffer is reused and only the

@@ -351,14 +351,14 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
         False, False, True,
     )
     assert ran["prefilter"] >= 1  # silence query still runs the machinery
-    # with a context filter the certificate can't certify the in-context
-    # winner — the engine must full-scan, never touching the prefilter
+    # context-filtered searches keep the prefilter (round-3 ctx keep key):
+    # the engine must route through it, not full-scan
     before = ran["prefilter"]
     eng._compute_votes(
         "c", [np.zeros(8192, np.float32)], 8000, 2, 0.05, -1, -1,
         True, False, True,
     )
-    assert ran["prefilter"] == before
+    assert ran["prefilter"] == before + 1
     # now a real fingerprint-level check: prefiltered winner == full scan
     from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
 
@@ -376,6 +376,25 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
     vp, vf = np.asarray(votes_p)[0], np.asarray(votes_full)[0]
     assert vp.argmax() == vf.argmax() == target
     assert vp.max() == vf.max() == 32
+    # context-filtered, COMPILED on device: a noisy copy of the target in
+    # context "d" must win the d-filtered search (the global winner — the
+    # exact copy in "c" — is outside the filter), certified
+    eng.create_context("d")
+    copy = (fps[target] + rng.normal(0, 0.004, fps[target].shape)).astype(
+        np.float32
+    )
+    eng.store.add_audio("copy", "d", copy, "hcopy")
+    view = eng.store.search_views()[0]
+    specs, maps = eng.store.bound_maps_for(view, 2)  # extended in place
+    ctx_ids = eng.store.ctx_ids_for(view)
+    votes_d, cert_d = aligned_prefiltered_votes(
+        view.db, maps, qj, active, use2, 0.05, specs=specs, coefs=2,
+        ctx_ids=ctx_ids, ctx_id=eng.store.ctx_id_for("d"),
+    )
+    assert bool(np.asarray(cert_d).all())
+    vd = np.asarray(votes_d)[0]
+    assert vd.argmax() == n  # the appended copy's view row
+    assert vd[target] == 0 and vd.max() > 0
 
 
 def test_sharded_fused_dispatch_on_device(rng, tmp_path):

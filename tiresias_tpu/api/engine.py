@@ -723,10 +723,12 @@ class Tiresias:
     def _aligned_prefiltered(
         self, view, qfp, n_frames, coefs, tolerance,
         freq_ignore_low, freq_ignore_high, trunc_coef1,
+        ctx_id: int | None = None,
     ):
         """Certified prefiltered aligned votes (device array) for one
         view, or None when any query's exactness certificate fails
-        (→ caller full-scans)."""
+        (→ caller full-scans). ``ctx_id`` restricts candidate selection
+        and certification to one context's rows (filter_context)."""
         import jax
 
         from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
@@ -739,9 +741,12 @@ class Tiresias:
             qfp, n_frames, freq_ignore_low, freq_ignore_high, trunc_coef1
         )
         specs, maps = self.store.bound_maps_for(view, coefs)
+        ctx_ids = (
+            self.store.ctx_ids_for(view) if ctx_id is not None else None
+        )
         votes_d, cert_d = aligned_prefiltered_votes(
             view.db, maps, q, active, use2, tolerance, specs=specs,
-            coefs=coefs,
+            coefs=coefs, ctx_ids=ctx_ids, ctx_id=ctx_id,
         )
         # only the [B] certificate crosses the link here; the [B, A] votes
         # stay on device (the device-ranked path reduces them there, the
@@ -941,12 +946,15 @@ class Tiresias:
             trunc_coef1, aligned,
         )
         pcms, samplerate = self._resample_queries(pcms, samplerate)
-        # the prefilter certificate only certifies the GLOBAL winner;
-        # with a context filter the best in-context audio can be absent
-        # from the top-k candidates (its votes would read 0 after the
-        # keep-mask) — filtered searches must full-scan
-        if filter_context and context is not None:
-            prefilter = False
+        # context-filtered searches keep the certified prefilter: the
+        # context's rows are selected ON DEVICE (store.ctx_ids_for keep
+        # key), so the certificate certifies the IN-context winner and the
+        # accuracy mode keeps its fast path under the opt-in filter too
+        ctx_id = (
+            self.store.ctx_id_for(context)
+            if filter_context and context is not None
+            else None
+        )
         with phase("search.fingerprint"):
             # async: qfp stays on device; the matcher dispatches chain on it
             # without a host round trip (padding frames hold real silence
@@ -978,6 +986,7 @@ class Tiresias:
                     view, qfp, n_frames, f_q, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
                     aligned, prefilter, use_lattice, on_tpu, sharded_mode,
+                    ctx_id=ctx_id,
                 )
                 vote_parts.append(np.asarray(votes)[:, : view.n_audios])
                 entries.extend(view.entries)
@@ -1002,6 +1011,7 @@ class Tiresias:
         self, view, qfp, n_frames, f_q, coefs, tolerance,
         freq_ignore_low, freq_ignore_high, trunc_coef1, aligned,
         prefilter, use_lattice, on_tpu, sharded_mode,
+        ctx_id: int | None = None,
     ):
         """Device votes ``[B, A_pad]`` for one view — the kernel-dispatch
         rules shared by the staged host-ranked path (:meth:`_compute_votes`)
@@ -1063,6 +1073,7 @@ class Tiresias:
                 votes = self._aligned_prefiltered(
                     view, qfp, n_frames, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
+                    ctx_id=ctx_id,
                 )
             if votes is None:
                 _, _, votes = search_batch_pallas(

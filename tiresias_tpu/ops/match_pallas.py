@@ -469,6 +469,8 @@ def aligned_prefiltered_votes(
     coefs: int = 2,
     k: int = PREFILTER_K,
     interpret: bool = False,
+    ctx_ids: jax.Array | None = None,
+    ctx_id: jax.Array | int | None = None,
 ):
     """Aligned votes via a CERTIFIED two-stage search: MXU lattice bounds →
     top-k candidate gather → exact aligned rescoring of the candidates.
@@ -497,6 +499,16 @@ def aligned_prefiltered_votes(
     entries scattered out first), so a missed high-bound audio simply
     fails the certificate and triggers the full-scan fallback.
 
+    Context filtering: ``ctx_ids`` ([A] int32 per-row context ids,
+    store.ctx_ids_for) + ``ctx_id`` (traced scalar) restrict the search to
+    one context's rows (the reference's per-context scan,
+    /root/reference/src/fp_handler.c:308-359; here the opt-in
+    ``filter_context`` extension — PARITY.md D7). Out-of-context rows get
+    bound −1 (never selected above a live in-context row) and any that ARE
+    selected — fewer than k in-context rows exist — rescore to 0, so the
+    certificate certifies the IN-context winner against unselected
+    in-context bounds only.
+
     Returns (votes [B, A] int32 — candidate scores scattered, zeros
     elsewhere; certificate [B] bool).
     """
@@ -519,6 +531,10 @@ def aligned_prefiltered_votes(
     # score, breaking the inequality. use2 rides along so coef-1's
     # band-bypass frames count as automatic hits in the bound too.
     bound = bound_votes(specs, maps, q, active, use2, tol)  # [B, A] int32
+    keep = None
+    if ctx_ids is not None:
+        keep = ctx_ids == jnp.asarray(ctx_id, ctx_ids.dtype)  # [A]
+        bound = jnp.where(keep[None, :], bound, -1)
     _, idx = jax.lax.approx_max_k(
         bound.astype(jnp.float32), k, recall_target=0.99
     )  # [B, K] — high recall: a missed high-bound audio costs a
@@ -536,6 +552,11 @@ def aligned_prefiltered_votes(
         return votes_k[0]
 
     votes_k = jax.lax.map(per_query, (q, active, use2, idx))  # [B, K]
+    if keep is not None:
+        # an out-of-context candidate can still be selected when fewer
+        # than k in-context rows exist; its true votes must not win,
+        # certify, or scatter into the filtered result
+        votes_k = jnp.where(keep[idx], votes_k, 0)
     votes = jnp.zeros((b, a), jnp.int32).at[rows, idx].max(votes_k)
     best = votes_k.max(axis=1)
     # strict > keeps the D5 lowest-index tiebreak exact (a tie with an

@@ -504,6 +504,10 @@ class TierView:
     # lazily-built per-row global insertion seqs [A_pad] int32 on device
     # (the engine's device-side D5 tiebreak); padding rows = int32.max
     seq_dev: object = None
+    # lazily-built per-row context ids [A_pad] int32 on device (the
+    # context-filtered prefilter's keep key — ctx_ids_for); padding and
+    # dead-at-build rows = -1 (no context id is negative)
+    ctx_dev: object = None
     dead_rows: frozenset = frozenset()  # tombstoned row indices
     # per-row frame counts (== entry.n_frames except for auto-split audios,
     # whose segment rows repeat one entry — split_frames)
@@ -542,6 +546,12 @@ class FingerprintStore:
         self._hash_count: dict[tuple[str, str], int] = {}  # dup-hash counts
         self._uuid_tier: dict[str, int] = {}
         self._by_uuid: dict[str, AudioEntry] = {}
+        # dense per-process context ids (ctx_ids_for / ctx_id_for): the
+        # context-filtered prefilter compares int rows on device instead
+        # of shipping a fresh [A_pad] bool mask per (search, context) —
+        # assigned on demand, never reused, not persisted (rebuilt lazily
+        # after restore)
+        self._ctx_ids: dict[str, int] = {}
         # incremental-checkpoint state: last save's directory, generation
         # counter, and per-tier segment manifest [[filename, n_rows], ...]
         self._save_dir: str | None = None
@@ -921,9 +931,10 @@ class FingerprintStore:
             entries=old.entries,
             value_map=vm,
             bound_maps=bms,
-            # seq keys are row-positional and tombstoning changes no rows;
-            # dead rows can't vote, so their stale seq can never win
+            # seq/ctx keys are row-positional and tombstoning changes no
+            # rows; dead rows can't vote, so their stale values never win
             seq_dev=old.seq_dev,
+            ctx_dev=old.ctx_dev,
             dead_rows=old.dead_rows | frozenset(rows),
             row_frames=old.row_frames,
             segments=old.segments,
@@ -1005,6 +1016,15 @@ class FingerprintStore:
             seq_new = np.full(k_pad, np.iinfo(np.int32).max, np.int32)
             seq_new[: a - lo] = [e.seq for e in tier.entries[lo:a]]
             seq_dev = _update_rows(seq_dev, to_dev(seq_new), lo, self.mesh)
+        ctx_dev = old.ctx_dev
+        if ctx_dev is not None:
+            ctx_new = np.full(k_pad, -1, np.int32)
+            ctx_new[: a - lo] = [
+                -1 if (lo + i) in tier.dead
+                else self.ctx_id_for(e.context)
+                for i, e in enumerate(tier.entries[lo:a])
+            ]
+            ctx_dev = _update_rows(ctx_dev, to_dev(ctx_new), lo, self.mesh)
         return TierView(
             tier_frames=t,
             db=db,
@@ -1014,6 +1034,7 @@ class FingerprintStore:
             value_map=value_map,
             bound_maps=bound_maps,
             seq_dev=seq_dev,
+            ctx_dev=ctx_dev,
             dead_rows=frozenset(tier.dead),
             row_frames=tuple(tier.row_frames),
             segments=segments,
@@ -1037,6 +1058,38 @@ class FingerprintStore:
             if view.seq_dev is None:
                 view.seq_dev = dev
         return view.seq_dev
+
+    def ctx_id_for(self, context: str) -> int:
+        """Dense id of a context name (assigned on first use, stable for
+        the process lifetime) — the scalar compared against
+        :meth:`ctx_ids_for` rows on device. Unknown contexts get an id no
+        row carries, so the filtered search cleanly finds nothing."""
+        with self._lock:
+            ids = self._ctx_ids
+            if context not in ids:
+                ids[context] = len(ids)
+            return ids[context]
+
+    def ctx_ids_for(self, view: TierView):
+        """Per-row context ids for one view, on device ([A_pad] int32,
+        padding and dead-at-build rows −1) — the context-filtered
+        prefilter's keep key (engine._aligned_prefiltered). Cached on the
+        view like seq_dev; append-extended in _extend_view; unchanged by
+        tombstoning (a dead row's votes are already 0, so its stale id can
+        never select, win, or block a certificate)."""
+        with self._lock:
+            if view.ctx_dev is not None:
+                return view.ctx_dev
+            ids = np.full(view.db.shape[0], -1, np.int32)
+            ids[: view.n_audios] = [
+                -1 if i in view.dead_rows else self.ctx_id_for(e.context)
+                for i, e in enumerate(view.entries)
+            ]
+        dev = _put_replicated(ids, self.mesh)
+        with self._lock:
+            if view.ctx_dev is None:
+                view.ctx_dev = dev
+        return view.ctx_dev
 
     def value_map_for(self, view: TierView):
         """Lazily-built lattice distance map for one view (MXU fast path);
