@@ -86,17 +86,37 @@ class TestDeviceRankedParity:
         r = eng.search_pcm("c", synth_tone(500, 1.0, SR), SR, **_strict())
         assert r.status == "FOUND" and r.name == "b"
 
-    def test_filtered_search_still_exact(self, eng):
-        """filter_context falls back to the full-votes path (per-entry
-        keep mask) — results must stay exact."""
+    def test_filtered_search_still_exact(self, eng, monkeypatch):
+        """filter_context stays on the device-ranked path (the per-view
+        ctx-id array zeros out-of-context votes inside the scoring
+        dispatch) — the [B, A] readback path must not run, and the
+        out-of-context decoy (with the winning D5 seq) must not win."""
         eng.create_context("other")
         eng.add_audio_pcm("other", "decoy", synth_tone(440, 1.0, SR), SR)
         eng.add_audio_pcm("c", "mine", synth_tone(440, 1.0, SR), SR)
+
+        def boom(*a, **k):
+            raise AssertionError("full-votes readback on the filtered path")
+
+        monkeypatch.setattr(eng, "_compute_votes", boom)
         r = eng.search_pcm(
             "c", synth_tone(440, 1.0, SR), SR,
             filter_context=True, **_strict(),
         )
         assert r.name == "mine"
+        # filtered to a context whose rows can't match -> NOTFOUND (the
+        # masked view's zero-vote winner must never be attributed)
+        r2 = eng.search_pcm(
+            "other", synth_tone(2600, 1.0, SR), SR,
+            filter_context=True, **_strict(),
+        )
+        assert r2.status == "NOTFOUND" and r2.match_count == 0
+        # top-k under the filter lists only in-context audios, on device
+        topk = eng.search_pcm_topk(
+            "c", synth_tone(440, 1.0, SR), SR, k=4,
+            filter_context=True, **_strict(),
+        )
+        assert [t.name for t in topk] == ["mine"]
 
     def test_live_append_keeps_seq_cache_correct(self, eng):
         """seq_dev extends incrementally on append; a new first-place

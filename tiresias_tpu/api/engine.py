@@ -176,14 +176,16 @@ def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
     return run
 
 
-def _top1_scored(votes, seq):
+def _top1_scored(votes, seq, ctx_ids=None, ctx_id=None):
     """Per-view device top-1 with the D5 tiebreak: maximize votes, tie →
     lowest global insertion seq.
 
     Pure int32 on device (TPU default disables x64; a packed 64-bit score
     would silently truncate). Padding/tombstone-beyond-view rows carry
     seq = int32.max (store.seq_for) and 0 votes, so they can never beat a
-    live row at votes > 0.
+    live row at votes > 0. ``ctx_ids``/``ctx_id`` (store.ctx_ids_for /
+    ctx_id_for) zero out-of-context votes inside the same dispatch, so
+    context-filtered searches keep the O(B) readback.
 
     Returns (votes [B] int32, seq [B] int32, row [B] int32) — three
     vectors instead of the full [B, A] votes matrix crossing the link;
@@ -194,7 +196,9 @@ def _top1_scored(votes, seq):
         import jax.numpy as jnp
 
         @jax.jit
-        def run(v, s):
+        def run(v, s, ci, cid):
+            if ci is not None:
+                v = jnp.where((ci == cid)[None, :], v, 0)
             m = jnp.max(v, axis=1)  # [B] winning vote count
             # among max-vote rows: the lowest seq, and its row (argmin
             # returns the first minimal seq — seqs are unique)
@@ -204,7 +208,7 @@ def _top1_scored(votes, seq):
             return m, cand[rows, i], i
 
         _top1_scored_fn = run
-    return _top1_scored_fn(votes, seq)
+    return _top1_scored_fn(votes, seq, ctx_ids, ctx_id)
 
 
 _top1_scored_fn = None
@@ -216,7 +220,9 @@ def _topk_scored_fn(k: int):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(v, s):
+    def run(v, s, ci, cid):
+        if ci is not None:  # context filter: see _top1_scored
+            v = jnp.where((ci == cid)[None, :], v, 0)
         tv, ti = jax.lax.top_k(v, k)  # ties → lower row index, which IS
         # per-tier insertion order (append-only rows, order-preserving
         # compaction) — so each view's k candidates are its exact
@@ -1136,15 +1142,19 @@ class Tiresias:
         top-k): resolve parameters, check the fallback conditions, and
         fingerprint. One definition so the eligibility rules cannot
         diverge between the two. Returns None when the search needs full
-        votes on host: context filtering (per-entry keep mask) or
-        auto-split audios (per-segment vote sums, D15)."""
+        votes on host: auto-split audios (per-segment vote sums, D15).
+        Context-filtered searches stay on-device: the per-view ctx-id
+        arrays zero out-of-context votes inside the scoring dispatch."""
         (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
          aligned) = self._resolve_search(
             coefs, tolerance, freq_ignore_low, freq_ignore_high,
             trunc_coef1, aligned,
         )
-        if filter_context and context is not None:
-            return None
+        ctx_id = (
+            self.store.ctx_id_for(context)
+            if filter_context and context is not None
+            else None
+        )
         views = self.store.search_views()
         if not views or any(v.segments for v in views):
             return None
@@ -1171,6 +1181,7 @@ class Tiresias:
                 if self.mesh is not None else None,
             ),
             "f_q": int(qfp.shape[1]),
+            "ctx_id": ctx_id,
         }
 
     def _device_ranked_batch(
@@ -1202,15 +1213,22 @@ class Tiresias:
             return None
         views, qfp, n_frames = setup["views"], setup["qfp"], setup["n_frames"]
         use_lattice, on_tpu, sharded_mode = setup["dispatch"]
+        ctx_id = setup["ctx_id"]
         per_view = []
         with phase("search.match"):
             for view in views:
                 votes = self._votes_for_view(
                     view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
                     True, use_lattice, on_tpu, sharded_mode,
+                    ctx_id=ctx_id,
                 )
                 per_view.append(
-                    _top1_scored(votes, self.store.seq_for(view))
+                    _top1_scored(
+                        votes, self.store.seq_for(view),
+                        None if ctx_id is None
+                        else self.store.ctx_ids_for(view),
+                        ctx_id,
+                    )
                 )
             import jax
 
@@ -1275,8 +1293,14 @@ class Tiresias:
                     False, use_lattice, on_tpu, sharded_mode,
                 )
                 kk = min(int(k), int(votes.shape[1]))
+                ctx_id = setup["ctx_id"]
                 per_view.append(
-                    _topk_scored_fn(kk)(votes, self.store.seq_for(view))
+                    _topk_scored_fn(kk)(
+                        votes, self.store.seq_for(view),
+                        None if ctx_id is None
+                        else self.store.ctx_ids_for(view),
+                        ctx_id,
+                    )
                 )
             import jax
 
