@@ -269,3 +269,50 @@ class TestFusedFastPathEquivalence:
             assert (f.status, f.uuid, f.match_count, f.frame_count) == (
                 s.status, s.uuid, s.match_count, s.frame_count)
         eng.close()
+
+    def test_fused_serves_context_filtered_search(self, tmp_path):
+        """filter_context stays on the fused single-dispatch path (the
+        view's ctx-id array zeros out-of-context votes on device) and
+        equals the staged path exactly — including a cross-context vote
+        tie, where the out-of-context lower-seq duplicate must not win."""
+        import numpy as np
+
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+        from tiresias_tpu.utils.audio import synth_tone
+
+        SR = 8000
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path / "d")), restore=False
+        )
+        eng.create_context("c")
+        eng.create_context("other")
+        rng = np.random.default_rng(5)
+        base = rng.uniform(-30, 25, size=(64, 2)).astype(np.float32)
+        # identical fingerprints across contexts: the FIRST-inserted copy
+        # lives in "other", so an unfiltered search would D5-pick it
+        eng.store.add_audio("decoy", "other", base, "hd", dedupe=False)
+        eng.store.add_audio("mine", "c", base, "hm", dedupe=False)
+        queries = [synth_tone(300 + 90 * i, 1.0, SR) for i in range(2)]
+
+        assert eng._fused_search_batch(
+            "c", queries, SR, None, 5.0, -1, -1, True, None, None
+        ) is not None  # the filtered search really takes the fast path
+        fused = eng.search_pcm_batch(
+            "c", queries, SR, tolerance=5.0, filter_context=True
+        )
+        assert all(r.name == "mine" for r in fused if r.found)
+        eng._fused_search_batch = lambda *a, **k: None
+        eng._device_ranked_batch = lambda *a, **k: None
+        staged = eng.search_pcm_batch(
+            "c", queries, SR, tolerance=5.0, filter_context=True
+        )
+        for f, s in zip(fused, staged):
+            assert (f.status, f.uuid, f.match_count, f.frame_count) == (
+                s.status, s.uuid, s.match_count, s.frame_count)
+        # unknown context: clean NOTFOUND on the fused path too
+        r = eng.search_pcm(
+            "ghost", queries[0], SR, tolerance=5.0, filter_context=True
+        )
+        assert r.status == "NOTFOUND" and r.match_count == 0
+        eng.close()

@@ -160,11 +160,13 @@ def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
     from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
 
     @jax.jit
-    def run(pcm, n_frames, vm, tol, band_lo, band_hi):
+    def run(pcm, n_frames, vm, tol, band_lo, band_hi, ci=None, cid=None):
         qfp = fingerprint_padded_batch(pcm, samplerate, dsp)
         f = qfp.shape[1]
         valid = jnp.arange(f)[None, :] < n_frames[:, None]
         votes = lattice_votes(vm, qfp[..., 0], valid, tol, band_lo, band_hi)
+        if ci is not None:  # context filter: see _top1_scored
+            votes = jnp.where((ci == cid)[None, :], votes, 0)
         m = jnp.max(votes, axis=1)
         # among max-vote rows, the lowest row index (insertion order);
         # padded rows can never hold votes > 0 (their lattice map is empty)
@@ -834,8 +836,11 @@ class Tiresias:
                                  freq_ignore_high, trunc_coef1, aligned)
         if coefs != 1 or not trunc_coef1 or aligned:
             return None
-        if filter_context and context is not None:
-            return None  # context masking stays on the staged path
+        ctx_id = (
+            self.store.ctx_id_for(context)
+            if filter_context and context is not None
+            else None
+        )
         views = self.store.search_views()
         if len(views) != 1:
             return None  # multi-tier: global tiebreak spans views
@@ -858,6 +863,8 @@ class Tiresias:
                 self.store.value_map_for(view),
                 jnp.float32(tolerance), jnp.float32(band_lo),
                 jnp.float32(band_hi),
+                None if ctx_id is None else self.store.ctx_ids_for(view),
+                ctx_id,
             )
             import jax
 
