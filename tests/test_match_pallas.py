@@ -341,6 +341,78 @@ class TestAlignedPrefilter:
             )
             assert (bound >= np.asarray(votes_full)).all()
 
+    def test_topk_certificate_matches_full_scan(self, rng):
+        """top=3: when certified, every audio reaching the 3rd-best
+        rescored score is a candidate with its exact score — the scattered
+        votes' top-3 (values AND set) equal the full scan's."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=64)
+        # ranks 1-3: the original and two noisy copies
+        for dst in (21, 44):
+            db[dst] = db[7] + rng.normal(0, 0.01, db[7].shape).astype(
+                np.float32
+            )
+            mask[dst] = mask[7]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 7, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=16,
+            interpret=True, top=3,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        vp, vf = np.asarray(votes_p)[0], np.asarray(votes_full)[0]
+        top_p = sorted(np.argsort(-vp)[:3].tolist())
+        top_f = sorted(np.argsort(-vf)[:3].tolist())
+        assert top_p == top_f == [7, 21, 44]
+        np.testing.assert_array_equal(vp[top_p], vf[top_f])
+
+    def test_topk_certificate_fails_when_kth_ties_unselected(self, rng):
+        """More equal-score audios than the candidate budget: the top-k
+        certificate must refuse (an unselected duplicate could belong in
+        the listing), even at a top where top-1 would also refuse."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        base = rng.uniform(-40, 30, size=(64, 2)).astype(np.float32)
+        db = np.broadcast_to(base, (16, 64, 2)).copy()
+        mask = np.ones((16, 64), bool)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = base[None, 8:24]
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        _, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=4,
+            interpret=True, top=3,
+        )
+        assert not np.asarray(cert).any()
+
+    def test_top_beyond_candidate_budget_raises(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=16)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 3, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        with pytest.raises(ValueError, match="candidate budget"):
+            aligned_prefiltered_votes(
+                db, maps, qj, active, use2, 0.05, specs=specs, coefs=2,
+                k=4, interpret=True, top=5,
+            )
+
     def test_context_filter_certifies_in_context_winner(self, rng):
         """Context-filtered prefilter (the reference's per-context scan,
         fp_handler.c:308-359): the GLOBAL winner lives in another context,

@@ -359,6 +359,13 @@ def test_engine_prefiltered_aligned_on_device(rng, tmp_path):
         True, False, True,
     )
     assert ran["prefilter"] == before + 1
+    # top-k listings route through the certified top-k prefilter too
+    before = ran["prefilter"]
+    eng._device_ranked_topk(
+        None, np.zeros(8192, np.float32), 8000, 5, 2, 0.05, -1, -1,
+        False, False, True,
+    )
+    assert ran["prefilter"] == before + 1
     # now a real fingerprint-level check: prefiltered winner == full scan
     from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
 

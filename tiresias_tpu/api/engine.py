@@ -732,11 +732,13 @@ class Tiresias:
         self, view, qfp, n_frames, coefs, tolerance,
         freq_ignore_low, freq_ignore_high, trunc_coef1,
         ctx_id: int | None = None,
+        top: int = 1,
     ):
         """Certified prefiltered aligned votes (device array) for one
         view, or None when any query's exactness certificate fails
         (→ caller full-scans). ``ctx_id`` restricts candidate selection
-        and certification to one context's rows (filter_context)."""
+        and certification to one context's rows (filter_context);
+        ``top`` > 1 certifies an exact top-k listing instead of top-1."""
         import jax
 
         from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
@@ -754,7 +756,7 @@ class Tiresias:
         )
         votes_d, cert_d = aligned_prefiltered_votes(
             view.db, maps, q, active, use2, tolerance, specs=specs,
-            coefs=coefs, ctx_ids=ctx_ids, ctx_id=ctx_id,
+            coefs=coefs, ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
         )
         # only the [B] certificate crosses the link here; the [B, A] votes
         # stay on device (the device-ranked path reduces them there, the
@@ -1025,6 +1027,7 @@ class Tiresias:
         freq_ignore_low, freq_ignore_high, trunc_coef1, aligned,
         prefilter, use_lattice, on_tpu, sharded_mode,
         ctx_id: int | None = None,
+        prefilter_top: int = 1,
     ):
         """Device votes ``[B, A_pad]`` for one view — the kernel-dispatch
         rules shared by the staged host-ranked path (:meth:`_compute_votes`)
@@ -1077,6 +1080,7 @@ class Tiresias:
                 use_pallas_aligned
                 and prefilter
                 and view.db.shape[0] > 2 * PREFILTER_K
+                and prefilter_top <= PREFILTER_K
             ):
                 # certified two-stage accuracy mode: lattice bound
                 # (shared with the dialplan path's distance map) →
@@ -1086,7 +1090,7 @@ class Tiresias:
                 votes = self._aligned_prefiltered(
                     view, qfp, n_frames, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
-                    ctx_id=ctx_id,
+                    ctx_id=ctx_id, top=prefilter_top,
                 )
             if votes is None:
                 _, _, votes = search_batch_pallas(
@@ -1292,15 +1296,19 @@ class Tiresias:
         use_lattice, on_tpu, sharded_mode = setup["dispatch"]
         per_view = []
         with phase("search.match"):
+            ctx_id = setup["ctx_id"]
             for view in views:
-                # prefilter=False: top-k listings need every audio's TRUE
-                # score, not just the certified winner's
+                kk = min(int(k), int(view.db.shape[0]))
+                # prefilter_top=kk: the certified top-k prefilter puts
+                # every audio reaching the view's k-th best score inside
+                # the candidate set with its EXACT score, so the listing
+                # below equals the full scan's; certificate failure (or an
+                # out-of-gate shape) falls back to the full scan here
                 votes = self._votes_for_view(
                     view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
-                    False, use_lattice, on_tpu, sharded_mode,
+                    True, use_lattice, on_tpu, sharded_mode,
+                    ctx_id=ctx_id, prefilter_top=kk,
                 )
-                kk = min(int(k), int(votes.shape[1]))
-                ctx_id = setup["ctx_id"]
                 per_view.append(
                     _topk_scored_fn(kk)(
                         votes, self.store.seq_for(view),

@@ -456,7 +456,7 @@ PREFILTER_K = 1024  # candidates rescored exactly by the aligned kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("specs", "coefs", "k", "interpret")
+    jax.jit, static_argnames=("specs", "coefs", "k", "interpret", "top")
 )
 def aligned_prefiltered_votes(
     db: jax.Array,
@@ -471,6 +471,7 @@ def aligned_prefiltered_votes(
     interpret: bool = False,
     ctx_ids: jax.Array | None = None,
     ctx_id: jax.Array | int | None = None,
+    top: int = 1,
 ):
     """Aligned votes via a CERTIFIED two-stage search: MXU lattice bounds →
     top-k candidate gather → exact aligned rescoring of the candidates.
@@ -509,6 +510,12 @@ def aligned_prefiltered_votes(
     certificate certifies the IN-context winner against unselected
     in-context bounds only.
 
+    ``top`` > 1 certifies a TOP-K result instead of top-1: when the
+    certificate holds, every audio whose true score reaches the k-th best
+    rescored score is inside the candidate set with its exact score, so
+    the scattered votes yield the exact lexicographic top-``top`` listing
+    (zero-vote rows never appear in a listing).
+
     Returns (votes [B, A] int32 — candidate scores scattered, zeros
     elsewhere; certificate [B] bool).
     """
@@ -524,6 +531,10 @@ def aligned_prefiltered_votes(
     a = db.shape[0]
     b = q.shape[0]
     k = min(k, a)
+    if top > k:
+        # a top-k listing larger than the candidate budget cannot be
+        # served exactly — the caller must full-scan instead
+        raise ValueError(f"top={top} exceeds the candidate budget k={k}")
     tol = jnp.asarray(tolerance, jnp.float32)
     # band filtering is already inside `active` (computed on the raw q0 by
     # prepare_query); the bound's lattice band stays OPEN or a frame at a
@@ -558,12 +569,19 @@ def aligned_prefiltered_votes(
         # certify, or scatter into the filtered result
         votes_k = jnp.where(keep[idx], votes_k, 0)
     votes = jnp.zeros((b, a), jnp.int32).at[rows, idx].max(votes_k)
-    best = votes_k.max(axis=1)
+    if top == 1:
+        kth = votes_k.max(axis=1)
+    else:
+        # top-k listings (CLI --top): the certificate must put ALL k
+        # winners inside the candidate set, so it compares the k-th best
+        # rescored score (not the best) against the unselected bounds
+        kth = jax.lax.top_k(votes_k, top)[0][:, -1]
     # strict > keeps the D5 lowest-index tiebreak exact (a tie with an
     # unselected audio's bound could hide an equal-score lower-index row);
     # unselected_max <= 0 certifies trivially (everything unselected
-    # scores 0 — or nothing is unselected at all)
-    certificate = (best > unselected_max) | (unselected_max <= 0)
+    # scores 0 — or nothing is unselected at all — and 0-vote rows never
+    # appear in a result anyway)
+    certificate = (kth > unselected_max) | (unselected_max <= 0)
     return votes, certificate
 
 
