@@ -395,6 +395,56 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             f"one-off bound-map build {build_s:.1f}s)",
             file=sys.stderr,
         )
+
+        if n_tracks == 100_000:
+            # context-filtered prefilter (the reference's per-context
+            # operating mode): 16 round-robin contexts, each query
+            # filtered to its own audio's context — the ctx keep key must
+            # not cost the prefilter its speedup
+            ctx_ids_d = jnp.arange(n_tracks, dtype=jnp.int32) % 16
+            cids = jnp.asarray(
+                [i % 16 for i in (5, 71, 901, 4242)], jnp.int32
+            )
+
+            @jax.jit
+            def run_ctx(qs, cids, ctx_ids_d, db_d, maps):
+                def body(carry, xs):
+                    q, cid = xs
+                    qq, active, use2 = match_jax.prepare_query(
+                        q, None, trunc_coef1=False
+                    )
+                    votes, cert = aligned_prefiltered_votes(
+                        db_d, maps, qq, active, use2, jnp.float32(0.1),
+                        specs=specs, coefs=n_coefs,
+                        ctx_ids=ctx_ids_d, ctx_id=cid,
+                    )
+                    best, count = match_jax.top1(votes)
+                    return carry, (best[0], count[0], cert[0])
+
+                _, outs = jax.lax.scan(body, 0, (qs, cids))
+                return outs
+
+            outs = run_ctx(qs, cids, ctx_ids_d, db_d, maps)
+            certs_c = np.asarray(outs[2])
+            wins = np.asarray(outs[0])
+            ok = all(
+                int(w) == i % n_tracks
+                for w, i in zip(wins, (5, 71, 901, 4242))
+            )
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                int(np.asarray(run_ctx(qs, cids, ctx_ids_d, db_d, maps)[0])[-1])
+                times.append((time.perf_counter() - t0) * 1e3)
+            per_query_c = float(np.percentile(times, 50)) / k_seq
+            print(
+                f"[bench] aligned@{n_coefs}coefs PREFILTERED "
+                f"CTX-FILTERED @ {n_tracks} tracks (16 contexts), batch 1 "
+                f"DEVICE-TIME: p50={per_query_c:.1f} ms/query "
+                f"(certificates {int(certs_c.sum())}/{len(certs_c)} exact; "
+                f"in-context winners {'all correct' if ok else 'WRONG'})",
+                file=sys.stderr,
+            )
         del db_d, mask_d, maps
 
 
