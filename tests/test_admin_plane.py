@@ -527,6 +527,77 @@ class TestLiveSearch:
         assert result["TIRFILENAME"] == "tone1.wav"
         assert "CONFIDENCE" in result
 
+    def test_admin_search_top_over_protocol(self, served):
+        """Ranked --top listings answered from the RUNNING server's store;
+        bad tops are clean protocol errors, not crashes."""
+        import base64
+
+        from tiresias_tpu.serve.admin import AdminError
+
+        server, eng, config, media = served
+        pcm = synth_tone(500, 1.0, SR)
+        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+        b64 = base64.b64encode(i16.tobytes()).decode()
+        with AdminClient("127.0.0.1", server.port) as client:
+            reply = client.admin(
+                "search", context="m", pcm=b64, samplerate=SR, top=3,
+            )
+            ranked = reply["ranked"]  # strict config: only tone1 matches
+            assert ranked and ranked[0]["TIRFILENAME"] == "tone1.wav"
+            votes = [int(p["TIRMATCHCOUNT"]) for p in ranked]
+            assert votes == sorted(votes, reverse=True) and votes[0] > 0
+            assert all("CONFIDENCE" in p for p in ranked)
+            # a true tie ranks by insertion (D5): all three tones tie at
+            # tolerance 1.0, so the full table lists them in synced order
+            reply = client.admin(
+                "search", context="m", pcm=b64, samplerate=SR,
+                tolerance=1.0, top=3,
+            )
+            names = [p["TIRFILENAME"] for p in reply["ranked"]]
+            assert names == ["tone0.wav", "tone1.wav", "tone2.wav"]
+            for bad in (0, -2, "3", True, 4096):
+                with pytest.raises(AdminError):
+                    client.admin(
+                        "search", context="m", pcm=b64, samplerate=SR,
+                        top=bad,
+                    )
+            with pytest.raises(AdminError):  # top + batched queries
+                client.admin(
+                    "search", context="m", top=2,
+                    queries=[{"pcm": b64, "samplerate": SR}],
+                )
+
+    def test_cli_top_proxies_to_live_server(
+        self, served, capsys, tmp_path, monkeypatch
+    ):
+        """`tiresias search --top N` must answer from the live store too
+        (a cold restore per listing defeats the admin plane at scale)."""
+        from tiresias_tpu import cli
+        from tiresias_tpu.utils.audio import write_wav
+
+        server, eng, config, media = served
+        query = tmp_path / "q.wav"
+        write_wav(str(query), synth_tone(700, 1.0, SR), SR)
+        conf = tmp_path / "t.conf"
+        conf.write_text(
+            f"[global]\ndata_dir={config.data_dir}\ncoefs=2\n"
+            f"tolerance=0.01\ntrunc_coef1=no\n\n[m]\ndirectory={media}\n"
+        )
+
+        def no_engine(*a, **k):
+            raise AssertionError("offline engine built despite live server")
+
+        monkeypatch.setattr(cli, "_engine", no_engine)
+        rc = cli.main(
+            ["-c", str(conf), "search", "--top", "2", "m", str(query)]
+        )
+        out = capsys.readouterr().out
+        assert rc == 0
+        lines = [ln for ln in out.splitlines() if ln.strip()]
+        assert lines[0].startswith("Rank")
+        # strict tolerance: only the 700 Hz tone scores -> one table row
+        assert len(lines) == 2 and "tone2.wav" in lines[1]
+
     def test_cli_search_proxies_to_live_server(
         self, served, capsys, tmp_path, monkeypatch
     ):

@@ -313,27 +313,26 @@ def cmd_search(args) -> int:
         return _search_many(args, files, kwargs)
     args.file = files[0]
     config = _config(args)
-    if args.top is None:
-        # a RUNNING server answers one-shot searches against its live
-        # store (the dialplan app's operational model — the reference
-        # searches inside the owning module process) without this
-        # process paying a cold engine restore of the whole checkpoint
-        proxy = _proxy(config)
-        if proxy is not None:
-            from tiresias_tpu.serve.admin import AdminError
+    # a RUNNING server answers one-shot searches (and --top listings)
+    # against its live store (the dialplan app's operational model — the
+    # reference searches inside the owning module process) without this
+    # process paying a cold engine restore of the whole checkpoint
+    proxy = _proxy(config)
+    if proxy is not None:
+        from tiresias_tpu.serve.admin import AdminError
 
-            rc = None
-            try:
-                with proxy:
-                    rc = _search_via_server(proxy, args, kwargs)
-            except AdminError as exc:
-                if getattr(exc, "code", None) != "not_permitted":
-                    return _proxy_failed(exc)
-                # admin-gated server: fall through to the offline engine
-            except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+        rc = None
+        try:
+            with proxy:
+                rc = _search_via_server(proxy, args, kwargs)
+        except AdminError as exc:
+            if getattr(exc, "code", None) != "not_permitted":
                 return _proxy_failed(exc)
-            if rc is not None:
-                return rc
+            # admin-gated server: fall through to the offline engine
+        except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+            return _proxy_failed(exc)
+        if rc is not None:
+            return rc
     # read-only: a one-shot recognition must work alongside a live server
     eng = _engine(args, exclusive=False)
     if args.top is not None:  # any explicit --top N prints the ranked table
@@ -341,15 +340,9 @@ def cmd_search(args) -> int:
 
         pcm, sr = read_audio(args.file)
         ranked = eng.search_pcm_topk(args.context, pcm, sr, k=args.top, **kwargs)
-        if not ranked:
-            print("TIRSTATUS=NOTFOUND")
-            return 2
-        print("%-4s %-36.36s %-45.45s %-10s %-10s" % (
-            "Rank", "Uuid", "Name", "Votes", "Confidence"))
-        for rank, r in enumerate(ranked, 1):
-            print("%-4d %-36.36s %-45.45s %-10d %-10.4f" % (
-                rank, r.uuid, r.name, r.match_count, r.confidence))
-        return 0
+        return _print_ranked([
+            (r.uuid, r.name, r.match_count, r.confidence) for r in ranked
+        ])
     res = eng.search_file(args.context, args.file, **kwargs)
     for key, value in res.to_channel_vars().items():
         print(f"{key}={value}")
@@ -590,8 +583,23 @@ def _search_many_via_server(proxy, args, files, kwargs) -> int | None:
     )
 
 
+def _print_ranked(rows) -> int:
+    """Ranked --top table from (uuid, name, votes, confidence) rows —
+    shared by the offline engine and the live-server proxy."""
+    if not rows:
+        print("TIRSTATUS=NOTFOUND")
+        return 2
+    print("%-4s %-36.36s %-45.45s %-10s %-10s" % (
+        "Rank", "Uuid", "Name", "Votes", "Confidence"))
+    for rank, (uuid, name, votes, conf) in enumerate(rows, 1):
+        print("%-4d %-36.36s %-45.45s %-10d %-10.4f" % (
+            rank, uuid, name, int(votes), float(conf)))
+    return 0
+
+
 def _search_via_server(proxy, args, kwargs) -> int:
-    """One-shot recognition proxied to the live server's store."""
+    """One-shot recognition (or --top listing) proxied to the live
+    server's store."""
     from tiresias_tpu.utils.audio import read_audio
 
     try:
@@ -605,6 +613,14 @@ def _search_via_server(proxy, args, kwargs) -> int:
         return None  # too big for one protocol line — offline path serves it
     payload["context"] = args.context
     payload.update({k: v for k, v in kwargs.items() if v is not None})
+    if args.top is not None:
+        payload["top"] = args.top
+        ranked = proxy.admin("search", **payload)["ranked"]
+        return _print_ranked([
+            (p.get("TIRFILEUUID", ""), p.get("TIRFILENAME", ""),
+             p.get("TIRMATCHCOUNT", 0), p.get("CONFIDENCE", 0.0))
+            for p in ranked
+        ])
     result = proxy.admin("search", **payload)["result"]
     for key, value in result.items():
         print(f"{key}={value}")

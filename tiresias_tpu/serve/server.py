@@ -699,6 +699,30 @@ class RecognitionServer:
                 if k in msg
             }
             context = msg.get("context")
+            top = msg.get("top")
+            if top is not None:
+                # ranked top-N listing (CLI --top) from the live store;
+                # single query only, bounded like the engine's candidate
+                # budget so a typo can't demand a million-row table
+                if not single:
+                    return {"error": "top supports a single query",
+                            "code": "bad_request"}
+                if (isinstance(top, bool) or not isinstance(top, int)
+                        or not 1 <= top <= 1024):
+                    return {"error": "top must be an int in [1, 1024]",
+                            "code": "bad_request"}
+
+                def work_top():
+                    return eng.search_pcm_topk(
+                        context, pcms[0][0], pcms[0][1], k=top, **kwargs
+                    )
+
+                ranked = await in_executor(work_top)
+                return {"admin": {"ranked": [
+                    dict(r.to_channel_vars(),
+                         CONFIDENCE=f"{r.confidence:.4f}")
+                    for r in ranked
+                ]}}
 
             def work():
                 if single:
