@@ -476,6 +476,54 @@ class TestAlignedPrefilter:
         assert (votes_p[ctx_ids == 0] == 0).all()
         assert votes_p.argmax() == 11 and votes_p.max() > 0
 
+    def test_context_filter_composes_with_topk(self, rng):
+        """--filter-context --top together: kth comes from the ctx-ZEROED
+        candidate scores and the bound mask must precede unselected_max —
+        the filtered top-3 must equal the masked full scan's top-3 even
+        though the GLOBAL top-1 sits outside the filter."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=64)
+        for dst, sigma in ((9, 0.004), (21, 0.01), (44, 0.02)):
+            db[dst] = db[7] + rng.normal(0, sigma, db[7].shape).astype(
+                np.float32
+            )
+            mask[dst] = mask[7]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        ctx_ids = np.zeros(64, np.int32)
+        ctx_ids[[9, 21, 44]] = 1  # the exact copy (row 7) stays outside
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = db[None, 7, 10:42, :].astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=16,
+            interpret=True, ctx_ids=jnp.asarray(ctx_ids), ctx_id=1, top=3,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        vp = np.asarray(votes_p)[0]
+        vf = np.where(ctx_ids == 1, np.asarray(votes_full)[0], 0)
+        assert (vp[ctx_ids == 0] == 0).all()
+        top_p = sorted(np.argsort(-vp)[:3].tolist())
+        assert top_p == [9, 21, 44]
+        np.testing.assert_array_equal(vp[top_p], vf[top_p])
+        # a context with fewer rows than top certifies trivially: every
+        # in-context row is a rescored candidate
+        ctx_ids2 = np.zeros(64, np.int32)
+        ctx_ids2[[5, 11]] = 2
+        votes_s, cert_s = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True, ctx_ids=jnp.asarray(ctx_ids2), ctx_id=2, top=3,
+        )
+        assert np.asarray(cert_s).all()
+        assert (np.asarray(votes_s)[0][ctx_ids2 != 2] == 0).all()
+
     def test_context_filter_unknown_context_finds_nothing(self, rng):
         """An id no row carries (store.ctx_id_for of an unknown context):
         certified, all zeros → NOTFOUND, not a full-scan fallback."""

@@ -230,8 +230,12 @@ class TestIncrementalViews:
         np.testing.assert_array_equal(
             ids2, np.asarray(store.ctx_ids_for(v2_fresh))
         )
-        # unknown context gets an id no row carries
+        # unknown context: the -2 sentinel (no row carries it), WITHOUT
+        # growing the id map — client-supplied filter names must not leak
+        n_ids = len(store._ctx_ids)
+        assert store.ctx_id_for("ghost") == -2
         assert store.ctx_id_for("ghost") not in set(ids2.tolist())
+        assert len(store._ctx_ids) == n_ids
         # tombstoning keeps the cached array (dead rows can't vote)
         e0 = next(iter(store.iter_entries()))
         store.delete_audio(e0.uuid)

@@ -838,11 +838,7 @@ class Tiresias:
                                  freq_ignore_high, trunc_coef1, aligned)
         if coefs != 1 or not trunc_coef1 or aligned:
             return None
-        ctx_id = (
-            self.store.ctx_id_for(context)
-            if filter_context and context is not None
-            else None
-        )
+        ctx_id = self._ctx_filter_id(context, filter_context)
         views = self.store.search_views()
         if len(views) != 1:
             return None  # multi-tier: global tiebreak spans views
@@ -885,6 +881,17 @@ class Tiresias:
                     self._found(view.entries[b], fc, int(count[i]))
                 )
         return results
+
+    def _ctx_filter_id(
+        self, context: str | None, filter_context: bool
+    ) -> int | None:
+        """The device keep key for a filtered search, or None for the
+        reference's scan-everything behavior (context=None keeps D7 even
+        when filtering is requested). ONE definition so the fused, staged,
+        and device-ranked paths can never diverge on the filter rule."""
+        if not filter_context or context is None:
+            return None
+        return self.store.ctx_id_for(context)
 
     def _resolve_search(
         self,
@@ -965,11 +972,7 @@ class Tiresias:
         # context's rows are selected ON DEVICE (store.ctx_ids_for keep
         # key), so the certificate certifies the IN-context winner and the
         # accuracy mode keeps its fast path under the opt-in filter too
-        ctx_id = (
-            self.store.ctx_id_for(context)
-            if filter_context and context is not None
-            else None
-        )
+        ctx_id = self._ctx_filter_id(context, filter_context)
         with phase("search.fingerprint"):
             # async: qfp stays on device; the matcher dispatches chain on it
             # without a host round trip (padding frames hold real silence
@@ -1161,11 +1164,7 @@ class Tiresias:
             coefs, tolerance, freq_ignore_low, freq_ignore_high,
             trunc_coef1, aligned,
         )
-        ctx_id = (
-            self.store.ctx_id_for(context)
-            if filter_context and context is not None
-            else None
-        )
+        ctx_id = self._ctx_filter_id(context, filter_context)
         views = self.store.search_views()
         if not views or any(v.segments for v in views):
             return None
@@ -1299,15 +1298,27 @@ class Tiresias:
             ctx_id = setup["ctx_id"]
             for view in views:
                 kk = min(int(k), int(view.db.shape[0]))
-                # prefilter_top=kk: the certified top-k prefilter puts
-                # every audio reaching the view's k-th best score inside
-                # the candidate set with its EXACT score, so the listing
-                # below equals the full scan's; certificate failure (or an
-                # out-of-gate shape) falls back to the full scan here
+                # prefilter_top: the certified top-k prefilter puts every
+                # audio reaching the view's k-th best score inside the
+                # candidate set with its EXACT score, so the listing below
+                # equals the full scan's; certificate failure (or an
+                # out-of-gate shape) falls back to the full scan here.
+                # Bucketed to the next power of two: top is a STATIC jit
+                # arg, and per-distinct-N recompiles would stall a serving
+                # store (a LARGER top is a strictly STRICTER certificate,
+                # so exactness is preserved — at worst it fails more often
+                # and full-scans)
+                from tiresias_tpu.ops.match_pallas import PREFILTER_K
+                from tiresias_tpu.utils import next_pow2
+
+                # an over-budget kk passes through un-bucketed so the
+                # prefilter gate (prefilter_top <= PREFILTER_K) rejects it
+                # — a bucketed value could sneak a too-small listing in
+                ptop = next_pow2(kk) if kk <= PREFILTER_K else kk
                 votes = self._votes_for_view(
                     view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
                     True, use_lattice, on_tpu, sharded_mode,
-                    ctx_id=ctx_id, prefilter_top=kk,
+                    ctx_id=ctx_id, prefilter_top=ptop,
                 )
                 per_view.append(
                     _topk_scored_fn(kk)(

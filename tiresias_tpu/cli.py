@@ -614,8 +614,14 @@ def _search_via_server(proxy, args, kwargs) -> int:
     payload["context"] = args.context
     payload.update({k: v for k, v in kwargs.items() if v is not None})
     if args.top is not None:
+        if args.top > 1024:
+            return None  # beyond the protocol cap — offline path serves it
         payload["top"] = args.top
-        ranked = proxy.admin("search", **payload)["ranked"]
+        ranked = proxy.admin("search", **payload).get("ranked")
+        if ranked is None:
+            # a server predating the 'top' op answered with a plain
+            # result — serve the listing offline instead of crashing
+            return None
         return _print_ranked([
             (p.get("TIRFILEUUID", ""), p.get("TIRFILENAME", ""),
              p.get("TIRMATCHCOUNT", 0), p.get("CONFIDENCE", 0.0))

@@ -673,6 +673,17 @@ class RecognitionServer:
             if not queries or not isinstance(queries, list):
                 return {"error": "queries must be a non-empty list",
                         "code": "bad_request"}
+            # validate the cheap parameters BEFORE paying the base64
+            # decode of up to MAX_LINE_BYTES of PCM
+            top = msg.get("top")
+            if top is not None:
+                if not single:
+                    return {"error": "top supports a single query",
+                            "code": "bad_request"}
+                if (isinstance(top, bool) or not isinstance(top, int)
+                        or not 1 <= top <= 1024):
+                    return {"error": "top must be an int in [1, 1024]",
+                            "code": "bad_request"}
             pcms: list = []
             for q in queries:
                 raw = base64.b64decode(q["pcm"], validate=True)
@@ -699,18 +710,10 @@ class RecognitionServer:
                 if k in msg
             }
             context = msg.get("context")
-            top = msg.get("top")
             if top is not None:
                 # ranked top-N listing (CLI --top) from the live store;
-                # single query only, bounded like the engine's candidate
-                # budget so a typo can't demand a million-row table
-                if not single:
-                    return {"error": "top supports a single query",
-                            "code": "bad_request"}
-                if (isinstance(top, bool) or not isinstance(top, int)
-                        or not 1 <= top <= 1024):
-                    return {"error": "top must be an int in [1, 1024]",
-                            "code": "bad_request"}
+                # bounded like the engine's candidate budget so a typo
+                # can't demand a million-row table (validated above)
 
                 def work_top():
                     return eng.search_pcm_topk(

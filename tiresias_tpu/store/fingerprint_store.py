@@ -1021,7 +1021,7 @@ class FingerprintStore:
             ctx_new = np.full(k_pad, -1, np.int32)
             ctx_new[: a - lo] = [
                 -1 if (lo + i) in tier.dead
-                else self.ctx_id_for(e.context)
+                else self._ctx_id_alloc(e.context)
                 for i, e in enumerate(tier.entries[lo:a])
             ]
             ctx_dev = _update_rows(ctx_dev, to_dev(ctx_new), lo, self.mesh)
@@ -1062,8 +1062,22 @@ class FingerprintStore:
     def ctx_id_for(self, context: str) -> int:
         """Dense id of a context name (assigned on first use, stable for
         the process lifetime) — the scalar compared against
-        :meth:`ctx_ids_for` rows on device. Unknown contexts get an id no
-        row carries, so the filtered search cleanly finds nothing."""
+        :meth:`ctx_ids_for` rows on device. A name that is neither a live
+        context nor previously seen returns the sentinel −2 (no row ever
+        carries it, so the filtered search cleanly finds nothing) WITHOUT
+        growing the map: the search op accepts client-supplied context
+        strings, and allocating per unknown name would leak memory on a
+        long-running server."""
+        with self._lock:
+            if (context not in self._ctx_ids
+                    and context not in self.contexts):
+                return -2
+            return self._ctx_id_alloc(context)
+
+    def _ctx_id_alloc(self, context: str) -> int:
+        """Allocate-or-get a context id — the view builds use this (a ROW
+        defines its context as real, so rows can never carry the −2
+        sentinel that :meth:`ctx_id_for` hands unknown filter names)."""
         with self._lock:
             ids = self._ctx_ids
             if context not in ids:
@@ -1082,7 +1096,8 @@ class FingerprintStore:
                 return view.ctx_dev
             ids = np.full(view.db.shape[0], -1, np.int32)
             ids[: view.n_audios] = [
-                -1 if i in view.dead_rows else self.ctx_id_for(e.context)
+                -1 if i in view.dead_rows
+                else self._ctx_id_alloc(e.context)
                 for i, e in enumerate(view.entries)
             ]
         dev = _put_replicated(ids, self.mesh)
