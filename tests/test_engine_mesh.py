@@ -180,3 +180,48 @@ def test_sharded_engine_fused_pallas_dispatch(tmp_path, monkeypatch):
             (r.name, r.match_count, r.frame_count) for r in r1
         ], kwargs
     assert calls == [False, True]  # both kernels actually dispatched
+
+
+def test_sharded_engine_prefilter_dispatch(tmp_path, monkeypatch):
+    """Sharded store: aligned searches above the (monkeypatched) per-shard
+    budget must route through the shard-mapped certified prefilter and
+    match the single-device engine — including context-filtered."""
+    import tiresias_tpu.ops.match_pallas as mp
+
+    monkeypatch.setenv("TIRESIAS_SHARDED_PALLAS", "interpret")
+    monkeypatch.setattr(mp, "PREFILTER_K", 1)  # open the engine gate
+    mesh = make_mesh(4, 2)
+    sharded = _build(tmp_path / "a", mesh)
+    single = _build(tmp_path / "b", None)
+    for eng in (sharded, single):
+        eng.create_context("x")
+        eng.add_audio_pcm("x", "decoy", synth_tone(390, 1.0, SR), SR)
+
+    ran = {"n": 0}
+    orig = sharded._aligned_prefiltered
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        if out is not None:
+            ran["n"] += 1
+        return out
+
+    monkeypatch.setattr(sharded, "_aligned_prefiltered", spy)
+    queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (1, 3)]
+    kwargs = dict(coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True)
+    rs = sharded.search_pcm_batch("m", queries, SR, **kwargs)
+    r1 = single.search_pcm_batch("m", queries, SR, **kwargs)
+    assert [(r.name, r.match_count) for r in rs] == [
+        (r.name, r.match_count) for r in r1
+    ]
+    assert ran["n"] >= 1  # the sharded prefilter actually served it
+    # context-filtered through the same path: decoy context finds nothing
+    before = ran["n"]
+    rf = sharded.search_pcm(
+        "x", queries[0], SR, filter_context=True, **kwargs
+    )
+    f1 = single.search_pcm(
+        "x", queries[0], SR, filter_context=True, **kwargs
+    )
+    assert rf.status == f1.status and rf.name == f1.name
+    assert ran["n"] == before + 1

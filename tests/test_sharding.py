@@ -154,6 +154,112 @@ class TestShardedPallasMatcher:
         np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
 
 
+class TestShardedPrefilter:
+    """Certified two-stage aligned search per DB shard: every shard
+    certifies its own rows; disjoint vote columns compose exactly."""
+
+    def _clustered_db(self, rng, n_audios=64, t=128, c=2):
+        # per-audio clustered values so bounds are selective (uniform
+        # noise would make every audio hit every bound)
+        mu = rng.uniform(-25, 20, size=(n_audios, 1, c)).astype(np.float32)
+        db = (mu + rng.normal(0, 1.5, (n_audios, t, c))).astype(np.float32)
+        n_frames = rng.integers(96, t + 1, size=n_audios)
+        mask = np.arange(t)[None, :] < n_frames[:, None]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        return db, mask
+
+    def test_matches_full_scan_when_certified(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.parallel.sharding import (
+            sharded_aligned_prefiltered,
+        )
+
+        mesh = make_mesh(4, 2)
+        db, mask = self._clustered_db(rng)  # 64 % 4 == 0
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = np.stack([db[7, 10:42], db[33, 40:72]]).astype(np.float32)
+        qp, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, certs = sharded_aligned_prefiltered(
+            mesh, db, maps, qp, active, use2, 0.05, specs, 2,
+            interpret=True, k=8,  # 8 of 16 rows per shard: real selection
+        )
+        certs = np.asarray(certs)
+        assert certs.shape == (2, 4) and certs.all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=True,
+        )
+        vp, vf = np.asarray(votes_p), np.asarray(votes_full)
+        for b, target in ((0, 7), (1, 33)):
+            assert vp[b].argmax() == vf[b].argmax() == target
+            assert vp[b].max() == vf[b].max() == 32
+            # non-candidates may be zeroed but never beat the winner
+            assert (vp[b] <= vf[b]).all()
+
+    def test_any_shard_failure_visible(self, rng):
+        """A shard full of duplicates fails ITS certificate column while
+        clean shards still certify — the caller's certs.all() gate must
+        see the failure."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.parallel.sharding import (
+            sharded_aligned_prefiltered,
+        )
+
+        mesh = make_mesh(4, 2)
+        db, mask = self._clustered_db(rng)
+        # shard 1 (rows 16..31): all identical -> its k-th bound ties
+        db[16:32] = db[16]
+        mask[16:32] = mask[16]
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = np.stack([db[16, 10:42], db[16, 10:42]]).astype(np.float32)
+        qp, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        _, certs = sharded_aligned_prefiltered(
+            mesh, db, maps, qp, active, use2, 0.05, specs, 2,
+            interpret=True, k=4,
+        )
+        certs = np.asarray(certs)
+        assert not certs[:, 1].any()  # the duplicate shard refuses
+        assert not certs.all()  # ...so the caller's gate must full-scan
+        # at least one clean shard still certifies independently (a shard
+        # with no match and loose bounds may legitimately refuse too)
+        assert certs.any(axis=1).all()
+
+    def test_context_filter_across_shards(self, rng):
+        """ctx keep key under shard_map: the global winner lives in an
+        out-of-filter context on another shard; the filtered search must
+        certify and return the in-context winner."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.parallel.sharding import (
+            sharded_aligned_prefiltered,
+        )
+
+        mesh = make_mesh(4, 2)
+        db, mask = self._clustered_db(rng)
+        # noisy copy of row 7 (shard 0) lives at row 40 (shard 2)
+        db[40] = db[7] + rng.normal(0, 0.004, db[7].shape).astype(np.float32)
+        mask[40] = mask[7]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        ctx_ids = np.zeros(64, np.int32)
+        ctx_ids[32:] = 1  # shards 2-3 are context 1
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = np.stack([db[7, 10:42], db[7, 10:42]]).astype(np.float32)
+        qp, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, certs = sharded_aligned_prefiltered(
+            mesh, db, maps, qp, active, use2, 0.05, specs, 2,
+            interpret=True, k=8, ctx_ids=jnp.asarray(ctx_ids), ctx_id=1,
+        )
+        assert np.asarray(certs).all()
+        vp = np.asarray(votes_p)[0]
+        assert (vp[:32] == 0).all()
+        assert vp.argmax() == 40 and vp.max() > 0
+
+
 class TestSequenceParallel:
     def test_long_signal_matches_single_device(self, rng, dsp):
         """One long signal sharded on the frame axis with a 256-sample

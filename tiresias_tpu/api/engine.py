@@ -733,12 +733,15 @@ class Tiresias:
         freq_ignore_low, freq_ignore_high, trunc_coef1,
         ctx_id: int | None = None,
         top: int = 1,
+        interpret: bool | None = None,
     ):
         """Certified prefiltered aligned votes (device array) for one
         view, or None when any query's exactness certificate fails
         (→ caller full-scans). ``ctx_id`` restricts candidate selection
         and certification to one context's rows (filter_context);
-        ``top`` > 1 certifies an exact top-k listing instead of top-1."""
+        ``top`` > 1 certifies an exact top-k listing instead of top-1.
+        On a meshed store the two-stage search runs PER DB SHARD under
+        shard_map — every shard must certify or the view full-scans."""
         import jax
 
         from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
@@ -754,6 +757,33 @@ class Tiresias:
         ctx_ids = (
             self.store.ctx_ids_for(view) if ctx_id is not None else None
         )
+        if self.mesh is not None:
+            import jax.numpy as jnp
+
+            from tiresias_tpu.parallel.sharding import (
+                BATCH_AXIS,
+                pad_to_multiple,
+                sharded_aligned_prefiltered,
+            )
+
+            b = int(q.shape[0])
+            n_batch = int(self.mesh.shape.get(BATCH_AXIS, 1))
+            b_pad = pad_to_multiple(max(b, n_batch), n_batch)
+            if b_pad != b:
+                # zero-frame padding queries certify trivially
+                pad = b_pad - b
+                q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+                active = jnp.pad(active, ((0, pad), (0, 0)))
+                use2 = jnp.pad(use2, ((0, pad), (0, 0)))
+            votes_d, certs_d = sharded_aligned_prefiltered(
+                self.mesh, view.db, maps, q, active, use2, tolerance,
+                specs, coefs, interpret=interpret,
+                ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
+            )
+            if not jax.device_get(certs_d).all():
+                metrics.add("search.prefilter_fallbacks", 1)
+                return None
+            return votes_d[:b]
         votes_d, cert_d = aligned_prefiltered_votes(
             view.db, maps, q, active, use2, tolerance, specs=specs,
             coefs=coefs, ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
@@ -1113,8 +1143,28 @@ class Tiresias:
             # DB shard under shard_map (bag or aligned), vote
             # columns disjoint — same result as the GSPMD XLA
             # matcher, kernel-resident DB tiles per chip
+            from tiresias_tpu.ops.match_pallas import PREFILTER_K
             from tiresias_tpu.parallel.sharding import sharded_search
 
+            votes = None
+            n_db = int(self.mesh.shape.get("db", 1))
+            if (
+                aligned
+                and prefilter
+                and prefilter_top <= PREFILTER_K
+                and view.db.shape[0] % n_db == 0
+                and view.db.shape[0] // n_db > 2 * PREFILTER_K
+            ):
+                # certified two-stage accuracy mode, per DB shard (the
+                # same gates as the single-device path, per shard)
+                votes = self._aligned_prefiltered(
+                    view, qfp, n_frames, coefs, tolerance,
+                    freq_ignore_low, freq_ignore_high, trunc_coef1,
+                    ctx_id=ctx_id, top=prefilter_top,
+                    interpret=sharded_mode == "interpret",
+                )
+            if votes is not None:
+                return votes
             _, _, votes = sharded_search(
                 self.mesh,
                 view.db,

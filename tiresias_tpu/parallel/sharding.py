@@ -275,6 +275,100 @@ def _sharded_votes_pallas_fn(
     )
 
 
+def sharded_aligned_prefiltered(
+    mesh: Mesh,
+    db: jax.Array,
+    maps: tuple,
+    q: jax.Array,
+    active: jax.Array,
+    use2: jax.Array,
+    tolerance: float,
+    specs: tuple,
+    coefs: int,
+    interpret: bool | None = None,
+    ctx_ids: jax.Array | None = None,
+    ctx_id: int | None = None,
+    top: int = 1,
+    k: int | None = None,
+):
+    """Certified two-stage aligned search per DB shard under shard_map
+    (:func:`tiresias_tpu.ops.match_pallas.aligned_prefiltered_votes` run
+    on each chip's slice of the audio axis).
+
+    Exactness composes across shards exactly like the full-scan sharded
+    matchers: vote columns are disjoint (out spec ``P(batch, db)``), each
+    shard's certificate covers ITS rows (its winner is rescored exactly
+    and strictly beats every unselected bound in the shard), and the
+    caller's cross-shard top-1/top-k compares exact values — so when
+    EVERY shard certifies, the combined result equals the full scan. Any
+    shard's failure must fall back to the full scan for the whole view
+    (the caller checks ``certs.all()``).
+
+    ``q``/``active``/``use2`` are prepared queries (match_jax.prepare_query)
+    with B divisible by the mesh batch axis (pad with zero-frame queries —
+    they certify trivially). Returns (votes [B, A], certs [B, n_db] bool).
+    """
+    if interpret is None:
+        from tiresias_tpu.utils.platform import mesh_is_tpu
+
+        interpret = not mesh_is_tpu(mesh)
+    fn = _sharded_prefiltered_fn(
+        mesh, specs, coefs, bool(interpret), len(maps),
+        ctx_ids is not None, top, k,
+    )
+    args = (db, *maps, q, active, use2, jnp.float32(tolerance))
+    if ctx_ids is not None:
+        args += (ctx_ids, jnp.int32(ctx_id))
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_prefiltered_fn(
+    mesh: Mesh, specs: tuple, coefs: int, interpret: bool,
+    n_maps: int, has_ctx: bool, top: int, k: int | None = None,
+):
+    """Jitted shard_map program for :func:`sharded_aligned_prefiltered`,
+    cached per parameterization (per-request path — see
+    :func:`_sharded_votes_pallas_fn` for why)."""
+    from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+    def shard_fn(db_s, *rest):
+        maps_s = tuple(rest[:n_maps])
+        q_s, act_s, u2_s, tol = rest[n_maps:n_maps + 4]
+        ci_s = rest[n_maps + 4] if has_ctx else None
+        cid = rest[n_maps + 5] if has_ctx else None
+        kw = {} if k is None else {"k": k}
+        votes_s, cert_s = aligned_prefiltered_votes(
+            db_s, maps_s, q_s, act_s, u2_s, tol, specs=specs,
+            coefs=coefs, interpret=interpret,
+            ctx_ids=ci_s, ctx_id=cid, top=top, **kw,
+        )
+        # one cert column per shard; the caller ANDs across shards
+        return votes_s, cert_s[:, None]
+
+    in_specs = (
+        P(DB_AXIS, None, None),                     # db rows
+        *([P(DB_AXIS, None)] * n_maps),             # bound-map rows
+        P(BATCH_AXIS, None, None),                  # q
+        P(BATCH_AXIS, None),                        # active
+        P(BATCH_AXIS, None),                        # use2
+        P(),                                        # tolerance
+    )
+    if has_ctx:
+        in_specs += (P(DB_AXIS), P())               # ctx_ids rows, ctx_id
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(BATCH_AXIS, DB_AXIS), P(BATCH_AXIS, DB_AXIS)),
+            # pallas_call outputs carry no varying-mesh-axes metadata; the
+            # out_specs fully describe the disjoint-column layout
+            check_vma=False,
+        )
+    )
+
+
 def sharded_fingerprint_long(
     mesh: Mesh,
     pcm: np.ndarray | jax.Array,
