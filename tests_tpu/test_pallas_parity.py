@@ -459,6 +459,40 @@ def test_sharded_fused_dispatch_on_device(rng, tmp_path):
     assert calls == [(False, False), (True, False)]  # compiled, not interpret
 
 
+def test_sharded_prefilter_compiled_on_device(rng):
+    """The shard-mapped certified prefilter COMPILED on a real TPU mesh
+    (Mosaic, not interpret): winner and count must equal the single-device
+    prefilter and the XLA full scan."""
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_jax
+    from tiresias_tpu.ops.match_lattice import build_bound_maps
+    from tiresias_tpu.parallel import make_mesh
+    from tiresias_tpu.parallel.sharding import sharded_aligned_prefiltered
+
+    mesh = make_mesh(1, 1)
+    n = 4096  # enough rows for real candidate selection at k=1024
+    mu = rng.uniform(-25, 20, size=(n, 1, 2)).astype(np.float32)
+    db = (mu + rng.normal(0, 1.5, (n, 64, 2))).astype(np.float32)
+    mask = np.ones((n, 64), bool)
+    specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+    target = 1337
+    q = db[None, target, 8:40].astype(np.float32)
+    qp, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+    votes_p, certs = sharded_aligned_prefiltered(
+        mesh, jnp.asarray(db), maps, qp, active, use2, 0.05, specs, 2,
+        interpret=False,
+    )
+    assert np.asarray(certs).all()
+    _, _, votes_full = match_jax.search_batch(
+        db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+        aligned=True,
+    )
+    vp, vf = np.asarray(votes_p)[0], np.asarray(votes_full)[0]
+    assert vp.argmax() == vf.argmax() == target
+    assert vp.max() == vf.max() == 32
+
+
 def test_device_ranked_top1_on_device(rng, tmp_path):
     """The device-side top-1 reduction (engine._device_ranked_batch) on
     the real chip: multi-tier store, exact agreement with the full-votes
