@@ -12,10 +12,41 @@ Run: python bench.py  (uses the default JAX platform — TPU when present).
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Soft wall-clock budget for the whole bench run. The dev tunnel's
+# remote-compile service occasionally degrades to minutes per program;
+# without a budget one bad window can stall a deep section (observed:
+# the 1M-track aligned config, 20s nominal, >20 min during a degraded
+# window) until the driver kills the bench, losing every line after the
+# stall. Sections check the budget BETWEEN configs (a blocked XLA call
+# can't be interrupted, but the next one can be skipped) and print an
+# explicit skip marker so a truncated bench is distinguishable from a
+# crashed one.
+_START = time.monotonic()
+
+
+def _budget_s() -> float:
+    return float(os.environ.get("TIRESIAS_BENCH_BUDGET_S", "2400"))
+
+
+def over_budget(label: str) -> bool:
+    """True (and prints a skip marker) when the bench is past its soft
+    wall-clock budget — callers skip the labeled section/config."""
+    spent = time.monotonic() - _START
+    if spent <= _budget_s():
+        return False
+    print(
+        f"[bench] {label} skipped: {spent:.0f}s spent exceeds the "
+        f"{_budget_s():.0f}s soft budget (degraded dev-tunnel window; "
+        "set TIRESIAS_BENCH_BUDGET_S to raise)",
+        file=sys.stderr,
+    )
+    return True
 
 
 def bench_fingerprint_throughput(small: bool = False) -> float:
@@ -243,13 +274,15 @@ def bench_search_scale() -> None:
     """Beyond the BASELINE DB size: device-time recognition latency and
     lattice-map build cost at 10x (100k long tracks, ~930 h of stored
     audio) and 100x (1M telephony-length clips, ~890 h)."""
-    bench_search_latency(
-        n_tracks=100_000, n_rounds=10, batches=(), time_build=True
-    )
-    bench_search_latency(
-        n_tracks=1_000_000, n_rounds=10, batches=(), time_build=True,
-        track_frames=128,  # ~4 s prompts — the telephony corpus shape
-    )
+    if not over_budget("search scale @100k"):
+        bench_search_latency(
+            n_tracks=100_000, n_rounds=10, batches=(), time_build=True
+        )
+    if not over_budget("search scale @1M"):
+        bench_search_latency(
+            n_tracks=1_000_000, n_rounds=10, batches=(), time_build=True,
+            track_frames=128,  # ~4 s prompts — the telephony corpus shape
+        )
 
 
 def bench_aligned_scale(n_coefs: int = 8) -> None:
@@ -286,6 +319,8 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
         (1_000_000, 128, False, True),
         (128, 131_072, True, False),
     ):
+        if over_budget(f"aligned@{n_coefs}coefs {n_tracks}x{t} config"):
+            continue
         # corpus generated ON DEVICE: multi-GB of host->device transfer
         # through the dev tunnel would dominate the whole bench otherwise
         key = jax.random.PRNGKey(7)
@@ -898,6 +933,8 @@ def main() -> None:
         ("search scale", bench_search_scale),
         ("aligned scale", bench_aligned_scale),
     ):
+        if over_budget(f"{name} bench"):
+            continue
         try:
             fn()
         except Exception as exc:  # noqa: BLE001 - secondary metrics must not kill bench
