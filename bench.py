@@ -839,20 +839,24 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
     for i in range(64):
         eng.add_audio_pcm("s", f"tone{i}", synth_tone(200 + 30 * i, 3.0, sr), sr)
 
-    def run(n: int) -> tuple[int, float]:
+    def run(n: int, law: str | None = None) -> tuple[int, float]:
         rec = StreamingRecognizer(eng, samplerate=sr)
         streams = [
             np.clip(synth_tone(200 + 30 * (i % 64), 3.2, sr) * 32768.0,
                     -32768, 32767).astype(np.int16)
             for i in range(n)
         ]
+        if law is not None:
+            from tiresias_tpu.utils.g711 import encode
+
+            streams = [encode(p, law) for p in streams]
         # warm the compile for the full window batch shape before timing
         for i in range(n):
-            rec.open(f"warm{i}", context="s", duration_ms=3000)
+            rec.open(f"warm{i}", context="s", duration_ms=3000, law=law)
             rec.push(f"warm{i}", streams[i][: 3 * sr])
         rec.process_ready()
         for i in range(n):
-            rec.open(f"ch{i}", context="s", duration_ms=3000)
+            rec.open(f"ch{i}", context="s", duration_ms=3000, law=law)
         frame = sr // 50  # 20 ms
         results: dict = {}
         t0 = time.perf_counter()
@@ -879,6 +883,16 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
             f"[bench] streams SCALE: {done}/{scale_streams} channels x 3 s "
             f"(int16 wire) in {elapsed:.2f}s -> {audio_s / elapsed:.1f}x "
             f"real-time aggregate "
+            f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
+            file=sys.stderr,
+        )
+        # G.711 trunk bytes: HALF the per-window H2D of int16 (uint8 to
+        # the device, expanded on-chip) — the telephony wire format
+        done, elapsed = run(scale_streams, law="ulaw")
+        print(
+            f"[bench] streams SCALE ulaw: {done}/{scale_streams} channels "
+            f"x 3 s (G.711 wire, uint8 H2D) in {elapsed:.2f}s -> "
+            f"{audio_s / elapsed:.1f}x real-time aggregate "
             f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
             file=sys.stderr,
         )

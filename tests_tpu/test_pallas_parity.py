@@ -523,3 +523,63 @@ def test_device_ranked_top1_on_device(rng, tmp_path):
         rk = eng.search_pcm_topk("c", q, SR, k=1, **kw)[0]
         assert (rd.name, rd.match_count) == (rk.name, rk.match_count)
     eng.close()
+
+
+@pytest.mark.parametrize("law", ["ulaw", "alaw"])
+def test_g711_device_decode_on_device(rng, law, tmp_path):
+    """G.711 trunk bytes through the real chip: the uint8 batch decodes
+    on device (256-entry table gather inside the compiled fingerprint
+    program — Pallas front half included) bit-identically to host
+    expansion, and the engine serves wire_law searches end to end."""
+    from tiresias_tpu.api import Tiresias
+    from tiresias_tpu.config import TiresiasConfig
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_signals_async
+    from tiresias_tpu.utils import g711
+    from tiresias_tpu.utils.audio import synth_chirp
+
+    pcm = synth_chirp(300, 1100, 2.5, SR)
+    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+    codes = g711.encode(i16, law)
+    # kernel-level bitwise parity on the compiled path (incl. a ragged
+    # batch so the decoded-padding mask runs on device)
+    fd, _ = fingerprint_signals_async(
+        [codes, codes[: SR + 77]], SR, law=law
+    )
+    fi, _ = fingerprint_signals_async(
+        [g711.decode(codes, law), g711.decode(codes[: SR + 77], law)], SR
+    )
+    assert np.array_equal(np.asarray(fd), np.asarray(fi))
+
+    # engine end to end: stored companded clip, searched by its own
+    # trunk bytes (the serve layer's exact production shape)
+    eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)), restore=False)
+    try:
+        eng.create_context("c")
+        entries = []
+        for i in range(4):
+            # widely-spaced sweeps: adjacent chirps must differ by far
+            # more than the 0.05 aligned tolerance or equal-length clips
+            # tie under offset voting (observed 62/63 vs 62/63)
+            c = synth_chirp(150 + 350 * i, 500 + 450 * i, 2.5, SR)
+            ci16 = np.clip(
+                np.round(c * 32768.0), -32768, 32767
+            ).astype(np.int16)
+            rt = g711.decode(g711.encode(ci16, law), law)
+            entries.append(
+                (eng.add_audio_pcm(
+                    "c", f"clip{i}", rt.astype(np.float32) / 32768.0, SR
+                ), g711.encode(ci16, law))
+            )
+        e2, wire2 = entries[2]
+        r = eng.search_pcm(
+            "c", wire2[: 2 * SR], SR, wire_law=law,
+            coefs=2, tolerance=0.01, trunc_coef1=False,
+        )
+        assert r.found and r.uuid == e2.uuid
+        r2 = eng.search_pcm(
+            "c", wire2[: 2 * SR], SR, wire_law=law,
+            coefs=2, tolerance=0.05, trunc_coef1=False, aligned=True,
+        )
+        assert r2.found and r2.uuid == e2.uuid
+    finally:
+        eng.close()

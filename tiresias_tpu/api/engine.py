@@ -144,7 +144,9 @@ def _sharded_pallas_mode(mesh) -> str | None:
 
 
 @_functools.lru_cache(maxsize=16)
-def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
+def _fused_lattice_fn(
+    dsp: DspConfig, samplerate: int, law: str | None = None
+):
     """One-dispatch dialplan search: fingerprint → lattice votes → top-1
     with the D5 lowest-insertion-index tiebreak, all on device.
 
@@ -160,8 +162,11 @@ def _fused_lattice_fn(dsp: DspConfig, samplerate: int):
     from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
 
     @jax.jit
-    def run(pcm, n_frames, vm, tol, band_lo, band_hi, ci=None, cid=None):
-        qfp = fingerprint_padded_batch(pcm, samplerate, dsp)
+    def run(pcm, n_frames, vm, tol, band_lo, band_hi, ci=None, cid=None,
+            n_valid=None):
+        qfp = fingerprint_padded_batch(
+            pcm, samplerate, dsp, law=law, n_valid=n_valid
+        )
         f = qfp.shape[1]
         valid = jnp.arange(f)[None, :] < n_frames[:, None]
         votes = lattice_votes(vm, qfp[..., 0], valid, tol, band_lo, band_hi)
@@ -443,11 +448,16 @@ class Tiresias:
         samplerate: int = 8000,
         duration_ms: int = DEF_DURATION_MS,
         batch_sizes: tuple[int, ...] = (1,),
+        laws: tuple[str, ...] = (),
     ) -> None:
         """Pre-compile the search graphs for the given window shapes so the
         first real request doesn't pay XLA compilation (the C reference is
         AOT-compiled; this is the JIT-world equivalent, backed by the
-        persistent compilation cache)."""
+        persistent compilation cache).
+
+        ``laws`` additionally warms G.711 wire-format graphs (uint8 +
+        per-law device decode) — pass the formats the server advertises
+        so the first trunk-byte window doesn't pay a compile."""
         n = int(samplerate * duration_ms / 1000)
         n -= n % self.config.dsp.hop_size
         n = max(n, self.config.dsp.hop_size)
@@ -462,6 +472,15 @@ class Tiresias:
             for b in batch_sizes:
                 with phase("engine.warmup"):
                     self.search_pcm_batch(None, [silence] * b, samplerate)
+        for law in laws:
+            from tiresias_tpu.utils.g711 import SILENCE_BYTE
+
+            silence = np.full(n, SILENCE_BYTE[law], np.uint8)
+            for b in batch_sizes:
+                with phase("engine.warmup"):
+                    self.search_pcm_batch(
+                        None, [silence] * b, samplerate, wire_law=law
+                    )
         self.warm_search_maps()
 
     def warm_search_maps(self) -> None:
@@ -603,6 +622,7 @@ class Tiresias:
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
+        wire_law: str | None = None,
     ) -> SearchResult:
         """Search one PCM signal; returns the TIR* result.
 
@@ -623,6 +643,7 @@ class Tiresias:
             filter_context=filter_context,
             trunc_coef1=trunc_coef1,
             aligned=aligned,
+            wire_law=wire_law,
         )
         return res[0]
 
@@ -638,28 +659,35 @@ class Tiresias:
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
+        wire_law: str | None = None,
     ) -> list[SearchResult]:
-        """Batched search — many queries against the store in one device pass."""
+        """Batched search — many queries against the store in one device pass.
+
+        ``wire_law`` ("ulaw"/"alaw") marks the batch as raw G.711 trunk
+        bytes (uint8, one byte per 8 kHz sample): they ship to the device
+        undecoded — half the int16 wire/H2D bytes — and expand on-chip via
+        a 256-entry table gather, bit-identical to host decoding
+        (ops/mfcc_jax.to_float_pcm; utils/g711.py)."""
         if not pcms:
             return []
         fast = self._fused_search_batch(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned,
+            aligned, wire_law,
         )
         if fast is not None:
             return fast
         fast = self._device_ranked_batch(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned,
+            aligned, wire_law,
         )
         if fast is not None:
             return fast
         votes_all, entries, n_frames = self._compute_votes(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned,
+            aligned, wire_law=wire_law,
         )
         # top-1 with lowest-GLOBAL-insertion-index tiebreak (PARITY.md D5 —
         # stable across the tiered layout, matching the pre-tier behavior).
@@ -700,6 +728,7 @@ class Tiresias:
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
+        wire_law: str | None = None,
     ) -> list[SearchResult]:
         """Ranked top-k candidates for one query (documented extension —
         the reference returns only the top-1 row, fp_handler.c:367-373).
@@ -707,14 +736,14 @@ class Tiresias:
         fast = self._device_ranked_topk(
             context, np.asarray(pcm), samplerate, k, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned,
+            aligned, wire_law,
         )
         if fast is not None:
             return fast
         votes_all, entries, n_frames = self._compute_votes(
             context, [np.asarray(pcm)], samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-            aligned, prefilter=False,
+            aligned, prefilter=False, wire_law=wire_law,
         )
         fc = int(n_frames[0])
         votes = votes_all[0]
@@ -859,6 +888,7 @@ class Tiresias:
         filter_context: bool,
         trunc_coef1: bool | None,
         aligned: bool | None,
+        wire_law: str | None = None,
     ) -> list[SearchResult] | None:
         """Single-dispatch fast path for the dialplan configuration
         (coefs=1, truncation, bag-of-frames) against a single-tier store.
@@ -875,17 +905,21 @@ class Tiresias:
         import jax.numpy as jnp
 
         view = views[0]
-        pcms, samplerate = self._resample_queries(
-            [np.asarray(p) for p in pcms], samplerate
+        pcms, samplerate, wire_law = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate, wire_law
         )
         from tiresias_tpu.ops.mfcc_jax import pad_frames_bucket
 
         with phase("search.match"):
             padded, n_frames = pad_frames_bucket(
-                pcms, self.config.dsp.hop_size
+                pcms, self.config.dsp.hop_size, law=wire_law
+            )
+            n_valid = (
+                jnp.asarray([len(p) for p in pcms], jnp.int32)
+                if wire_law is not None else None
             )
             band_lo, band_hi = match_jax.band_thresholds(lo, hi)
-            run = _fused_lattice_fn(self.config.dsp, samplerate)
+            run = _fused_lattice_fn(self.config.dsp, samplerate, wire_law)
             best_d, count_d = run(
                 padded, jnp.asarray(n_frames),
                 self.store.value_map_for(view),
@@ -893,6 +927,7 @@ class Tiresias:
                 jnp.float32(band_hi),
                 None if ctx_id is None else self.store.ctx_ids_for(view),
                 ctx_id,
+                n_valid=n_valid,
             )
             import jax
 
@@ -961,17 +996,27 @@ class Tiresias:
                 bool(trunc_coef1), bool(aligned))
 
     def _resample_queries(
-        self, pcms: list[np.ndarray], samplerate: int
-    ) -> tuple[list[np.ndarray], int]:
+        self, pcms: list[np.ndarray], samplerate: int,
+        law: str | None = None,
+    ) -> tuple[list[np.ndarray], int, str | None]:
         """Force the configured analysis rate when set (DspConfig.samplerate
-        > 0; 0 = native rate, fp_handler.c:37,612)."""
+        > 0; 0 = native rate, fp_handler.c:37,612).
+
+        G.711 wire batches (``law``) that need resampling are expanded on
+        host first — companded bytes can't be filtered — and continue as
+        linear PCM (law=None)."""
         target = self.config.dsp.samplerate
         if target > 0 and int(samplerate) != target:
             from tiresias_tpu.utils.audio import ensure_samplerate
 
+            if law is not None:
+                from tiresias_tpu.utils.g711 import decode
+
+                pcms = [decode(p, law) for p in pcms]
+                law = None
             pcms = [ensure_samplerate(p, samplerate, target)[0] for p in pcms]
             samplerate = target
-        return pcms, int(samplerate)
+        return pcms, int(samplerate), law
 
     def _compute_votes(
         self,
@@ -986,6 +1031,7 @@ class Tiresias:
         trunc_coef1: bool | None,
         aligned: bool | None = None,
         prefilter: bool = True,
+        wire_law: str | None = None,
     ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
         """(votes [B, A], view-ordered entries, n_frames [B]).
 
@@ -997,7 +1043,9 @@ class Tiresias:
             coefs, tolerance, freq_ignore_low, freq_ignore_high,
             trunc_coef1, aligned,
         )
-        pcms, samplerate = self._resample_queries(pcms, samplerate)
+        pcms, samplerate, wire_law = self._resample_queries(
+            pcms, samplerate, wire_law
+        )
         # context-filtered searches keep the certified prefilter: the
         # context's rows are selected ON DEVICE (store.ctx_ids_for keep
         # key), so the certificate certifies the IN-context winner and the
@@ -1008,7 +1056,7 @@ class Tiresias:
             # without a host round trip (padding frames hold real silence
             # values — every matcher masks by n_frames, so they never vote)
             qfp, n_frames = fingerprint_signals_async(
-                pcms, samplerate, self.config.dsp
+                pcms, samplerate, self.config.dsp, law=wire_law
             )
         with phase("search.match"):
             # one matcher pass per frame tier; votes concatenate exactly
@@ -1200,7 +1248,7 @@ class Tiresias:
     def _device_rank_setup(
         self, context, pcms, samplerate, coefs, tolerance,
         freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
-        aligned,
+        aligned, wire_law=None,
     ) -> dict | None:
         """Shared front half of BOTH device-ranked paths (top-1 and
         top-k): resolve parameters, check the fallback conditions, and
@@ -1218,12 +1266,12 @@ class Tiresias:
         views = self.store.search_views()
         if not views or any(v.segments for v in views):
             return None
-        pcms, samplerate = self._resample_queries(
-            [np.asarray(p) for p in pcms], samplerate
+        pcms, samplerate, wire_law = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate, wire_law
         )
         with phase("search.fingerprint"):
             qfp, n_frames = fingerprint_signals_async(
-                pcms, samplerate, self.config.dsp
+                pcms, samplerate, self.config.dsp, law=wire_law
             )
         return {
             "views": views,
@@ -1256,6 +1304,7 @@ class Tiresias:
         filter_context: bool,
         trunc_coef1: bool | None,
         aligned: bool | None,
+        wire_law: str | None = None,
     ) -> list[SearchResult] | None:
         """Top-1 computed ON DEVICE for the staged multi-matcher path.
 
@@ -1268,6 +1317,7 @@ class Tiresias:
         setup = self._device_rank_setup(
             context, pcms, samplerate, coefs, tolerance, freq_ignore_low,
             freq_ignore_high, filter_context, trunc_coef1, aligned,
+            wire_law,
         )
         if setup is None:
             return None
@@ -1327,6 +1377,7 @@ class Tiresias:
         filter_context: bool,
         trunc_coef1: bool | None,
         aligned: bool | None,
+        wire_law: str | None = None,
     ) -> list[SearchResult] | None:
         """Top-k computed ON DEVICE: each view reduces to three [1, k]
         arrays (lax.top_k values + gathered insertion seqs + rows) — the
@@ -1338,6 +1389,7 @@ class Tiresias:
         setup = self._device_rank_setup(
             context, [pcm], samplerate, coefs, tolerance, freq_ignore_low,
             freq_ignore_high, filter_context, trunc_coef1, aligned,
+            wire_law,
         )
         if setup is None:
             return None

@@ -393,6 +393,19 @@ def cmd_serve(args) -> int:
     if args.follow is not None and not args.replica:
         print("serve: --follow requires --replica", file=sys.stderr)
         return 2
+    warm_laws: tuple[str, ...] = ()
+    if args.wire_formats:
+        from tiresias_tpu.utils.g711 import WIRE_FORMATS
+
+        fmts = [f.strip() for f in args.wire_formats.split(",") if f.strip()]
+        bad = [f for f in fmts if f not in WIRE_FORMATS]
+        if bad:
+            print(
+                f"serve: unknown --wire-formats {bad} (choose from "
+                f"{', '.join(WIRE_FORMATS)})", file=sys.stderr,
+            )
+            return 2
+        warm_laws = tuple(f for f in fmts if f != "l16")
     if args.replica:
         # read-only replica by choice (never touches the lock): the OWNER
         # (another `tiresias serve` or the ingest CLI) mutates and
@@ -410,6 +423,7 @@ def cmd_serve(args) -> int:
         eng, host=args.host, port=args.port, samplerate=args.samplerate,
         max_channels=args.max_channels, admin=args.admin,
         watch_interval=args.watch, follow_interval=args.follow,
+        warm_laws=warm_laws,
     )
     return 0
 
@@ -741,6 +755,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="re-sync the media directories against the live store every "
         "SECONDS (the reference only syncs at module load; watch mode "
         "picks up added/removed files without a restart)",
+    )
+    sv.add_argument(
+        "--wire-formats", default="", dest="wire_formats", metavar="LIST",
+        help="comma-separated wire formats to pre-compile alongside l16 "
+        "(e.g. 'ulaw' or 'ulaw,alaw'): channels opened with a G.711 "
+        "format send raw trunk bytes — one byte per sample, decoded on "
+        "device; un-warmed formats still work but pay a first-window "
+        "compile",
     )
     sv.add_argument(
         "--replica", action="store_true",

@@ -144,13 +144,27 @@ def frames_from_pcm(pcm: jax.Array, hop_size: int, buf_size: int) -> jax.Array:
     return jnp.concatenate(parts, axis=-1)
 
 
-def to_float_pcm(pcm: jax.Array) -> jax.Array:
-    """Device-side int16 → float32 (s/32768, aubio's source scaling).
+def to_float_pcm(pcm: jax.Array, law: str | None = None) -> jax.Array:
+    """Device-side wire format → float32 (aubio's s/32768 source scaling).
 
-    Shipping int16 halves H2D traffic; the conversion is bit-exact with
-    decoding to float on host for 16-bit PCM (the dominant telephony
-    format), since aubio's own source does the same division.
+    int16 ships as-is and scales on device (half the H2D bytes of f32);
+    G.711 µ-law/A-law ships as uint8 (``law`` names the expansion —
+    telephony's native trunk bytes, ONE byte per sample) and decodes on
+    device via a 256-entry table gather. The f32 table is the exact int16
+    expansion divided by 32768 (every int16/32768 is exactly representable
+    in f32), so both paths are bit-identical to decoding on host.
     """
+    if pcm.dtype == jnp.uint8:
+        if law is None:
+            raise ValueError(
+                "uint8 PCM requires a G.711 law (pass wire_law=...)"
+            )
+        from tiresias_tpu.utils.g711 import decode_table
+
+        table = jnp.asarray(
+            decode_table(law).astype(np.float32) / np.float32(32768.0)
+        )
+        return jnp.take(table, pcm.astype(jnp.int32))
     if pcm.dtype == jnp.int16:
         return pcm.astype(jnp.float32) * jnp.float32(1.0 / 32768.0)
     return pcm.astype(jnp.float32)
@@ -186,7 +200,24 @@ def spectral_chain(
     return 10.0 * safe_log10(jnp.abs(coefs))
 
 
-@functools.partial(jax.jit, static_argnames=("hop_size", "buf_size"))
+def mask_valid_samples(
+    pcm_f: jax.Array, n_valid: jax.Array | None
+) -> jax.Array:
+    """Zero decoded samples at/beyond each signal's true length.
+
+    G.711 batches pad with the law's silence CODE, but A-law's quietest
+    code decodes to +8 (it has no exact zero) — without this mask the
+    tail-straddling frames would differ from the linear path's zero
+    padding and break bitwise parity across wire formats."""
+    if n_valid is None:
+        return pcm_f
+    idx = jnp.arange(pcm_f.shape[-1])[None, :]
+    return jnp.where(idx < n_valid[:, None], pcm_f, 0.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hop_size", "buf_size", "law")
+)
 def _fingerprint_padded(
     pcm: jax.Array,
     window: jax.Array,
@@ -194,9 +225,12 @@ def _fingerprint_padded(
     dct_t: jax.Array,
     hop_size: int,
     buf_size: int,
+    law: str | None = None,
+    n_valid: jax.Array | None = None,
 ) -> jax.Array:
-    """[B, S] float32 or int16 → [B, F, n_coefs] fingerprint values."""
-    frames = frames_from_pcm(to_float_pcm(pcm), hop_size, buf_size)
+    """[B, S] float32/int16/G.711-uint8 → [B, F, n_coefs] values."""
+    pcm_f = mask_valid_samples(to_float_pcm(pcm, law), n_valid)
+    frames = frames_from_pcm(pcm_f, hop_size, buf_size)
     return spectral_chain(frames, window, mel_t, dct_t)
 
 
@@ -209,18 +243,32 @@ def _use_pallas() -> bool:
 
 
 def fingerprint_padded_batch(
-    pcm: jax.Array | np.ndarray, samplerate: int, dsp: DspConfig | None = None
+    pcm: jax.Array | np.ndarray,
+    samplerate: int,
+    dsp: DspConfig | None = None,
+    law: str | None = None,
+    n_valid: jax.Array | np.ndarray | None = None,
 ) -> jax.Array:
-    """Fingerprint a pre-padded batch ``[B, S]`` (S multiple of hop)."""
+    """Fingerprint a pre-padded batch ``[B, S]`` (S multiple of hop).
+
+    ``law`` names the G.711 expansion for uint8 batches (wire bytes
+    reach the device undecoded — see :func:`to_float_pcm`); ``n_valid``
+    [B] gives each signal's true sample count so decoded padding is
+    zeroed exactly (see :func:`mask_valid_samples`)."""
     dsp = dsp or DspConfig()
+    if n_valid is not None:
+        n_valid = jnp.asarray(n_valid, jnp.int32)
     if _use_pallas():
         from tiresias_tpu.ops.mfcc_pallas import fingerprint_padded_batch_pallas
 
-        return fingerprint_padded_batch_pallas(pcm, samplerate, dsp)
+        return fingerprint_padded_batch_pallas(
+            pcm, samplerate, dsp, law=law, n_valid=n_valid
+        )
     window, mel_t, dct_t = _device_dsp_constants(dsp, int(samplerate))
-    pcm = jnp.asarray(pcm)  # int16 stays int16 (converted on device)
+    pcm = jnp.asarray(pcm)  # int16/uint8 stays raw (converted on device)
     return _fingerprint_padded(
-        pcm, window, mel_t, dct_t, dsp.hop_size, dsp.buf_size
+        pcm, window, mel_t, dct_t, dsp.hop_size, dsp.buf_size, law=law,
+        n_valid=n_valid,
     )
 
 
@@ -238,16 +286,36 @@ def bucket_frames(
 
 
 def pad_frames_bucket(
-    pcms: list[np.ndarray], hop_size: int, multiple: int = 128
+    pcms: list[np.ndarray], hop_size: int, multiple: int = 128,
+    law: str | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad a ragged list of 1-D signals to one bucketed [B, S] array.
 
     Returns (padded [B, F_bucket*hop], n_frames int32 [B]). The batch stays
     int16 when every input is int16 (half the H2D bytes; converted on
-    device by :func:`to_float_pcm`), float32 otherwise.
+    device by :func:`to_float_pcm`), float32 otherwise. With ``law``
+    (G.711 wire batches) every signal must be uint8 codes; the batch stays
+    uint8 — ONE byte per sample over the link — and pads with the law's
+    silence code (a zero BYTE is full-scale linear, g711.SILENCE_BYTE).
     """
     n_frames = np.array([n_frames_for(len(p), hop_size) for p in pcms], dtype=np.int32)
     f_bucket = bucket_frames(int(n_frames.max(initial=1)), multiple)
+    if law is not None:
+        from tiresias_tpu.utils.g711 import SILENCE_BYTE, decode_table
+
+        decode_table(law)  # validate the name early
+        for i, p in enumerate(pcms):
+            if np.asarray(p).dtype != np.uint8:
+                raise ValueError(
+                    f"wire_law={law!r} requires uint8 G.711 codes; "
+                    f"signal {i} is {np.asarray(p).dtype}"
+                )
+        out = np.full(
+            (len(pcms), f_bucket * hop_size), SILENCE_BYTE[law], np.uint8
+        )
+        for i, p in enumerate(pcms):
+            out[i, : len(p)] = np.asarray(p)
+        return out, n_frames
     dtype = (
         np.int16
         if pcms and all(np.asarray(p).dtype == np.int16 for p in pcms)
@@ -256,6 +324,11 @@ def pad_frames_bucket(
     out = np.zeros((len(pcms), f_bucket * hop_size), dtype=dtype)
     for i, p in enumerate(pcms):
         p = np.asarray(p)
+        if p.dtype == np.uint8:
+            raise ValueError(
+                f"signal {i} is uint8 (G.711 codes?) but no wire_law "
+                "was given"
+            )
         if dtype == np.float32 and p.dtype == np.int16:
             # mixed batch falls back to float: scale int16 here, since the
             # device-side to_float_pcm only scales int16-dtype batches
@@ -274,6 +347,7 @@ def fingerprint_signals_async(
     samplerate: int,
     dsp: DspConfig | None = None,
     bucket_multiple: int = 128,
+    law: str | None = None,
 ) -> tuple[jax.Array, np.ndarray]:
     """Dispatch a ragged-batch fingerprint WITHOUT the host readback.
 
@@ -285,8 +359,19 @@ def fingerprint_signals_async(
     pipeline (engine/sync.py) is built on this.
     """
     dsp = dsp or DspConfig()
-    padded, n_frames = pad_frames_bucket(pcms, dsp.hop_size, bucket_multiple)
-    return fingerprint_padded_batch(padded, samplerate, dsp), n_frames
+    padded, n_frames = pad_frames_bucket(
+        pcms, dsp.hop_size, bucket_multiple, law=law
+    )
+    n_valid = (
+        np.array([len(p) for p in pcms], np.int32) if law is not None
+        else None
+    )
+    return (
+        fingerprint_padded_batch(
+            padded, samplerate, dsp, law=law, n_valid=n_valid
+        ),
+        n_frames,
+    )
 
 
 def mask_fingerprints(fp: np.ndarray, n_frames: np.ndarray) -> np.ndarray:

@@ -311,6 +311,8 @@ def fingerprint_padded_batch_pallas(
     samplerate: int,
     dsp: DspConfig | None = None,
     interpret: bool = False,
+    law: str | None = None,
+    n_valid: jax.Array | None = None,
 ) -> jax.Array:
     """Fused-kernel equivalent of
     :func:`tiresias_tpu.ops.mfcc_jax.fingerprint_padded_batch`.
@@ -328,7 +330,9 @@ def fingerprint_padded_batch_pallas(
 
     dft_re, dft_im, mel_t, dct_t = _device_constants(dsp, int(samplerate))
     fast = _fast_mfcc()  # read ONCE here; static through the jit caches
-    pcm = to_float_pcm(jnp.asarray(pcm))
+    from tiresias_tpu.ops.mfcc_jax import mask_valid_samples
+
+    pcm = mask_valid_samples(to_float_pcm(jnp.asarray(pcm), law), n_valid)
     b, s = pcm.shape
     f = s // dsp.hop_size
     tiles = -(-f // ROW_TILE)

@@ -8,6 +8,9 @@ per line:
     → {"op": "open",   "channel": "c1", "context": "media",
        "duration_ms": 3000, "tolerance": 0.01, ...}
     → {"op": "pcm",    "channel": "c1", "pcm": "<base64 int16 LE mono>"}
+      (channels opened with "format": "ulaw"/"alaw" send raw G.711 trunk
+       bytes instead — one byte per sample, decoded ON DEVICE; "l16" is
+       the default linear int16)
     → {"op": "hangup", "channel": "c1"}
     ← {"channel": "c1", "result": {"TIRSTATUS": "FOUND", ...,
        "CONFIDENCE": "0.96"}}
@@ -467,6 +470,16 @@ class RecognitionServer:
                 )
                 if k in msg
             }
+            fmt = msg.get("format", "l16")
+            from tiresias_tpu.utils.g711 import WIRE_FORMATS
+
+            if fmt not in WIRE_FORMATS:
+                raise ValueError(
+                    f"unknown format {fmt!r} (expected one of "
+                    f"{WIRE_FORMATS})"
+                )
+            if fmt != "l16":
+                kwargs["law"] = fmt
             try:
                 self.recognizer.open(cid(channel), **kwargs)
             except ValueError as exc:
@@ -490,7 +503,11 @@ class RecognitionServer:
             await writer.drain()
         elif op == "pcm":
             raw = base64.b64decode(msg["pcm"], validate=True)
-            self.recognizer.push(cid(channel), np.frombuffer(raw, dtype="<i2"))
+            if self.recognizer.law_of(cid(channel)) is not None:
+                pcm = np.frombuffer(raw, dtype=np.uint8)  # G.711 bytes
+            else:
+                pcm = np.frombuffer(raw, dtype="<i2")
+            self.recognizer.push(cid(channel), pcm)
         elif op == "stats":
             from tiresias_tpu.utils.tracing import metrics
 
@@ -692,8 +709,16 @@ class RecognitionServer:
                 # dtype "f32" carries float PCM unquantized (the CLI proxy
                 # uses it so a proxied search is bit-identical to offline
                 # for >16-bit sources); default stays int16 like the pcm op
-                if q.get("dtype", "i16") == "f32":
+                qd = q.get("dtype", "i16")
+                if qd == "f32":
                     pcm = np.frombuffer(raw, dtype="<f4")
+                elif qd in ("ulaw", "alaw"):
+                    # one-shot G.711 payload: expand on host (bit-identical
+                    # to the device table gather, utils/g711.py) — half the
+                    # base64 bytes of i16 for trunk recordings
+                    from tiresias_tpu.utils.g711 import decode
+
+                    pcm = decode(raw, qd)
                 else:
                     pcm = np.frombuffer(raw, dtype="<i2")
                 pcms.append((
@@ -803,6 +828,7 @@ def run_server(
     engine: Tiresias, host: str = "127.0.0.1", port: int = 8517,
     samplerate: int = 8000, max_channels: int = 128, admin: str = "local",
     watch_interval: float | None = None, follow_interval: float | None = None,
+    warm_laws: tuple[str, ...] = (),
 ) -> None:
     """Blocking entry point (the `tiresias serve` CLI command).
 
@@ -821,7 +847,13 @@ def run_server(
         import signal
 
         for b in warmup_batch_sizes(max_channels):
-            engine.warmup(samplerate=samplerate, batch_sizes=(b,))
+            # warm_laws: G.711 wire formats this deployment expects
+            # (jit keys on dtype, so uint8 graphs compile separately;
+            # un-warmed laws still work — the first window pays the
+            # compile, like any new shape)
+            engine.warmup(
+                samplerate=samplerate, batch_sizes=(b,), laws=warm_laws
+            )
             log.info("warmed search batch %d", b)
         server = RecognitionServer(
             engine, host, port, samplerate, admin=admin,

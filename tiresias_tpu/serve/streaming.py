@@ -135,6 +135,7 @@ class ChannelState:
     aligned: bool | None
     filter_context: bool
     continuous: bool
+    law: str | None  # G.711 wire law ("ulaw"/"alaw"); None = linear PCM
     hop_ms: int | None  # continuous mode: slide step (None = tumbling)
     on_result: Callable[[str, SearchResult], None] | None
     chunks: list[np.ndarray] = dataclasses.field(default_factory=list)
@@ -187,6 +188,7 @@ class StreamingRecognizer:
         aligned: bool | None = None,
         filter_context: bool = False,
         continuous: bool = False,
+        law: str | None = None,
         hop_ms: int | None = None,
         on_result: Callable[[str, SearchResult], None] | None = None,
     ) -> None:
@@ -228,6 +230,13 @@ class StreamingRecognizer:
         freq_ignore_high = int(freq_ignore_high)
         trunc_coef1 = _to_bool(trunc_coef1, "trunc_coef1")
         aligned = _to_bool(aligned, "aligned")
+        if law is not None:
+            from tiresias_tpu.utils.g711 import G711_LAWS
+
+            if law not in G711_LAWS:
+                raise ValueError(
+                    f"unknown wire law {law!r} (expected one of {G711_LAWS})"
+                )
         filter_context = bool(_to_bool(filter_context, "filter_context"))
         continuous = bool(_to_bool(continuous, "continuous"))
         state = ChannelState(
@@ -243,6 +252,7 @@ class StreamingRecognizer:
             aligned=aligned,
             filter_context=filter_context,
             continuous=continuous,
+            law=law,
             hop_ms=hop_ms,
             on_result=on_result,
         )
@@ -263,7 +273,24 @@ class StreamingRecognizer:
             if state is None or state.closed:
                 return
             pcm = np.asarray(pcm).ravel()
-            if pcm.dtype == np.int16:
+            if state.law is not None:
+                # G.711 channel: raw trunk bytes, ONE byte per sample, kept
+                # undecoded to the device (ops/mfcc_jax.to_float_pcm does
+                # the 256-entry expansion on-chip). Any other dtype is a
+                # client format bug — reject loudly, don't guess.
+                if pcm.dtype != np.uint8:
+                    raise ValueError(
+                        f"channel opened with law={state.law!r} expects "
+                        f"uint8 G.711 codes, got {pcm.dtype}"
+                    )
+                if pcm.flags.writeable:
+                    pcm = pcm.copy()
+            elif pcm.dtype == np.uint8:
+                raise ValueError(
+                    "uint8 PCM on a linear channel (open the channel with "
+                    "a G.711 format to send trunk bytes)"
+                )
+            elif pcm.dtype == np.int16:
                 # raw telephony samples stay int16 all the way to the
                 # device (half the H2D bytes and buffer RAM); the kernel
                 # applies aubio's 1/32768 source scaling on-chip,
@@ -345,6 +372,7 @@ class StreamingRecognizer:
                         filter_context=state.filter_context,
                         trunc_coef1=state.trunc_coef1,
                         aligned=state.aligned,
+                        wire_law=state.law,
                     )
             except Exception:  # noqa: BLE001 - same degradation as a tick
                 log.exception("hangup flush search failed for %s", channel_id)
@@ -378,6 +406,13 @@ class StreamingRecognizer:
         with self._lock:
             state = self._channels.get(channel_id)
             return state is not None and not state.closed
+
+    def law_of(self, channel_id: str) -> str | None:
+        """The channel's G.711 wire law (None = linear / unknown channel)
+        — the TCP server asks per pcm op to pick the payload dtype."""
+        with self._lock:
+            state = self._channels.get(channel_id)
+            return state.law if state is not None else None
 
     # ------------------------------------------------------------------ #
     # batched scoring
@@ -437,18 +472,28 @@ class StreamingRecognizer:
                 state.trunc_coef1,
                 state.aligned,
                 state.filter_context,
+                state.law,
             )
             groups.setdefault(key, []).append((state, pcm, window))
 
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
-            (context, tolerance, coefs, lo, hi, trunc, aligned, filt) = key
+            (context, tolerance, coefs, lo, hi, trunc, aligned, filt,
+             law) = key
             # pad the batch to the next power of two with silence queries so
             # XLA compiles at most log2(max_channels) batch shapes instead of
-            # one per concurrent-channel count (results sliced back below)
+            # one per concurrent-channel count (results sliced back below).
+            # G.711 groups pad with the law's silence CODE — a zero byte
+            # decodes to full-scale linear (utils/g711.SILENCE_BYTE).
             pcms = [pcm for _, pcm, _ in items]
+            if law is not None:
+                from tiresias_tpu.utils.g711 import SILENCE_BYTE
+
+                silence = np.full_like(pcms[0], SILENCE_BYTE[law])
+            else:
+                silence = np.zeros_like(pcms[0])
             b_pad = next_pow2(len(pcms))
-            pcms += [np.zeros_like(pcms[0])] * (b_pad - len(pcms))
+            pcms += [silence] * (b_pad - len(pcms))
             try:
                 with phase("serve.batch_search"):
                     batch_results = self.engine.search_pcm_batch(
@@ -462,6 +507,7 @@ class StreamingRecognizer:
                         filter_context=filt,
                         trunc_coef1=trunc,
                         aligned=aligned,
+                        wire_law=law,
                     )[: len(items)]
             except Exception:  # noqa: BLE001
                 # per-group error isolation: a failing search degrades those

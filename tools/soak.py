@@ -44,7 +44,7 @@ FRAME_MS = 20
 N_CLIPS = 16
 
 
-def build_engine() -> Tiresias:
+def build_engine(wire: str = "l16") -> Tiresias:
     eng = Tiresias(
         TiresiasConfig(
             match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
@@ -56,6 +56,14 @@ def build_engine() -> Tiresias:
     for i in range(N_CLIPS):
         pcm = synth_tone(250 + 130 * i, 3.0, SR)
         i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        if wire != "l16":
+            # a G.711 deployment's DB is built from trunk recordings —
+            # store the companded-decoded clip so wire queries self-match
+            # at the strict tolerance (pure tones differ by less than
+            # companding noise otherwise)
+            from tiresias_tpu.utils.g711 import decode, encode
+
+            i16 = decode(encode(i16, wire), wire)
         eng.add_audio_pcm("m", f"tone{i}", i16.astype(np.float32) / 32768.0, SR)
     return eng
 
@@ -69,9 +77,17 @@ def client(
     hop_ms: int,
     stats: dict,
     lock: threading.Lock,
+    wire: str = "l16",
 ) -> None:
     pcm = synth_tone(250 + 130 * clip, 3.0, SR)
     i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    if wire != "l16":
+        # G.711 trunk bytes on the wire (half the int16 base64 payload);
+        # the server decodes ON DEVICE — tones stay distinguishable, the
+        # correctness accounting below is unchanged
+        from tiresias_tpu.utils.g711 import encode
+
+        i16 = encode(i16, wire)
     frame = SR * FRAME_MS // 1000
     expected = f"tone{clip}"
 
@@ -81,7 +97,7 @@ def client(
             f.write(json.dumps({
                 "op": "open", "channel": f"c{channel}", "context": "m",
                 "duration_ms": duration_ms, "continuous": True,
-                "hop_ms": hop_ms,
+                "hop_ms": hop_ms, "format": wire,
             }) + "\n")
             f.flush()
             assert json.loads(f.readline()).get("opened")
@@ -105,7 +121,7 @@ def client(
             while time.monotonic() < done:
                 chunk = np.take(  # seamless loop over the clip
                     i16, range(off, off + frame), mode="wrap"
-                ).astype("<i2")
+                )
                 off = (off + frame) % len(i16)
                 f.write(json.dumps({
                     "op": "pcm", "channel": f"c{channel}",
@@ -205,6 +221,11 @@ def main() -> int:
     ap.add_argument("--duration-ms", type=int, default=3000)
     ap.add_argument("--hop-ms", type=int, default=1500)
     ap.add_argument(
+        "--wire", default="l16", choices=("l16", "ulaw", "alaw"),
+        help="wire format every client speaks (G.711 trunk bytes halve "
+        "the base64 payload and H2D; decoded on device)",
+    )
+    ap.add_argument(
         "--hostile", action="store_true",
         help="run an abusive client alongside the fleet; it must get clean "
         "errors while everyone else keeps recognizing",
@@ -224,7 +245,7 @@ def main() -> int:
 
     enable_compilation_cache()
 
-    eng = build_engine()
+    eng = build_engine(args.wire)
     for b in warmup_batch_sizes(args.channels):
         # warm the ACTUAL window shape: a non-default --duration-ms in a
         # different frame bucket would otherwise compile every batch
@@ -266,7 +287,7 @@ def main() -> int:
         threading.Thread(
             target=client,
             args=(port, i, i % N_CLIPS, args.seconds, args.duration_ms,
-                  args.hop_ms, stats, lock),
+                  args.hop_ms, stats, lock, args.wire),
             daemon=True,
         )
         for i in range(args.channels)
