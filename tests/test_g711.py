@@ -375,3 +375,39 @@ class TestProtocol:
         results = replies[0]["admin"]["results"]
         assert results[0]["TIRSTATUS"] == "FOUND"
         assert results[0]["TIRFILENAME"] == "tone2_alaw"
+
+
+class TestIngest:
+    def test_add_audio_pcm_wire_law(self, tmp_path):
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("s", "/nonexistent"),),
+                data_dir=str(tmp_path),
+            ),
+            restore=False,
+        )
+        try:
+            wire = _wire_query(420, "ulaw")
+            e = eng.add_audio_pcm("s", "trunkrec", wire, SR,
+                                  wire_law="ulaw")
+            assert e is not None
+            # the same trunk bytes self-match at strict tolerance: ingest
+            # and search expand through the same exact table
+            r = eng.search_pcm("s", wire, SR, wire_law="ulaw",
+                               coefs=2, tolerance=0.01, trunc_coef1=False)
+            assert r.found and r.uuid == e.uuid
+            assert r.match_count == r.frame_count
+        finally:
+            eng.close()
+
+
+class TestProtocolDtype:
+    def test_admin_search_unknown_dtype_rejected(self, server):
+        replies = _talk(
+            server.port,
+            [{"op": "admin", "cmd": "search", "context": "s",
+              "queries": [{"pcm": base64.b64encode(b"\x00\x00").decode(),
+                           "dtype": "f64"}]}],
+            expect_lines=1,
+        )
+        assert "unknown dtype" in replies[0]["error"]

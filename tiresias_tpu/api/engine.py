@@ -586,11 +586,19 @@ class Tiresias:
         pcm: np.ndarray,
         samplerate: int,
         file_hash: str | None = None,
+        wire_law: str | None = None,
     ) -> AudioEntry | None:
         """Direct-PCM ingest (no temp files — the API the reference could not
-        offer because aubio reads from disk)."""
+        offer because aubio reads from disk). ``wire_law`` ingests raw
+        G.711 trunk bytes (uint8) — e.g. recording a live channel straight
+        into the store; the expansion is the same exact table the search
+        paths use, so later wire queries of the same bytes self-match."""
         from tiresias_tpu.utils.audio import ensure_samplerate
 
+        if wire_law is not None:
+            from tiresias_tpu.utils.g711 import decode
+
+            pcm = decode(pcm, wire_law)
         pcm, samplerate = ensure_samplerate(
             np.asarray(pcm), samplerate, self.config.dsp.samplerate
         )

@@ -719,8 +719,14 @@ class RecognitionServer:
                     from tiresias_tpu.utils.g711 import decode
 
                     pcm = decode(raw, qd)
-                else:
+                elif qd == "i16":
                     pcm = np.frombuffer(raw, dtype="<i2")
+                else:
+                    # an unknown dtype silently parsed as i16 would return
+                    # confidently wrong results — reject per request
+                    return {"error": f"unknown dtype {qd!r} (expected "
+                            "f32, i16, ulaw, or alaw)",
+                            "code": "bad_request"}
                 pcms.append((
                     pcm,
                     int(q.get("samplerate", self.recognizer.samplerate)),
