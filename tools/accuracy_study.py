@@ -87,17 +87,39 @@ def main() -> None:
     noisy = [add_noise(q, 20.0, rng) for q in excerpts]
     unrelated = [speechlike(rng, QUERY_S) for _ in range(n_queries)]
 
-    def run(label, **kw):
+    # trunk-quality query sets: the same excerpts as raw G.711 µ-law wire
+    # bytes (clean DB, companded queries — what a real telephony deployment
+    # sees; searched with wire_law so the device decode path is what's
+    # measured)
+    from tiresias_tpu.utils.g711 import encode
+
+    def to_wire(qs):
+        return [
+            encode(np.clip(np.round(q * 32768.0), -32768, 32767)
+                   .astype(np.int16), "ulaw")
+            for q in qs
+        ]
+
+    wire_excerpts = to_wire(excerpts)
+    wire_noisy = to_wire(noisy)
+    wire_unrelated = to_wire(unrelated)
+
+    def run(label, wire=None, **kw):
+        if wire is not None:
+            q_ex, q_nz, q_un = wire_excerpts, wire_noisy, wire_unrelated
+        else:
+            q_ex, q_nz, q_un = excerpts, noisy, unrelated
+
         def score(queries, expect):
-            res = eng.search_pcm_batch("c", queries, SR, **kw)
+            res = eng.search_pcm_batch("c", queries, SR, wire_law=wire, **kw)
             if expect is None:  # unrelated: count confident false accepts
                 return sum(r.found and r.confidence > 0.5 for r in res)
             return sum(
                 r.found and r.name == want for r, want in zip(res, expect)
             )
-        ex = score(excerpts, truth)
-        nz = score(noisy, truth)
-        fa = score(unrelated, None)
+        ex = score(q_ex, truth)
+        nz = score(q_nz, truth)
+        fa = score(q_un, None)
         print(f"{label:55s} exact {ex}/{n_queries}  noisy20dB {nz}/{n_queries}"
               f"  false-accepts {fa}/{n_queries}")
 
@@ -108,6 +130,15 @@ def main() -> None:
                 f"aligned, coefs={coefs}, tol={tol}",
                 coefs=coefs, tolerance=tol, trunc_coef1=False, aligned=True,
             )
+    # the recommended accuracy configs against G.711 trunk queries: the
+    # companding perturbs stored values by up to ~0.7 dB, so the tighter
+    # tolerances are expected to need headroom
+    for tol in (0.1, 0.15, 0.2, 0.3):
+        run(
+            f"aligned, coefs=8, tol={tol}, G.711 ulaw wire",
+            wire="ulaw",
+            coefs=8, tolerance=tol, trunc_coef1=False, aligned=True,
+        )
     eng.close()
 
 
