@@ -841,9 +841,10 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
 
     def run(n: int, law: str | None = None) -> tuple[int, float]:
         rec = StreamingRecognizer(eng, samplerate=sr)
+        from tiresias_tpu.utils.audio import float_to_i16
+
         streams = [
-            np.clip(synth_tone(200 + 30 * (i % 64), 3.2, sr) * 32768.0,
-                    -32768, 32767).astype(np.int16)
+            float_to_i16(synth_tone(200 + 30 * (i % 64), 3.2, sr))
             for i in range(n)
         ]
         if law is not None:
@@ -886,6 +887,8 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
             f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
             file=sys.stderr,
         )
+        if over_budget("streams SCALE ulaw"):
+            return
         # G.711 trunk bytes: HALF the per-window H2D of int16 (uint8 to
         # the device, expanded on-chip) — the telephony wire format
         done, elapsed = run(scale_streams, law="ulaw")

@@ -45,9 +45,9 @@ except ImportError:  # pragma: no cover
 
 
 def _tone_i16(freq: float, seconds: float = 3.0) -> np.ndarray:
-    return np.clip(
-        np.round(synth_tone(freq, seconds, SR) * 32768.0), -32768, 32767
-    ).astype(np.int16)
+    from tiresias_tpu.utils.audio import float_to_i16
+
+    return float_to_i16(synth_tone(freq, seconds, SR))
 
 
 class TestCodec:
@@ -319,9 +319,11 @@ def server(engine):
     threading.Thread(target=runner, daemon=True).start()
     assert started.wait(10)
     yield holder["server"]
+    # wait for the stop: the module-scoped engine must not be closed
+    # while the server thread still holds it mid-search
     asyncio.run_coroutine_threadsafe(
         holder["server"].stop(), holder["loop"]
-    )
+    ).result(10)
 
 
 def _talk(port, messages, expect_lines, timeout=30.0):

@@ -537,8 +537,9 @@ def test_g711_device_decode_on_device(rng, law, tmp_path):
     from tiresias_tpu.utils import g711
     from tiresias_tpu.utils.audio import synth_chirp
 
-    pcm = synth_chirp(300, 1100, 2.5, SR)
-    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+    from tiresias_tpu.utils.audio import float_to_i16
+
+    i16 = float_to_i16(synth_chirp(300, 1100, 2.5, SR))
     codes = g711.encode(i16, law)
     # kernel-level bitwise parity on the compiled path (incl. a ragged
     # batch so the decoded-padding mask runs on device)
@@ -560,10 +561,9 @@ def test_g711_device_decode_on_device(rng, law, tmp_path):
             # widely-spaced sweeps: adjacent chirps must differ by far
             # more than the 0.05 aligned tolerance or equal-length clips
             # tie under offset voting (observed 62/63 vs 62/63)
-            c = synth_chirp(150 + 350 * i, 500 + 450 * i, 2.5, SR)
-            ci16 = np.clip(
-                np.round(c * 32768.0), -32768, 32767
-            ).astype(np.int16)
+            ci16 = float_to_i16(
+                synth_chirp(150 + 350 * i, 500 + 450 * i, 2.5, SR)
+            )
             rt = g711.decode(g711.encode(ci16, law), law)
             entries.append(
                 (eng.add_audio_pcm(

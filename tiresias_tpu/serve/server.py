@@ -144,6 +144,12 @@ class RecognitionServer:
         self._in_flight: set[asyncio.Task] = set()
         self._cleanups: set[asyncio.Task] = set()
         self._chan_epoch: dict[str, int] = {}
+        # wire law per channel, OWNED here (not read back from the
+        # recognizer per pcm op: the scorer deletes a one-shot channel's
+        # state when its window is taken, and a trailing odd-length G.711
+        # frame parsed as int16 would hand a well-behaved client a
+        # spurious error — plus it cost a recognizer-lock hit per frame)
+        self._chan_law: dict[str, str | None] = {}
         # cid -> the owning connection's `opened` set, so deferred
         # releases can free the connection-local membership too
         self._opened_ref: dict[str, set] = {}
@@ -361,6 +367,7 @@ class RecognitionServer:
             ):
                 self._writers.pop(channel_id, None)
                 self._chan_epoch.pop(channel_id, None)
+                self._chan_law.pop(channel_id, None)
                 opened = self._opened_ref.pop(channel_id, None)
                 if opened is not None:
                     opened.discard(channel_id)
@@ -421,6 +428,7 @@ class RecognitionServer:
             for channel_id in opened:
                 self._writers.pop(channel_id, None)
                 self._chan_epoch.pop(channel_id, None)
+                self._chan_law.pop(channel_id, None)
                 self._opened_ref.pop(channel_id, None)
                 self.recognizer.hangup(channel_id, flush=False)
             writer.close()
@@ -489,6 +497,7 @@ class RecognitionServer:
                     str(exc).replace(repr(cid(channel)), repr(channel))
                 ) from None
             self._writers[cid(channel)] = writer
+            self._chan_law[cid(channel)] = kwargs.get("law")
             # re-opening the same id invalidates any pending post-hangup
             # release for the previous incarnation (see
             # _schedule_channel_release)
@@ -503,7 +512,7 @@ class RecognitionServer:
             await writer.drain()
         elif op == "pcm":
             raw = base64.b64decode(msg["pcm"], validate=True)
-            if self.recognizer.law_of(cid(channel)) is not None:
+            if self._chan_law.get(cid(channel)) is not None:
                 pcm = np.frombuffer(raw, dtype=np.uint8)  # G.711 bytes
             else:
                 pcm = np.frombuffer(raw, dtype="<i2")

@@ -407,13 +407,6 @@ class StreamingRecognizer:
             state = self._channels.get(channel_id)
             return state is not None and not state.closed
 
-    def law_of(self, channel_id: str) -> str | None:
-        """The channel's G.711 wire law (None = linear / unknown channel)
-        — the TCP server asks per pcm op to pick the payload dtype."""
-        with self._lock:
-            state = self._channels.get(channel_id)
-            return state.law if state is not None else None
-
     # ------------------------------------------------------------------ #
     # batched scoring
     # ------------------------------------------------------------------ #

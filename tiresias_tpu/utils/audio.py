@@ -178,6 +178,17 @@ def read_wav_i16(path: str) -> tuple[np.ndarray, int] | None:
     return np.frombuffer(raw, dtype="<i2"), samplerate
 
 
+def float_to_i16(pcm: np.ndarray) -> np.ndarray:
+    """Quantize float PCM in [-1, 1] to int16 with aubio's 32768 scale
+    (round, clip) — the ONE idiom every harness must share: a drifting
+    copy (32767 vs 32768, or a missing round) silently changes what
+    "exact self-match" means in bit-parity tests. write_wav keeps its
+    own 32767 scale (the WAV-file convention)."""
+    return np.clip(
+        np.round(np.asarray(pcm) * 32768.0), -32768, 32767
+    ).astype(np.int16)
+
+
 def write_wav(path: str, pcm: np.ndarray, samplerate: int) -> None:
     """Write float PCM in [-1, 1] as 16-bit mono WAV."""
     pcm = np.asarray(pcm)

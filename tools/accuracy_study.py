@@ -70,8 +70,10 @@ def main() -> None:
     )
     eng.create_context("c")
     clips = [speechlike(rng, CLIP_S) for _ in range(n_clips)]
+    from tiresias_tpu.utils.audio import float_to_i16 as _f2i
+
     for i, clip in enumerate(clips):
-        i16 = np.clip(np.round(clip * 32768.0), -32768, 32767).astype(np.int16)
+        i16 = _f2i(clip)
         eng.add_audio_pcm("c", f"clip{i}", i16.astype(np.float32) / 32768.0, SR)
     names = [e.name for e in eng.get_audios("c")]
     print(f"corpus: {len(names)} clips x {CLIP_S}s", file=sys.stderr)
@@ -93,12 +95,10 @@ def main() -> None:
     # measured)
     from tiresias_tpu.utils.g711 import encode
 
+    from tiresias_tpu.utils.audio import float_to_i16
+
     def to_wire(qs):
-        return [
-            encode(np.clip(np.round(q * 32768.0), -32768, 32767)
-                   .astype(np.int16), "ulaw")
-            for q in qs
-        ]
+        return [encode(float_to_i16(q), "ulaw") for q in qs]
 
     wire_excerpts = to_wire(excerpts)
     wire_noisy = to_wire(noisy)

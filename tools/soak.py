@@ -37,7 +37,7 @@ import numpy as np
 from tiresias_tpu.api import Tiresias
 from tiresias_tpu.config import MatchConfig, TiresiasConfig
 from tiresias_tpu.serve.server import RecognitionServer, warmup_batch_sizes
-from tiresias_tpu.utils.audio import synth_tone
+from tiresias_tpu.utils.audio import float_to_i16, synth_tone
 
 SR = 8000
 FRAME_MS = 20
@@ -54,8 +54,7 @@ def build_engine(wire: str = "l16") -> Tiresias:
     )
     eng.create_context("m")
     for i in range(N_CLIPS):
-        pcm = synth_tone(250 + 130 * i, 3.0, SR)
-        i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype(np.int16)
+        i16 = float_to_i16(synth_tone(250 + 130 * i, 3.0, SR))
         if wire != "l16":
             # a G.711 deployment's DB is built from trunk recordings —
             # store the companded-decoded clip so wire queries self-match
@@ -79,8 +78,7 @@ def client(
     lock: threading.Lock,
     wire: str = "l16",
 ) -> None:
-    pcm = synth_tone(250 + 130 * clip, 3.0, SR)
-    i16 = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2")
+    i16 = float_to_i16(synth_tone(250 + 130 * clip, 3.0, SR)).astype("<i2")
     if wire != "l16":
         # G.711 trunk bytes on the wire (half the int16 base64 payload);
         # the server decodes ON DEVICE — tones stay distinguishable, the
@@ -251,7 +249,8 @@ def main() -> int:
         # different frame bucket would otherwise compile every batch
         # shape mid-soak, stalling the measured run
         eng.warmup(
-            samplerate=SR, batch_sizes=(b,), duration_ms=args.duration_ms
+            samplerate=SR, batch_sizes=(b,), duration_ms=args.duration_ms,
+            laws=() if args.wire == "l16" else (args.wire,),
         )
 
     holder: dict = {}
