@@ -7,7 +7,11 @@ of the reference's dialplan call
 (/root/reference/doc/dialplan_application.rst).
 
 Usage:
-    python examples/stream_client.py query.wav [context] [host] [port]
+    python examples/stream_client.py query.wav [context] [host] [port] [format]
+
+``format`` may be ``l16`` (default) or ``ulaw``/``alaw`` — the G.711 mode
+encodes the WAV to trunk bytes locally and streams those (half the wire
+payload; the server decodes on device — docs/streaming.md).
 """
 
 import base64
@@ -26,6 +30,7 @@ def main() -> int:
     context = sys.argv[2] if len(sys.argv) > 2 else "media"
     host = sys.argv[3] if len(sys.argv) > 3 else "127.0.0.1"
     port = int(sys.argv[4]) if len(sys.argv) > 4 else 8517
+    fmt = sys.argv[5] if len(sys.argv) > 5 else "l16"
 
     with wave.open(path, "rb") as wf:
         assert wf.getsampwidth() == 2 and wf.getnchannels() == 1, \
@@ -33,14 +38,34 @@ def main() -> int:
         assert wf.getframerate() == SAMPLERATE, f"expected {SAMPLERATE} Hz"
         pcm = wf.readframes(wf.getnframes())
 
-    frame_bytes = SAMPLERATE * 2 * FRAME_MS // 1000
+    bytes_per_sample = 2
+    if fmt != "l16":
+        import os
+
+        import numpy as np
+
+        try:
+            from tiresias_tpu.utils.g711 import encode
+        except ModuleNotFoundError:
+            # running the example straight from a checkout: python puts
+            # examples/ (not the repo root) on sys.path
+            sys.path.insert(
+                0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            )
+            from tiresias_tpu.utils.g711 import encode
+
+        pcm = encode(
+            np.frombuffer(pcm, dtype="<i2"), fmt
+        ).tobytes()  # one G.711 byte per sample
+        bytes_per_sample = 1
+    frame_bytes = SAMPLERATE * bytes_per_sample * FRAME_MS // 1000
     with socket.create_connection((host, port), timeout=30.0) as sock:
         # the timeout bounds the result wait: a lost connection or server
         # fault raises instead of blocking the read loop forever
         f = sock.makefile("rw", encoding="utf-8", newline="\n")
         f.write(json.dumps({
             "op": "open", "channel": "demo", "context": context,
-            "duration_ms": 3000,
+            "duration_ms": 3000, "format": fmt,
         }) + "\n")
         f.flush()
         opened = json.loads(f.readline())

@@ -225,3 +225,32 @@ def test_sharded_engine_prefilter_dispatch(tmp_path, monkeypatch):
     )
     assert rf.status == f1.status and rf.name == f1.name
     assert ran["n"] == before + 1
+
+
+def test_sharded_engine_wire_law(tmp_path):
+    """G.711 trunk-byte queries against a mesh-sharded store: the uint8
+    batch decodes on (virtual) device inside the GSPMD search and matches
+    the single-device linear result exactly."""
+    from tiresias_tpu.utils import g711
+    from tiresias_tpu.utils.audio import float_to_i16
+
+    mesh = make_mesh(4, 2)
+    eng_m = _build(tmp_path / "m", mesh)
+    eng_s = _build(tmp_path / "s", None)
+    try:
+        q = float_to_i16(synth_chirp(380, 1170, 1.0, SR))  # clip2's shape
+        wire = g711.encode_ulaw(q)
+        lin = g711.decode(wire, "ulaw")
+        for kw in (
+            dict(tolerance=1.0),
+            dict(tolerance=0.05, coefs=2, trunc_coef1=False),
+            dict(tolerance=0.05, coefs=2, trunc_coef1=False, aligned=True),
+        ):
+            r_m = eng_m.search_pcm("m", wire, SR, wire_law="ulaw", **kw)
+            r_s = eng_s.search_pcm("m", lin, SR, **kw)
+            assert (r_m.status, r_m.name, r_m.match_count) == (
+                r_s.status, r_s.name, r_s.match_count
+            )
+    finally:
+        eng_m.close()
+        eng_s.close()
