@@ -1,0 +1,201 @@
+"""Seeded protocol fuzzer: random malformed traffic against the live TCP
+server must produce clean per-request errors (or silence where the
+protocol specifies it), never a crash, and never poison other
+connections.
+
+The reference's only untrusted surface is the dialplan argument string
+(parsed with AST_STANDARD_APP_ARGS, /root/reference/src/
+application_handler.c:81-97); the TCP protocol is a larger surface and
+gets adversarial coverage to match (complements tools/soak.py
+--hostile's six deterministic bounds).
+"""
+
+import base64
+import json
+import random
+import socket
+import string
+import threading
+
+import numpy as np
+import pytest
+
+from tiresias_tpu.api import Tiresias
+from tiresias_tpu.config import MatchConfig, TiresiasConfig
+from tiresias_tpu.utils.audio import float_to_i16, synth_tone
+
+SR = 8000
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import asyncio
+
+    from tiresias_tpu.serve.server import RecognitionServer
+
+    eng = Tiresias(
+        TiresiasConfig(
+            match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
+            data_dir=str(tmp_path_factory.mktemp("fuzz")),
+        ),
+        restore=False,
+    )
+    eng.create_context("m")
+    eng.add_audio_pcm(
+        "m", "tone",
+        float_to_i16(synth_tone(500, 2.0, SR)).astype(np.float32) / 32768.0,
+        SR,
+    )
+    started = threading.Event()
+    holder = {}
+
+    def runner():
+        async def main():
+            srv = RecognitionServer(eng, port=0, samplerate=SR)
+            await srv.start()
+            holder["server"] = srv
+            holder["loop"] = asyncio.get_running_loop()
+            started.set()
+            try:
+                await srv.serve_forever()
+            except asyncio.CancelledError:
+                pass
+
+        asyncio.run(main())
+
+    threading.Thread(target=runner, daemon=True).start()
+    assert started.wait(10)
+    yield holder["server"]
+    import asyncio
+
+    asyncio.run_coroutine_threadsafe(
+        holder["server"].stop(), holder["loop"]
+    ).result(10)
+    eng.close()
+
+
+def _rand_scalar(rng: random.Random):
+    return rng.choice([
+        None, True, False, 0, -1, 2**40, -(2**40), 1e308, -1e308,
+        float("nan"), "x", "", "🎧", [], {}, [1, 2], {"a": 1},
+        "9" * 300,
+    ])
+
+
+def _fuzz_line(rng: random.Random) -> str:
+    kind = rng.randrange(6)
+    if kind == 0:
+        # raw garbage (not JSON)
+        return "".join(
+            rng.choice(string.printable[:-6]) for _ in range(rng.randrange(1, 200))
+        )
+    if kind == 1:
+        # JSON, wrong top-level type
+        return json.dumps(rng.choice([[], 42, "op", None, [{"op": "open"}]]))
+    ops = ["open", "pcm", "hangup", "stats", "admin", "", "bogus", 7, None]
+    msg = {"op": rng.choice(ops)}
+    if rng.random() < 0.8:
+        msg["channel"] = rng.choice(["c", "", None, 5, "x" * 200])
+    if kind == 2:
+        # open with randomly-typed knobs
+        for k in ("context", "duration_ms", "tolerance", "coefs",
+                  "freq_ignore_low", "freq_ignore_high", "trunc_coef1",
+                  "aligned", "filter_context", "continuous", "hop_ms",
+                  "format"):
+            if rng.random() < 0.5:
+                msg[k] = _rand_scalar(rng)
+        msg["op"] = "open"
+    elif kind == 3:
+        msg["op"] = "pcm"
+        payload = rng.choice([
+            "not-base64!!", "",
+            base64.b64encode(bytes(rng.randrange(0, 64))).decode(),
+            base64.b64encode(b"\x01").decode(),  # odd length for i16
+            None, 42, {},
+        ])
+        msg["pcm"] = payload
+    elif kind == 4:
+        msg["op"] = "admin"
+        msg["cmd"] = rng.choice([
+            "search", "show_contexts", "remove_audio", "sync", "save",
+            "compact", "bogus", None, 3,
+        ])
+        if rng.random() < 0.5:
+            msg["queries"] = rng.choice([
+                None, 42, "x", [{}], [{"pcm": "zz!", "dtype": "f64"}],
+                [{"pcm": base64.b64encode(b"ab").decode(),
+                  "dtype": _rand_scalar(rng)}],
+            ])
+        if rng.random() < 0.3:
+            msg["uuid"] = _rand_scalar(rng)
+            msg["context"] = _rand_scalar(rng)
+            msg["top"] = _rand_scalar(rng)
+    try:
+        return json.dumps(msg)
+    except (TypeError, ValueError):
+        return "{}"
+
+
+def test_fuzz_then_serve(server):
+    """200 seeded hostile lines over 4 connections; the server must stay
+    up and still answer a well-formed recognition afterwards."""
+    rng = random.Random(0x7135)
+    for conn in range(4):
+        with socket.create_connection(
+            ("127.0.0.1", server.port), timeout=30
+        ) as s:
+            f = s.makefile("rw")
+            s.settimeout(5.0)
+            for _ in range(50):
+                f.write(_fuzz_line(rng) + "\n")
+                f.flush()
+                # drain whatever the server answered (errors or acks);
+                # don't block: some valid-shaped lines get no reply
+                try:
+                    s.settimeout(0.05)
+                    while True:
+                        line = f.readline()
+                        if not line:
+                            break  # server closed THIS connection: allowed
+                        json.loads(line)  # every reply must be valid JSON
+                except (TimeoutError, OSError):
+                    pass
+                except ValueError as exc:  # non-JSON reply = protocol bug
+                    raise AssertionError(f"non-JSON reply: {exc}") from None
+
+    # the server survived: a fresh well-formed request still recognizes
+    pcm = float_to_i16(synth_tone(500, 1.2, SR))
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+        f = s.makefile("rw")
+        f.write(json.dumps({
+            "op": "open", "channel": "ok", "context": "m",
+            "duration_ms": 1000,
+        }) + "\n")
+        f.write(json.dumps({
+            "op": "pcm", "channel": "ok",
+            "pcm": base64.b64encode(pcm.tobytes()).decode(),
+        }) + "\n")
+        f.flush()
+        assert json.loads(f.readline())["opened"] is True
+        result = json.loads(f.readline())
+        assert result["result"]["TIRSTATUS"] == "FOUND"
+        assert result["result"]["TIRFILENAME"] == "tone"
+
+
+def test_fuzz_binary_frames(server):
+    """Non-UTF8 binary garbage and oversized lines: clean handling."""
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+        s.sendall(bytes(range(256)) * 16 + b"\n")
+        s.settimeout(5.0)
+        try:
+            data = s.recv(65536)
+            if data:
+                json.loads(data.decode().splitlines()[0])
+        except (TimeoutError, OSError):
+            pass
+    # server still answers
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+        f = s.makefile("rw")
+        f.write(json.dumps({"op": "stats", "channel": ""}) + "\n")
+        f.flush()
+        assert "stats" in json.loads(f.readline())
