@@ -788,3 +788,88 @@ class TestStatsProxy:
         assert rc == 0
         assert "audios: 3" in out and "owner: True" in out
         assert "generation:" in out
+
+
+class TestReload:
+    """Live config reload (admin 'reload' / SIGHUP): the reference
+    declines reload outright (/root/reference/src/app_tiresias.c:608-614)."""
+
+    def _server_with_conf(self, tmp_path):
+        media_a = tmp_path / "a"
+        media_a.mkdir()
+        write_wav(str(media_a / "t.wav"), synth_tone(400, 1.0, SR), SR)
+        conf = tmp_path / "t.conf"
+
+        def write_conf(extra="", global_extra=""):
+            conf.write_text(
+                "[global]\n"
+                f"data_dir={tmp_path / 'data'}\n" + global_extra
+                + f"[ctx_a]\ndirectory={media_a}\n" + extra
+            )
+
+        write_conf()
+        from tiresias_tpu.config import load_config
+
+        cfg = load_config(str(conf))
+        eng = Tiresias(cfg, restore=False, exclusive=True)
+        eng.sync()
+        started = threading.Event()
+        holder = {}
+
+        def runner():
+            async def main():
+                srv = RecognitionServer(
+                    eng, port=0, samplerate=SR,
+                    reload_config=lambda: load_config(str(conf)),
+                )
+                await srv.start()
+                holder["server"] = srv
+                holder["loop"] = asyncio.get_running_loop()
+                started.set()
+                try:
+                    await srv.serve_forever()
+                except asyncio.CancelledError:
+                    pass
+
+            asyncio.run(main())
+
+        threading.Thread(target=runner, daemon=True).start()
+        assert started.wait(10)
+        return holder, eng, tmp_path, write_conf
+
+    def test_reload_adopts_new_context(self, tmp_path):
+        holder, eng, root, write_conf = self._server_with_conf(tmp_path)
+        try:
+            media_b = root / "b"
+            media_b.mkdir()
+            write_wav(str(media_b / "n.wav"), synth_tone(700, 1.0, SR), SR)
+            write_conf(extra=f"[ctx_b]\ndirectory={media_b}\n")
+            with AdminClient("127.0.0.1", holder["server"].port) as cli:
+                r = cli.admin("reload")
+                assert r["reloaded"] is True
+                assert set(r["contexts"]) == {"ctx_a", "ctx_b"}
+                assert r["sync"]["created"] == 1
+                # the new context's audio serves immediately
+                rows = cli.admin("show_audios", context="ctx_b")["audios"]
+                assert [a["name"] for a in rows] == ["n.wav"]
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(timeout=10)
+
+    def test_reload_rejects_dsp_change_and_keeps_serving(self, tmp_path):
+        holder, eng, root, write_conf = self._server_with_conf(tmp_path)
+        try:
+            write_conf(global_extra="samplerate=16000\n")
+            from tiresias_tpu.serve.admin import AdminError
+
+            with AdminClient("127.0.0.1", holder["server"].port) as cli:
+                with pytest.raises(AdminError, match="DSP"):
+                    cli.admin("reload")
+                # the old config keeps serving
+                rows = cli.admin("show_audios", context="ctx_a")["audios"]
+                assert len(rows) == 1
+        finally:
+            asyncio.run_coroutine_threadsafe(
+                holder["server"].stop(), holder["loop"]
+            ).result(timeout=10)

@@ -22,9 +22,24 @@ import pytest
 
 from tiresias_tpu.api import Tiresias
 from tiresias_tpu.config import MatchConfig, TiresiasConfig
-from tiresias_tpu.utils.audio import float_to_i16, synth_tone
+from tiresias_tpu.utils.audio import synth_tone
 
 SR = 8000
+
+
+@pytest.fixture(autouse=True)
+def _ignore_sigpipe():
+    """Writing to a socket the server already closed raises
+    BrokenPipeError ONLY while SIGPIPE is ignored (CPython's default).
+    Native components loaded by earlier tests (gloo/ffmpeg) can reset the
+    disposition to SIG_DFL, turning that legal server-side close into a
+    signal that kills the whole pytest process (observed: rc=141 at this
+    file when the full suite runs, clean pass standalone)."""
+    import signal
+
+    old = signal.signal(signal.SIGPIPE, signal.SIG_IGN)
+    yield
+    signal.signal(signal.SIGPIPE, old)
 
 
 @pytest.fixture(scope="module")
@@ -33,19 +48,25 @@ def server(tmp_path_factory):
 
     from tiresias_tpu.serve.server import RecognitionServer
 
+    from tiresias_tpu.config import ContextConfig
+    from tiresias_tpu.utils.audio import write_wav
+
+    # the context's catalog must MATCH a real directory: a fuzzed admin
+    # "sync" is a legitimate mutation on a loopback-admin server, and
+    # against a directory-less context it would correctly delete the
+    # stored audio (delete-removed semantics) and fail the post-fuzz
+    # recognition assertion
+    media = tmp_path_factory.mktemp("fuzz_media")
+    write_wav(str(media / "tone.wav"), synth_tone(500, 2.0, SR), SR)
     eng = Tiresias(
         TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
             match=MatchConfig(coefs=2, tolerance=0.01, trunc_coef1=False),
             data_dir=str(tmp_path_factory.mktemp("fuzz")),
         ),
         restore=False,
     )
-    eng.create_context("m")
-    eng.add_audio_pcm(
-        "m", "tone",
-        float_to_i16(synth_tone(500, 2.0, SR)).astype(np.float32) / 32768.0,
-        SR,
-    )
+    eng.sync()
     started = threading.Event()
     holder = {}
 
@@ -147,8 +168,11 @@ def test_fuzz_then_serve(server):
             f = s.makefile("rw")
             s.settimeout(5.0)
             for _ in range(50):
-                f.write(_fuzz_line(rng) + "\n")
-                f.flush()
+                try:
+                    f.write(_fuzz_line(rng) + "\n")
+                    f.flush()
+                except (BrokenPipeError, ConnectionResetError):
+                    break  # server closed THIS connection: allowed
                 # drain whatever the server answered (errors or acks);
                 # don't block: some valid-shaped lines get no reply
                 try:
@@ -164,7 +188,15 @@ def test_fuzz_then_serve(server):
                     raise AssertionError(f"non-JSON reply: {exc}") from None
 
     # the server survived: a fresh well-formed request still recognizes
-    pcm = float_to_i16(synth_tone(500, 1.2, SR))
+    # (query = the stored file's own samples, so strict tolerance
+    # self-matches regardless of quantization convention)
+    import wave
+
+    with wave.open(str(server.engine.config.contexts[0].directory)
+                   + "/tone.wav", "rb") as wf:
+        pcm = np.frombuffer(
+            wf.readframes(int(1.2 * SR)), dtype="<i2"
+        )
     with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
         f = s.makefile("rw")
         f.write(json.dumps({
@@ -179,7 +211,7 @@ def test_fuzz_then_serve(server):
         assert json.loads(f.readline())["opened"] is True
         result = json.loads(f.readline())
         assert result["result"]["TIRSTATUS"] == "FOUND"
-        assert result["result"]["TIRFILENAME"] == "tone"
+        assert result["result"]["TIRFILENAME"] == "tone.wav"
 
 
 def test_fuzz_binary_frames(server):

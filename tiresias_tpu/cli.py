@@ -424,6 +424,44 @@ def cmd_serve(args) -> int:
         max_channels=args.max_channels, admin=args.admin,
         watch_interval=args.watch, follow_interval=args.follow,
         warm_laws=warm_laws,
+        # SIGHUP / admin 'reload' re-resolve the conf exactly like the
+        # original engine construction did (explicit -c path or the
+        # search-path default), so an unchanged file is a no-op re-sync
+        reload_config=lambda: _config(args),
+    )
+    return 0
+
+
+def cmd_reload(args) -> int:
+    """Live config reload on the running server (`kill -HUP` equivalent
+    over the admin protocol). The reference declines reload outright —
+    unload/load required (/root/reference/src/app_tiresias.c:608-614)."""
+    config = _config(args)
+    proxy = _proxy(config)
+    if proxy is None:
+        print(
+            "reload: no running server owns this data dir (offline, the "
+            "next start picks the conf up; to ingest now use "
+            "`tiresias create`)",
+            file=sys.stderr,
+        )
+        return 1
+    from tiresias_tpu.serve.admin import AdminError
+
+    try:
+        with proxy:
+            try:
+                r = proxy.admin("reload")
+            except AdminError as exc:
+                print(f"reload failed on the running server: {exc}",
+                      file=sys.stderr)
+                return 1
+    except Exception as exc:  # noqa: BLE001 - proxy I/O failure
+        return _proxy_failed(exc)
+    rep = r.get("sync", {})
+    print(
+        f"Reloaded. contexts[{', '.join(r.get('contexts', []))}] "
+        f"created[{rep.get('created', 0)}] deleted[{rep.get('deleted', 0)}]"
     )
     return 0
 
@@ -727,6 +765,13 @@ def build_parser() -> argparse.ArgumentParser:
         "small-tolerance recognition (PARITY.md D8)",
     )
     se.set_defaults(func=cmd_search)
+
+    rl = sub.add_parser(
+        "reload",
+        help="re-parse the conf file and re-sync the RUNNING server "
+        "(same as kill -HUP on it); DSP/data_dir changes are rejected",
+    )
+    rl.set_defaults(func=cmd_reload)
 
     be = sub.add_parser("bench", help="run the benchmark harness")
     be.set_defaults(func=cmd_bench)

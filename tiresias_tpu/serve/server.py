@@ -86,6 +86,7 @@ class RecognitionServer:
         watch_interval: float | None = None,
         max_channels: int = 128,
         follow_interval: float | None = None,
+        reload_config=None,
     ) -> None:
         """``admin``: who may issue ``op: "admin"`` mutations — ``"local"``
         (default: loopback peers only; the reference's CLI is equally
@@ -131,6 +132,10 @@ class RecognitionServer:
         self.admin = admin
         self.watch_interval = watch_interval
         self.follow_interval = follow_interval
+        # () -> TiresiasConfig, re-parsing the deployment's conf file —
+        # the admin 'reload' op and run_server's SIGHUP both call it
+        # (None: reload re-syncs under the CURRENT config)
+        self._reload_config = reload_config
         self.recognizer = StreamingRecognizer(engine, samplerate=samplerate)
         self._writers: dict[str, asyncio.StreamWriter] = {}
         self._server: asyncio.AbstractServer | None = None
@@ -599,7 +604,7 @@ class RecognitionServer:
     # replica would mutate its in-memory view, fail the save, and silently
     # diverge from what the live owner serves
     _MUTATING_ADMIN = ("remove_audio", "remove_context", "sync", "save",
-                       "compact")
+                       "compact", "reload")
 
     async def _dispatch_admin(self, msg: dict) -> dict:
         cmd = msg.get("cmd")
@@ -658,6 +663,28 @@ class RecognitionServer:
                 return removed
 
             return {"admin": {"removed": bool(await in_executor(work))}}
+        if cmd == "reload":
+            # live config reload (the reference declines reload outright —
+            # unload/load required, /root/reference/src/app_tiresias.c:
+            # 608-614): re-parse the conf file, adopt it, re-sync. DSP or
+            # data_dir changes are rejected by engine.reload and the old
+            # config keeps serving.
+            def work():
+                new_cfg = (
+                    self._reload_config() if self._reload_config else None
+                )
+                report = eng.reload(new_cfg)
+                eng.warm_search_maps()
+                return report, [c["name"] for c in eng.get_contexts()]
+
+            try:
+                report, contexts = await in_executor(work)
+            except Exception as exc:  # noqa: BLE001 - bad conf must not kill serving
+                log.exception("config reload failed; keeping the old config")
+                return {"error": f"reload failed: {exc}",
+                        "code": "bad_config"}
+            return {"admin": {"reloaded": True, "contexts": contexts,
+                              "sync": vars(report)}}
         if cmd == "sync":
             context = msg.get("context")
 
@@ -844,6 +871,7 @@ def run_server(
     samplerate: int = 8000, max_channels: int = 128, admin: str = "local",
     watch_interval: float | None = None, follow_interval: float | None = None,
     warm_laws: tuple[str, ...] = (),
+    reload_config=None,
 ) -> None:
     """Blocking entry point (the `tiresias serve` CLI command).
 
@@ -873,7 +901,7 @@ def run_server(
         server = RecognitionServer(
             engine, host, port, samplerate, admin=admin,
             watch_interval=watch_interval, max_channels=max_channels,
-            follow_interval=follow_interval,
+            follow_interval=follow_interval, reload_config=reload_config,
         )
         await server.start()
         stop_ev = asyncio.Event()
@@ -883,6 +911,26 @@ def run_server(
                 loop.add_signal_handler(sig, stop_ev.set)
             except (NotImplementedError, RuntimeError):
                 pass  # non-unix, or not the main thread (library use)
+
+        def on_hup():
+            # kill -HUP <pid>: live config reload, the classic daemon
+            # convention (the reference requires a module unload/load,
+            # /root/reference/src/app_tiresias.c:608-614). Routed through
+            # the same admin handler the protocol uses: read-only
+            # replicas refuse, a bad conf logs and keeps the old one.
+            async def do():
+                res = await server._dispatch_admin({"cmd": "reload"})
+                if "error" in res:
+                    log.error("SIGHUP reload refused: %s", res["error"])
+                else:
+                    log.info("SIGHUP reload: %s", res["admin"])
+
+            loop.create_task(do())
+
+        try:
+            loop.add_signal_handler(signal.SIGHUP, on_hup)
+        except (NotImplementedError, RuntimeError, AttributeError):
+            pass  # non-unix, or not the main thread (library use)
         # flush: parents watch for this banner over a (block-buffered) pipe
         print(f"tiresias serving on {server.host}:{server.port}", flush=True)
         serve_task = asyncio.create_task(server.serve_forever())
