@@ -19,7 +19,8 @@ plus a live ADMIN plane against this process's store (the reference's
 CLI-inside-the-module model, /root/reference/src/cli_handler.c:26-31):
 
     → {"op": "admin", "cmd": "show_contexts" | "show_audios" |
-       "remove_audio" | "remove_context" | "sync" | "save" | "compact", ...}
+       "remove_audio" | "remove_context" | "sync" | "save" | "compact" |
+       "reload", ...}
     ← {"admin": {...}} | {"error": "..."}
 
 The server owns the data directory (utils.locking single-writer flock);
