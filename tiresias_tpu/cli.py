@@ -432,6 +432,55 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Offline checkpoint integrity check (store.fsck_checkpoint) — the
+    ops safety net the reference's single SQLite file never had."""
+    import os as _os
+
+    from tiresias_tpu.store.fingerprint_store import fsck_checkpoint
+
+    config = _config(args)
+    directory = _os.path.join(config.expanded_data_dir, "checkpoint")
+    if not _os.path.isdir(directory):
+        print(f"no checkpoint at {directory}")
+        return 1
+    report = fsck_checkpoint(directory, deep=args.deep)
+    for label in ("current", "bak"):
+        gen = report["generations"].get(label)
+        if gen is None:
+            print(f"{label:8s} absent")
+            continue
+        if gen["ok"]:
+            tiers = gen.get("tiers", {})
+            rows = sum(t["rows"] for t in tiers.values())
+            dead = sum(t["dead"] for t in tiers.values())
+            print(
+                f"{label:8s} OK   v{gen['version']} gen={gen['gen']} "
+                f"entries={gen['entries']} contexts={gen['contexts']} "
+                f"tiers={len(tiers)} rows={rows} dead={dead}"
+            )
+        else:
+            print(f"{label:8s} BAD  {'; '.join(gen['errors'][:4])}")
+    orphans = report["orphans"]
+    if orphans["count"]:
+        print(
+            f"orphans  {orphans['count']} unreferenced segment files "
+            f"({orphans['bytes'] / 2**20:.1f} MiB — crash debris, "
+            "reclaimed by the next save rotation)"
+        )
+    if args.deep:
+        d = report["deep"]
+        if d["ok"]:
+            print(
+                f"deep     OK   full restore: gen={d['gen']} "
+                f"entries={d['entries']} contexts={d['contexts']}"
+            )
+        else:
+            print(f"deep     BAD  {d.get('error')}")
+    print("checkpoint OK" if report["ok"] else "checkpoint NOT OK")
+    return 0 if report["ok"] else 1
+
+
 def cmd_reload(args) -> int:
     """Live config reload on the running server (`kill -HUP` equivalent
     over the admin protocol). The reference declines reload outright —
@@ -765,6 +814,16 @@ def build_parser() -> argparse.ArgumentParser:
         "small-tolerance recognition (PARITY.md D8)",
     )
     se.set_defaults(func=cmd_search)
+
+    fs = sub.add_parser(
+        "fsck",
+        help="verify checkpoint integrity offline (catalog, segment "
+        "shapes, dead rows, orphans); --deep performs a full restore",
+    )
+    fs.add_argument("--deep", action="store_true",
+                    help="additionally run the exact restore a server "
+                    "startup would (loads every segment)")
+    fs.set_defaults(func=cmd_fsck)
 
     rl = sub.add_parser(
         "reload",

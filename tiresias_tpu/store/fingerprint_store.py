@@ -1707,3 +1707,137 @@ class FingerprintStore:
     def iter_entries(self) -> Iterable[AudioEntry]:
         with self._lock:
             return list(self.entries)
+
+
+def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
+    """Offline checkpoint integrity check (the ``tiresias fsck`` command).
+
+    The reference's persistence is one SQLite file whose integrity is
+    whatever ``PRAGMA integrity_check`` says inside a running Asterisk;
+    this store's checkpoint is a catalog JSON + immutable segment files
+    per generation, so a broken disk/partial copy is verifiable OFFLINE
+    without touching a serving process.
+
+    Per generation ("current" and ".bak"): catalog parses, version known,
+    every v3/v4 manifest segment file exists with the exact shape/dtype
+    the catalog claims (header-only ``np.load(mmap_mode="r")`` — no data
+    read), dead-row indices in range. Plus orphan detection: ``.npy``
+    files no generation references (GC debris from a crash between
+    segment write and catalog commit — harmless, reclaimable). ``deep``
+    additionally performs a full :meth:`FingerprintStore.load` of the
+    directory (the exact restore a server would run, incl. the
+    generation-fallback rules).
+
+    Returns a report dict; ``report["ok"]`` is True when the newest
+    readable generation is structurally sound (a server restart would
+    serve it) — a damaged current with a clean ``.bak`` is ok=False:
+    data SINCE the .bak would be lost silently on restart.
+    """
+    report: dict = {"directory": directory, "generations": {}, "ok": False}
+    referenced: set = set()
+    for suffix, label in (("", "current"), (".bak", "bak")):
+        cat_path = os.path.join(directory, CATALOG_FILE + suffix)
+        if not os.path.exists(cat_path):
+            report["generations"][label] = None
+            continue
+        gen_report: dict = {"ok": False, "errors": []}
+        report["generations"][label] = gen_report
+        try:
+            with open(cat_path) as f:
+                catalog = json.load(f)
+        except Exception as exc:  # noqa: BLE001 - corrupt generation
+            gen_report["errors"].append(f"catalog unreadable: {exc}")
+            continue
+        version = catalog.get("version")
+        gen_report.update(
+            version=version,
+            gen=int(catalog.get("gen", 0) or 0),
+            entries=len(catalog.get("entries", [])),
+            contexts=len(catalog.get("contexts", {})),
+        )
+        if version not in (1, 2, 3, 4):
+            gen_report["errors"].append(f"unsupported version {version!r}")
+            continue
+        n_coefs = int(catalog.get("n_coefs", DEF_N_COEFS))
+        if version < 3:
+            # legacy monolithic layout: one npz next to the catalog
+            npz = os.path.join(directory, "fingerprints.npz" + suffix)
+            if not os.path.exists(npz):
+                gen_report["errors"].append(
+                    f"legacy v{version} fingerprints.npz{suffix} missing"
+                )
+            gen_report["ok"] = not gen_report["errors"]
+            continue
+        tiers_report: dict = {}
+        gen_report["tiers"] = tiers_report
+        for t_key, segs in catalog.get("tiers", {}).items():
+            t = int(t_key)
+            rows_total = 0
+            t_errors: list[str] = []
+            for fname, n_rows in segs:
+                referenced.add(fname)
+                path = os.path.join(directory, fname)
+                if not os.path.exists(path):
+                    t_errors.append(f"{fname}: missing")
+                    continue
+                try:
+                    arr = np.load(path, mmap_mode="r")
+                    shape, dtype = arr.shape, arr.dtype
+                    del arr
+                except Exception as exc:  # noqa: BLE001 - torn/short file
+                    t_errors.append(f"{fname}: unreadable ({exc})")
+                    continue
+                if shape != (int(n_rows), t, n_coefs):
+                    t_errors.append(
+                        f"{fname}: shape {shape} != catalog "
+                        f"({int(n_rows)}, {t}, {n_coefs})"
+                    )
+                elif dtype != np.float32:
+                    t_errors.append(f"{fname}: dtype {dtype} != float32")
+                rows_total += int(n_rows)
+            dead = catalog.get("dead", {}).get(t_key, [])
+            bad_dead = [d for d in dead if not 0 <= int(d) < rows_total]
+            if bad_dead:
+                t_errors.append(
+                    f"dead rows out of range {bad_dead[:5]} (rows={rows_total})"
+                )
+            tiers_report[t] = {
+                "segments": len(segs),
+                "rows": rows_total,
+                "dead": len(dead),
+                "errors": t_errors,
+            }
+            gen_report["errors"].extend(t_errors)
+        gen_report["ok"] = not gen_report["errors"]
+    # orphans: segment files neither generation references (crash debris
+    # between a segment write and its catalog commit; or a GC'd lineage)
+    orphans = [
+        f
+        for f in os.listdir(directory)
+        if f.endswith(".npy") and f not in referenced
+    ] if os.path.isdir(directory) else []
+    report["orphans"] = {
+        "count": len(orphans),
+        "bytes": sum(
+            os.path.getsize(os.path.join(directory, f)) for f in orphans
+        ),
+    }
+    cur = report["generations"].get("current")
+    report["ok"] = bool(cur and cur["ok"])
+    if deep:
+        deep_report: dict = {"ok": False}
+        report["deep"] = deep_report
+        try:
+            cur_coefs = DEF_N_COEFS
+            if cur and "version" in cur:
+                with open(os.path.join(directory, CATALOG_FILE)) as f:
+                    cur_coefs = int(json.load(f).get("n_coefs", DEF_N_COEFS))
+            store = FingerprintStore.load(directory, n_coefs=cur_coefs)
+            deep_report.update(
+                ok=True, entries=len(store), gen=store._restored_gen,
+                contexts=len(store.contexts),
+            )
+        except Exception as exc:  # noqa: BLE001 - any restore failure
+            deep_report["error"] = str(exc)
+        report["ok"] = report["ok"] and deep_report["ok"]
+    return report
