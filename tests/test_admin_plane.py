@@ -873,3 +873,56 @@ class TestReload:
             asyncio.run_coroutine_threadsafe(
                 holder["server"].stop(), holder["loop"]
             ).result(timeout=10)
+
+
+class TestReloadSafety:
+    def test_vanished_conf_fails_reload_not_wipes(self, tmp_path):
+        """A conf file that disappears must FAIL the reload — falling
+        back to an empty default config would sync-delete every context
+        (silent, checkpointed data loss)."""
+        import argparse
+
+        from tiresias_tpu.cli import _reload_config_fn
+
+        conf = tmp_path / "t.conf"
+        conf.write_text(f"[global]\ndata_dir={tmp_path/'d'}\n[c]\ndirectory=/x\n")
+        fn = _reload_config_fn(argparse.Namespace(config=str(conf)))
+        assert fn().contexts[0].name == "c"  # parses while present
+        conf.unlink()
+        with pytest.raises(FileNotFoundError, match="refusing to reload"):
+            fn()
+
+    def test_no_conf_at_startup_means_none(self, tmp_path, monkeypatch):
+        import argparse
+
+        from tiresias_tpu.cli import _reload_config_fn
+
+        monkeypatch.chdir(tmp_path)  # no ./tiresias.conf on the search path
+        monkeypatch.setenv("HOME", str(tmp_path))
+        assert _reload_config_fn(argparse.Namespace(config=None)) is None
+
+    def test_engine_reload_rolls_back_config_on_sync_failure(self, tmp_path):
+        import dataclasses
+
+        from tiresias_tpu.config import MatchConfig
+
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path)), restore=False
+        )
+        try:
+            old = eng.config
+            new = dataclasses.replace(
+                old, match=MatchConfig(tolerance=0.5)
+            )
+
+            def boom():
+                raise RuntimeError("disk full")
+
+            eng.sync = boom
+            with pytest.raises(RuntimeError, match="disk full"):
+                eng.reload(new)
+            # the failed reload must not leave the NEW config active
+            assert eng.config is old
+        finally:
+            del eng.sync
+            eng.close()

@@ -117,3 +117,56 @@ class TestFsckCli:
         assert main(["-c", str(conf), "fsck"]) == 1
         out = capsys.readouterr().out
         assert "BAD" in out and "NOT OK" in out
+
+
+class TestFsckRobustness:
+    """Malformed-but-parseable catalogs are findings, not crashes."""
+
+    @pytest.mark.parametrize(
+        "payload",
+        [
+            "[1, 2]",  # top-level list
+            '{"version": 4, "gen": 1, "contexts": {}, "entries": [],'
+            ' "tiers": {"abc": []}}',  # non-numeric tier key
+            '{"version": 4, "gen": 1, "contexts": {}, "entries": [],'
+            ' "tiers": {"128": 5}}',  # tiers value not a list
+            '{"version": 4, "gen": 1, "contexts": {}, "entries": [],'
+            ' "tiers": {"128": [["f.npy", "xx"]]}}',  # garbage row count
+            '{"version": 4, "gen": 1, "contexts": {}, "entries": [],'
+            ' "tiers": {}, "dead": 7}',  # dead not an object
+        ],
+    )
+    def test_malformed_catalog_reports_bad(self, tmp_path, payload):
+        d = tmp_path / "checkpoint"
+        d.mkdir()
+        (d / CATALOG_FILE).write_text(payload)
+        r = fsck_checkpoint(str(d))
+        assert r["ok"] is False
+        cur = r["generations"]["current"]
+        assert cur["errors"], "malformed catalog must produce findings"
+
+    def test_configured_coefs_mismatch_flagged(self, checkpoint):
+        # checkpoint stores n_coefs=2; a deployment configured for 8
+        # would refuse at startup — fsck must say so, both structurally
+        # and in the deep restore
+        r = fsck_checkpoint(checkpoint, deep=True, n_coefs=8)
+        assert r["ok"] is False
+        assert any("n_coefs" in e
+                   for e in r["generations"]["current"]["errors"])
+        assert r["deep"]["ok"] is False
+
+    def test_cli_warns_on_live_owner(self, checkpoint, tmp_path, capsys):
+        from tiresias_tpu.cli import main
+        from tiresias_tpu.utils.locking import DataDirLock
+
+        data_dir = os.path.dirname(checkpoint)
+        conf = tmp_path / "t.conf"
+        conf.write_text(f"[global]\ndata_dir={data_dir}\n")
+        lock = DataDirLock(data_dir).acquire()
+        try:
+            assert main(["-c", str(conf), "fsck"]) == 0
+            assert "owned by a live process" in capsys.readouterr().err
+        finally:
+            lock.release()
+        assert main(["-c", str(conf), "fsck"]) == 0
+        assert "owned by a live process" not in capsys.readouterr().err

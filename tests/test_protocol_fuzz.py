@@ -165,12 +165,16 @@ def test_fuzz_then_serve(server):
         with socket.create_connection(
             ("127.0.0.1", server.port), timeout=30
         ) as s:
-            f = s.makefile("rw")
-            s.settimeout(5.0)
+            # raw sendall + a manual line buffer: mixing a short recv
+            # timeout with makefile().readline() can DROP a partially
+            # read reply on timeout (buffered reads are documented to be
+            # in an inconsistent state after one), making the next read
+            # return a fragment and fail the JSON assertion spuriously
+            buf = b""
             for _ in range(50):
                 try:
-                    f.write(_fuzz_line(rng) + "\n")
-                    f.flush()
+                    s.settimeout(5.0)
+                    s.sendall(_fuzz_line(rng).encode() + b"\n")
                 except (BrokenPipeError, ConnectionResetError):
                     break  # server closed THIS connection: allowed
                 # drain whatever the server answered (errors or acks);
@@ -178,14 +182,22 @@ def test_fuzz_then_serve(server):
                 try:
                     s.settimeout(0.05)
                     while True:
-                        line = f.readline()
-                        if not line:
-                            break  # server closed THIS connection: allowed
-                        json.loads(line)  # every reply must be valid JSON
+                        chunk = s.recv(65536)
+                        if not chunk:
+                            break  # server closed: allowed
+                        buf += chunk
                 except (TimeoutError, OSError):
                     pass
-                except ValueError as exc:  # non-JSON reply = protocol bug
-                    raise AssertionError(f"non-JSON reply: {exc}") from None
+                *lines, buf = buf.split(b"\n")
+                for line in lines:
+                    if not line:
+                        continue
+                    try:
+                        json.loads(line)  # every reply must be valid JSON
+                    except ValueError as exc:
+                        raise AssertionError(
+                            f"non-JSON reply {line[:80]!r}: {exc}"
+                        ) from None
 
     # the server survived: a fresh well-formed request still recognizes
     # (query = the stored file's own samples, so strict tolerance

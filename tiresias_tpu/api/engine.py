@@ -440,8 +440,19 @@ class Tiresias:
                     "to the old checkpoint directory; construct a new "
                     "Tiresias for a different data_dir"
                 )
+        old_config = self.config
+        if config is not None:
             self.config = config
-        return self.sync()
+        try:
+            return self.sync()
+        except Exception:
+            # a failed sync must not leave the NEW config active: later
+            # watch ticks would silently keep reconciling under a config
+            # the caller was told failed (contexts the new conf dropped
+            # would be deleted). Partial sync work is self-healing — the
+            # next tick under the restored config re-ingests from disk.
+            self.config = old_config
+            raise
 
     def warmup(
         self,

@@ -374,6 +374,25 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def _reload_config_fn(args):
+    """Reload callback bound to the conf path resolved at startup:
+    missing file → raise (the server keeps its current config); started
+    with no conf at all → None (reload just re-syncs)."""
+    path = args.config or _find_config()
+    if path is None:
+        return None
+
+    def reload_config():
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"conf file {path!r} (resolved at startup) is gone; "
+                "refusing to reload into an empty config"
+            )
+        return load_config(path)
+
+    return reload_config
+
+
 def cmd_serve(args) -> int:
     from tiresias_tpu.serve.server import run_server
     from tiresias_tpu.utils.locking import DataDirLocked
@@ -424,10 +443,13 @@ def cmd_serve(args) -> int:
         max_channels=args.max_channels, admin=args.admin,
         watch_interval=args.watch, follow_interval=args.follow,
         warm_laws=warm_laws,
-        # SIGHUP / admin 'reload' re-resolve the conf exactly like the
-        # original engine construction did (explicit -c path or the
-        # search-path default), so an unchanged file is a no-op re-sync
-        reload_config=lambda: _config(args),
+        # SIGHUP / admin 'reload' re-parse the conf file resolved AT
+        # STARTUP. Re-resolving the search path at reload time would (a)
+        # silently switch conf if a higher-priority file appeared, and
+        # (b) worse: if the file disappeared, fall back to an EMPTY
+        # default config whose sync would delete every context — a
+        # missing file must fail the reload, not wipe the store.
+        reload_config=_reload_config_fn(args),
     )
     return 0
 
@@ -444,7 +466,34 @@ def cmd_fsck(args) -> int:
     if not _os.path.isdir(directory):
         print(f"no checkpoint at {directory}")
         return 1
-    report = fsck_checkpoint(directory, deep=args.deep)
+    from tiresias_tpu.utils.locking import DataDirLock, read_server_info
+
+    info = read_server_info(config.expanded_data_dir)
+    if info is None:
+        # non-server owners too (an offline ingest mid-save): lockfile
+        # content persists while held; a stale crashed-owner file has a
+        # dead pid and is ignored
+        owner = DataDirLock(config.expanded_data_dir).owner_info()
+        if owner:
+            try:
+                _os.kill(int(owner.get("pid", -1)), 0)
+                info = owner
+            except (OSError, ValueError, TypeError):
+                info = None
+    if info:
+        # a live owner rotates generations and GCs superseded segment
+        # files WHILE we read: a healthy store can transiently look
+        # corrupt. Diagnose anyway (read-only), but say so.
+        print(
+            f"WARNING: data dir is owned by a live process "
+            f"(pid {info.get('pid')}); save rotations during this check "
+            "can report transient missing/unreadable segments — prefer "
+            "a quiesced copy for a definitive verdict",
+            file=sys.stderr,
+        )
+    report = fsck_checkpoint(
+        directory, deep=args.deep, n_coefs=config.dsp.n_coefs
+    )
     for label in ("current", "bak"):
         gen = report["generations"].get(label)
         if gen is None:

@@ -1709,7 +1709,61 @@ class FingerprintStore:
             return list(self.entries)
 
 
-def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
+def _fsck_walk_tiers(
+    directory: str, catalog: dict, n_coefs: int,
+    tiers_report: dict, referenced: set,
+) -> None:
+    """Structural walk of one v3/v4 catalog's tier manifest (fsck); any
+    malformed shape raises and the caller reports the generation BAD."""
+    tiers = catalog.get("tiers", {})
+    if not isinstance(tiers, dict):
+        raise ValueError(f"'tiers' is {type(tiers).__name__}, expected object")
+    dead_map = catalog.get("dead", {})
+    if not isinstance(dead_map, dict):
+        raise ValueError(f"'dead' is {type(dead_map).__name__}, expected object")
+    for t_key, segs in tiers.items():
+        t = int(t_key)
+        rows_total = 0
+        t_errors: list[str] = []
+        for fname, n_rows in segs:
+            referenced.add(str(fname))
+            path = os.path.join(directory, str(fname))
+            n_rows = int(n_rows)
+            if not os.path.exists(path):
+                t_errors.append(f"{fname}: missing")
+                continue
+            try:
+                arr = np.load(path, mmap_mode="r")
+                shape, dtype = arr.shape, arr.dtype
+                del arr
+            except Exception as exc:  # noqa: BLE001 - torn/short file
+                t_errors.append(f"{fname}: unreadable ({exc})")
+                continue
+            if shape != (n_rows, t, n_coefs):
+                t_errors.append(
+                    f"{fname}: shape {shape} != catalog "
+                    f"({n_rows}, {t}, {n_coefs})"
+                )
+            elif dtype != np.float32:
+                t_errors.append(f"{fname}: dtype {dtype} != float32")
+            rows_total += n_rows
+        dead = dead_map.get(t_key, [])
+        bad_dead = [d for d in dead if not 0 <= int(d) < rows_total]
+        if bad_dead:
+            t_errors.append(
+                f"dead rows out of range {bad_dead[:5]} (rows={rows_total})"
+            )
+        tiers_report[t] = {
+            "segments": len(segs),
+            "rows": rows_total,
+            "dead": len(dead),
+            "errors": t_errors,
+        }
+
+
+def fsck_checkpoint(
+    directory: str, deep: bool = False, n_coefs: int | None = None
+) -> dict:
     """Offline checkpoint integrity check (the ``tiresias fsck`` command).
 
     The reference's persistence is one SQLite file whose integrity is
@@ -1728,6 +1782,12 @@ def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
     directory (the exact restore a server would run, incl. the
     generation-fallback rules).
 
+    ``n_coefs`` is the deployment's configured coefficient count (what a
+    real server startup passes to :meth:`FingerprintStore.load`); the
+    deep restore uses it so a config/checkpoint mismatch reports BAD here
+    exactly as the startup would fail. None falls back to each catalog's
+    own value (structure-only checking).
+
     Returns a report dict; ``report["ok"]`` is True when the newest
     readable generation is structurally sound (a server restart would
     serve it) — a damaged current with a clean ``.bak`` is ok=False:
@@ -1745,6 +1805,10 @@ def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
         try:
             with open(cat_path) as f:
                 catalog = json.load(f)
+            if not isinstance(catalog, dict):
+                raise ValueError(
+                    f"top-level {type(catalog).__name__}, expected object"
+                )
         except Exception as exc:  # noqa: BLE001 - corrupt generation
             gen_report["errors"].append(f"catalog unreadable: {exc}")
             continue
@@ -1758,7 +1822,13 @@ def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
         if version not in (1, 2, 3, 4):
             gen_report["errors"].append(f"unsupported version {version!r}")
             continue
-        n_coefs = int(catalog.get("n_coefs", DEF_N_COEFS))
+        cat_coefs = int(catalog.get("n_coefs", DEF_N_COEFS) or DEF_N_COEFS)
+        n_coefs_gen = cat_coefs if n_coefs is None else int(n_coefs)
+        if n_coefs is not None and cat_coefs != n_coefs_gen:
+            gen_report["errors"].append(
+                f"checkpoint has n_coefs={cat_coefs}, deployment config "
+                f"wants {n_coefs_gen} (a server startup would refuse)"
+            )
         if version < 3:
             # legacy monolithic layout: one npz next to the catalog
             npz = os.path.join(directory, "fingerprints.npz" + suffix)
@@ -1770,44 +1840,17 @@ def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
             continue
         tiers_report: dict = {}
         gen_report["tiers"] = tiers_report
-        for t_key, segs in catalog.get("tiers", {}).items():
-            t = int(t_key)
-            rows_total = 0
-            t_errors: list[str] = []
-            for fname, n_rows in segs:
-                referenced.add(fname)
-                path = os.path.join(directory, fname)
-                if not os.path.exists(path):
-                    t_errors.append(f"{fname}: missing")
-                    continue
-                try:
-                    arr = np.load(path, mmap_mode="r")
-                    shape, dtype = arr.shape, arr.dtype
-                    del arr
-                except Exception as exc:  # noqa: BLE001 - torn/short file
-                    t_errors.append(f"{fname}: unreadable ({exc})")
-                    continue
-                if shape != (int(n_rows), t, n_coefs):
-                    t_errors.append(
-                        f"{fname}: shape {shape} != catalog "
-                        f"({int(n_rows)}, {t}, {n_coefs})"
-                    )
-                elif dtype != np.float32:
-                    t_errors.append(f"{fname}: dtype {dtype} != float32")
-                rows_total += int(n_rows)
-            dead = catalog.get("dead", {}).get(t_key, [])
-            bad_dead = [d for d in dead if not 0 <= int(d) < rows_total]
-            if bad_dead:
-                t_errors.append(
-                    f"dead rows out of range {bad_dead[:5]} (rows={rows_total})"
-                )
-            tiers_report[t] = {
-                "segments": len(segs),
-                "rows": rows_total,
-                "dead": len(dead),
-                "errors": t_errors,
-            }
-            gen_report["errors"].extend(t_errors)
+        try:
+            _fsck_walk_tiers(
+                directory, catalog, n_coefs_gen, tiers_report, referenced
+            )
+        except Exception as exc:  # noqa: BLE001 - malformed catalog shape
+            # the tool exists to DIAGNOSE corrupt checkpoints: any
+            # unexpected structure (tiers as a scalar, non-numeric keys,
+            # garbage row counts) is a finding, not a crash
+            gen_report["errors"].append(f"catalog malformed: {exc}")
+        for t in tiers_report.values():
+            gen_report["errors"].extend(t["errors"])
         gen_report["ok"] = not gen_report["errors"]
     # orphans: segment files neither generation references (crash debris
     # between a segment write and its catalog commit; or a GC'd lineage)
@@ -1828,11 +1871,23 @@ def fsck_checkpoint(directory: str, deep: bool = False) -> dict:
         deep_report: dict = {"ok": False}
         report["deep"] = deep_report
         try:
-            cur_coefs = DEF_N_COEFS
-            if cur and "version" in cur:
-                with open(os.path.join(directory, CATALOG_FILE)) as f:
-                    cur_coefs = int(json.load(f).get("n_coefs", DEF_N_COEFS))
-            store = FingerprintStore.load(directory, n_coefs=cur_coefs)
+            deep_coefs = n_coefs
+            if deep_coefs is None:
+                # structure-only mode: take the newest readable catalog's
+                # own value so a default-less run still restores
+                for label in ("current", "bak"):
+                    g = report["generations"].get(label)
+                    if g and "version" in g and g.get("version"):
+                        suffix = "" if label == "current" else ".bak"
+                        with open(
+                            os.path.join(directory, CATALOG_FILE + suffix)
+                        ) as f:
+                            deep_coefs = int(
+                                json.load(f).get("n_coefs", DEF_N_COEFS)
+                            )
+                        break
+                deep_coefs = deep_coefs or DEF_N_COEFS
+            store = FingerprintStore.load(directory, n_coefs=deep_coefs)
             deep_report.update(
                 ok=True, entries=len(store), gen=store._restored_gen,
                 contexts=len(store.contexts),
