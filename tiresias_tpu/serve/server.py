@@ -405,6 +405,26 @@ class RecognitionServer:
                         (json.dumps({"error": "line too long"}) + "\n").encode()
                     )
                     await writer.drain()
+                    # the client may STILL be sending the oversized line;
+                    # closing now leaves unread bytes in our receive buffer
+                    # and the kernel answers with RST, which can destroy
+                    # the error line before the client reads it (observed
+                    # under a loaded 128-channel soak). Discard the rest of
+                    # the line — bounded — so the close FINs cleanly and
+                    # the error is actually deliverable.
+                    try:
+                        discarded = 0
+                        while discarded < 8 * MAX_LINE_BYTES:
+                            chunk = await asyncio.wait_for(
+                                reader.read(2**20), timeout=5.0
+                            )
+                            if not chunk:
+                                break
+                            discarded += len(chunk)
+                            if chunk.endswith(b"\n"):
+                                break
+                    except (TimeoutError, asyncio.TimeoutError, OSError):
+                        pass  # peer misbehaving harder: just close
                     break
                 if not line:
                     break
