@@ -158,9 +158,15 @@ class TestShardedPrefilter:
     """Certified two-stage aligned search per DB shard: every shard
     certifies its own rows; disjoint vote columns compose exactly."""
 
-    def _clustered_db(self, rng, n_audios=64, t=128, c=2):
+    def _clustered_db(self, n_audios=64, t=128, c=2):
         # per-audio clustered values so bounds are selective (uniform
-        # noise would make every audio hit every bound)
+        # noise would make every audio hit every bound). LOCAL rng, not
+        # the session fixture: the certification assertions below are
+        # data-marginal (a shard with more than k weak-bound rows
+        # legitimately de-certifies), so the corpus must not depend on
+        # how much rng state earlier tests consumed. Seed 1 gives every
+        # shard >= 3 rows of candidate headroom under k=8.
+        rng = np.random.default_rng(1)
         mu = rng.uniform(-25, 20, size=(n_audios, 1, c)).astype(np.float32)
         db = (mu + rng.normal(0, 1.5, (n_audios, t, c))).astype(np.float32)
         n_frames = rng.integers(96, t + 1, size=n_audios)
@@ -168,7 +174,7 @@ class TestShardedPrefilter:
         db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
         return db, mask
 
-    def test_matches_full_scan_when_certified(self, rng):
+    def test_matches_full_scan_when_certified(self):
         import jax.numpy as jnp
 
         from tiresias_tpu.ops.match_lattice import build_bound_maps
@@ -177,7 +183,7 @@ class TestShardedPrefilter:
         )
 
         mesh = make_mesh(4, 2)
-        db, mask = self._clustered_db(rng)  # 64 % 4 == 0
+        db, mask = self._clustered_db()  # 64 % 4 == 0
         specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
         q = np.stack([db[7, 10:42], db[33, 40:72]]).astype(np.float32)
         qp, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
@@ -198,7 +204,7 @@ class TestShardedPrefilter:
             # non-candidates may be zeroed but never beat the winner
             assert (vp[b] <= vf[b]).all()
 
-    def test_any_shard_failure_visible(self, rng):
+    def test_any_shard_failure_visible(self):
         """A shard full of duplicates fails ITS certificate column while
         clean shards still certify — the caller's certs.all() gate must
         see the failure."""
@@ -210,7 +216,7 @@ class TestShardedPrefilter:
         )
 
         mesh = make_mesh(4, 2)
-        db, mask = self._clustered_db(rng)
+        db, mask = self._clustered_db()
         # shard 1 (rows 16..31): all identical -> its k-th bound ties
         db[16:32] = db[16]
         mask[16:32] = mask[16]
@@ -228,7 +234,7 @@ class TestShardedPrefilter:
         # with no match and loose bounds may legitimately refuse too)
         assert certs.any(axis=1).all()
 
-    def test_context_filter_across_shards(self, rng):
+    def test_context_filter_across_shards(self):
         """ctx keep key under shard_map: the global winner lives in an
         out-of-filter context on another shard; the filtered search must
         certify and return the in-context winner."""
@@ -240,9 +246,11 @@ class TestShardedPrefilter:
         )
 
         mesh = make_mesh(4, 2)
-        db, mask = self._clustered_db(rng)
+        db, mask = self._clustered_db()
         # noisy copy of row 7 (shard 0) lives at row 40 (shard 2)
-        db[40] = db[7] + rng.normal(0, 0.004, db[7].shape).astype(np.float32)
+        db[40] = db[7] + np.random.default_rng(2).normal(
+            0, 0.004, db[7].shape
+        ).astype(np.float32)
         mask[40] = mask[7]
         db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
         ctx_ids = np.zeros(64, np.int32)

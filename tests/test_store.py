@@ -316,10 +316,15 @@ class TestIncrementalViews:
         v3 = store.search_views()[0]
         assert v3.bound_maps is not None, "delete dropped the bound maps"
         _, maps3 = store.bound_maps_for(v3, coefs=2)
+        from tiresias_tpu.ops.match_lattice import BOUND_FAR
+
         for m in maps3:
-            m_np = np.asarray(m, np.float32)
-            assert np.isinf(m_np[1]).all()
-            assert np.isfinite(m_np[0]).any()
+            # quantized maps mark dead rows with the saturation sentinel
+            # (their +inf — match_lattice.BOUND_FAR)
+            assert m.dtype == np.uint8
+            assert (np.asarray(m)[1] == BOUND_FAR).all()
+            # live rows keep real (non-sentinel) distances
+            assert (np.asarray(m)[0] < BOUND_FAR).any()
 
     def test_compaction_rebuilds_and_stays_correct(self):
         import numpy as np

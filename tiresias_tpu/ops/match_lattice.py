@@ -235,6 +235,22 @@ def build_bound_maps(
     return specs, tuple(maps)
 
 
+# Quantization of the bound maps: distances are stored as
+# ``floor(d * BOUND_Q)`` in uint8, saturating at BOUND_FAR. The bound
+# thresholds are tiny (``s*tol + 1`` ≈ 1-2 scaled units for accuracy-mode
+# tolerances), so only the near field needs resolution: 1/64-unit steps
+# keep the quantization slack at 1/64 of the lattice's own ±1 truncation
+# allowance (0.002 dB at the s=8 specs — certification rates are
+# untouched), while everything past 255/64 ≈ 3.98 units — double any
+# practical threshold — saturates. Masked/tombstoned rows store
+# BOUND_FAR (their +inf); if a pathological tolerance pushes the scaled
+# threshold to 255, far rows merely pass — the bound inflates (the
+# prefilter de-certifies and the engine full-scans) but stays VALID
+# (a superset can only grow).
+BOUND_Q = 64
+BOUND_FAR = 255
+
+
 @functools.partial(
     jax.jit, static_argnames=("s", "lo", "hi", "k_min", "k_size")
 )
@@ -242,18 +258,28 @@ def _build_bound_map(db_c, mask, s, lo, hi, k_min: int, k_size: int):
     """One bound map, built in row chunks (a single-call distance
     transform at 1M rows materialises ~6 f32 [A, K] temps — tens of GB;
     ``lax.map`` over fixed chunks bounds the peak at one chunk's temps
-    plus the bf16 output, and the clip/scale fuses into each chunk so no
-    full-size scaled temp exists either) with a conservative DOWNWARD
-    bf16 cast: distances are >= 0, so x·(1−2⁻⁸) rounded-to-nearest-bf16
-    is always <= x — the stored map only under-states distances, keeping
-    ``(map <= tol)`` a SUPERSET of the true hit set (the bound stays
-    valid) at half the HBM footprint and matmul read traffic."""
+    plus the quantized output, and the clip/scale fuses into each chunk
+    so no full-size scaled temp exists either), quantized to uint8 as
+    ``floor(d * BOUND_Q)`` saturating at :data:`BOUND_FAR`: distances
+    are >= 0 and ``floor(d*Q) <= d*Q``, so the stored map only
+    under-states distances — ``(map <= tol*Q)`` stays a SUPERSET of the
+    true hit set (the bound stays valid, and :func:`bound_votes` scales
+    its threshold to match) at a QUARTER of the f32 HBM footprint and
+    matmul read traffic — at 1M tracks the per-query cost of the
+    certified prefilter is dominated by streaming these maps. The
+    quantization slack (< 1/Q scaled unit) is 64x tighter than the
+    lattice's own ±1 truncation allowance, so certification rates are
+    untouched. The integer-vs-float compare is exact: u8 promotes to
+    f32 losslessly."""
 
     def block(args):
         db_cs, masks = args
         scaled = jnp.clip(db_cs, lo, hi) * s
         m = _build_value_map_block(scaled, masks, k_min=k_min, k_size=k_size)
-        return jnp.minimum(m * (1.0 - 2.0**-8), m).astype(jnp.bfloat16)
+        # inf (all-masked rows) * Q = inf -> saturates to BOUND_FAR
+        return jnp.minimum(
+            jnp.floor(m * float(BOUND_Q)), float(BOUND_FAR)
+        ).astype(jnp.uint8)
 
     a, t = db_c.shape
     if a <= _BUILD_CHUNK:
@@ -291,8 +317,11 @@ def bound_votes(specs: tuple, maps: tuple, q: jax.Array, active: jax.Array,
     for (c, s, lo, hi, k_min, k_size), m in zip(specs, maps):
         act_c = (active & use2) if c == 1 else active
         qc = jnp.clip(q[..., c], lo, hi) * s
+        thr = s * tol + 1.0
+        if m.dtype == jnp.uint8:  # quantized map: floor(d * BOUND_Q)
+            thr = thr * float(BOUND_Q)
         v = lattice_votes(
-            m, qc, act_c, s * tol + 1.0, neg_inf, pos_inf,
+            m, qc, act_c, thr, neg_inf, pos_inf,
             k_min=k_min, k_size=k_size,
         )
         if c == 1:

@@ -913,11 +913,18 @@ class FingerprintStore:
         # multi-second rebuild (same O(deleted) scatter as value_map)
         bms = old.bound_maps
         if bms is not None:
+            # quantized (uint8) maps use the saturation sentinel as their
+            # +inf (match_lattice.BOUND_FAR); float maps keep real inf
+            def far(m):
+                if np.issubdtype(np.dtype(m.dtype), np.floating):
+                    return np.float32(np.inf)
+                return np.dtype(m.dtype).type(np.iinfo(np.dtype(m.dtype)).max)
+
             bms = {
                 key: (
                     specs,
                     tuple(
-                        _scatter_rows(m, idx, np.float32(np.inf), self.mesh)
+                        _scatter_rows(m, idx, far(m), self.mesh)
                         for m in maps
                     ),
                 )
