@@ -278,8 +278,8 @@ class TestAlignedPrefilter:
     @pytest.mark.parametrize("tolerance", [0.01, 0.1, 1.0])
     def test_bound_dominates_true_aligned_score(self, rng, coefs, tolerance):
         """THE core inequality (bound validity): for every audio, the
-        clipped-scaled bf16 lattice bound must be >= the true aligned
-        score — for any corpus, tolerance, or coef count."""
+        clipped-scaled uint8-quantized lattice bound must be >= the true
+        aligned score — for any corpus, tolerance, or coef count."""
         import jax.numpy as jnp
 
         from tiresias_tpu.ops.match_lattice import build_bound_maps, bound_votes
@@ -340,6 +340,41 @@ class TestAlignedPrefilter:
                 trunc_coef1=False, aligned=True,
             )
             assert (bound >= np.asarray(votes_full)).all()
+
+    @pytest.mark.parametrize("tolerance", [0.36, 0.5])
+    def test_bound_dominates_at_saturation_edge(self, rng, tolerance):
+        """Bound validity at the uint8 saturation boundary: tol=0.36 puts
+        the scaled threshold (8*tol+1)*64 ≈ 249 just UNDER the 255
+        sentinel (dead/masked rows still excluded), tol=0.5 pushes it to
+        320, PAST the sentinel — every row passes the bound, including
+        tombstoned ones, and the bound must inflate (de-certify) rather
+        than ever under-state a true score."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps, bound_votes
+
+        db, mask = self._db(rng, n_audios=48, c=2)
+        specs, maps = build_bound_maps(
+            jnp.asarray(db), jnp.asarray(mask), coefs=2
+        )
+        q = np.concatenate([
+            db[None, 3, 20:52, :],
+            rng.uniform(-40, 30, size=(1, 32, 2)).astype(np.float32),
+        ])
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        bound = np.asarray(
+            bound_votes(specs, maps, qj, active, use2, tolerance)
+        )
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=tolerance,
+            trunc_coef1=False, aligned=True,
+        )
+        assert (bound >= np.asarray(votes_full)).all()
+        if tolerance == 0.5:
+            # past saturation every frame passes every row's bound: the
+            # bound saturates at the active frame count (useless but VALID)
+            n_active = np.asarray(active).sum(axis=1)
+            assert (bound == n_active[:, None]).all()
 
     def test_topk_certificate_matches_full_scan(self, rng):
         """top=3: when certified, every audio reaching the 3rd-best
