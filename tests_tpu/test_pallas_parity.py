@@ -102,6 +102,53 @@ def test_lattice_equals_xla_on_device(rng):
     np.testing.assert_array_equal(np.asarray(votes_l), np.asarray(votes_x))
 
 
+def test_lattice_prefiltered_equals_full_on_device():
+    """Certified dialplan prefilter (PARITY D19) on the real chip:
+    uint8 bound scan → top-k exact rescore must reproduce the full f32
+    lattice scan's winner and score whenever certified. LOCAL rng, not
+    the session fixture: the all-certified assertion is data-marginal
+    (a corpus with >k near-ties legitimately de-certifies), so it must
+    not depend on earlier tests' rng consumption."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(4)
+
+    from tiresias_tpu.ops.match_lattice import (
+        build_value_map,
+        lattice_prefiltered_votes,
+        lattice_votes,
+        quantize_value_map,
+    )
+    from tiresias_tpu.ops.mfcc_jax import PAD_VALUE
+
+    a, t = 2048, 64
+    mu = rng.uniform(-25, 20, size=(a, 1)).astype(np.float32)
+    db0 = (mu + rng.normal(0, 1.5, (a, t))).astype(np.float32)
+    n_frames = rng.integers(t // 2, t + 1, size=a)
+    mask = np.arange(t)[None, :] < n_frames[:, None]
+    db0 = np.where(mask, db0, PAD_VALUE).astype(np.float32)
+    vm = build_value_map(jnp.asarray(db0), jnp.asarray(mask))
+    vmq = quantize_value_map(vm)
+    assert vmq.dtype == jnp.uint8
+    q = np.stack([db0[11, :48], db0[777, 4:52]]).astype(np.float32)
+    active = np.ones((2, 48), bool)
+    for tol in (0.05, 0.5):
+        full = np.asarray(
+            lattice_votes(vm, jnp.asarray(q), jnp.asarray(active), tol,
+                          -np.inf, np.inf)
+        )
+        votes, cert = lattice_prefiltered_votes(
+            vm, vmq, jnp.asarray(q), jnp.asarray(active), tol,
+            -np.inf, np.inf, k=64,
+        )
+        votes = np.asarray(votes)
+        assert np.asarray(cert).all()
+        assert (votes <= full).all()
+        for b in range(2):
+            assert votes[b].argmax() == full[b].argmax()
+            assert votes[b].max() == full[b].max()
+
+
 def test_framed_kernel_bitwise_equals_frame_materialising(rng):
     """The in-kernel-framing variant (long signals) must be BITWISE equal
     to the frame-materialising kernel when compiled by Mosaic — same dots,

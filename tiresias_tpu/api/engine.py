@@ -145,7 +145,8 @@ def _sharded_pallas_mode(mesh) -> str | None:
 
 @_functools.lru_cache(maxsize=16)
 def _fused_lattice_fn(
-    dsp: DspConfig, samplerate: int, law: str | None = None
+    dsp: DspConfig, samplerate: int, law: str | None = None,
+    prefilter: bool = False, k: int = 0,
 ):
     """One-dispatch dialplan search: fingerprint → lattice votes → top-1
     with the D5 lowest-insertion-index tiebreak, all on device.
@@ -154,12 +155,80 @@ def _fused_lattice_fn(
     order, so the tiebreak key is just the row index. Over dispatch-bound
     transports this collapses three client round trips into one; results
     are identical to the staged path (same kernels, same tiebreak).
-    """
+
+    ``prefilter=True`` (large stores — the caller gates on size and
+    tolerance) runs the certified two-stage search INSIDE the same
+    dispatch: uint8 bound scan → exact f32 rescore of the top-K
+    candidates, with a ``lax.cond`` full scan when any query's
+    certificate fails — so even the fallback costs one dispatch, and the
+    certified case never streams the full f32 map (a quarter of the read
+    traffic at 1M tracks; PARITY D19). The certified winner strictly
+    beats every unselected bound, so the lowest-row tiebreak among
+    candidates equals the full scan's."""
     import jax
     import jax.numpy as jnp
 
-    from tiresias_tpu.ops.match_lattice import lattice_votes
     from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    def _top1(votes, m):
+        # among max-vote rows, the lowest row index (insertion order);
+        # padded rows can never hold votes > 0 (their lattice map is empty)
+        big = jnp.int32(2**30)
+        cand = jnp.where(
+            votes == m[:, None], jnp.arange(votes.shape[1]), big
+        )
+        return jnp.where(m > 0, jnp.min(cand, axis=1), -1).astype(jnp.int32)
+
+    if prefilter:
+        from tiresias_tpu.ops.match_lattice import (
+            K_MIN,
+            K_SIZE,
+            _hit_matmul,
+            _histogram,
+            _prefilter_core,
+        )
+
+        @jax.jit
+        def run(pcm, n_frames, vm, vm_q, tol, band_lo, band_hi, ci=None,
+                cid=None, n_valid=None):
+            qfp = fingerprint_padded_batch(
+                pcm, samplerate, dsp, law=law, n_valid=n_valid
+            )
+            f = qfp.shape[1]
+            valid = jnp.arange(f)[None, :] < n_frames[:, None]
+            q0 = qfp[..., 0]
+            votes_k, idx, unsel_max = _prefilter_core(
+                vm, vm_q, q0, valid, tol, band_lo, band_hi, ci, cid,
+                k=k, k_min=K_MIN, k_size=K_SIZE,
+                has_ctx=ci is not None,
+            )
+            m_k = votes_k.max(axis=1)
+            certified = ((m_k > unsel_max) | (unsel_max <= 0)).all()
+
+            def pre(_):
+                big = jnp.int32(2**30)
+                cand = jnp.where(votes_k == m_k[:, None], idx, big)
+                best = jnp.where(
+                    m_k > 0, jnp.min(cand, axis=1), -1
+                ).astype(jnp.int32)
+                return best, m_k
+
+            def full(_):
+                c = _histogram(q0, valid, band_lo, band_hi, K_MIN, K_SIZE)
+                votes = _hit_matmul(c, vm, tol)
+                if ci is not None:
+                    votes = jnp.where((ci == cid)[None, :], votes, 0)
+                m = jnp.max(votes, axis=1)
+                return _top1(votes, m), m
+
+            best, m = jax.lax.cond(certified, pre, full, operand=None)
+            # the certificate rides the same readback: the engine's
+            # adaptive gate (_lattice_pf_note) needs the outcome
+            return best, m, certified
+
+        return run
+
+    from tiresias_tpu.ops.match_lattice import lattice_votes
 
     @jax.jit
     def run(pcm, n_frames, vm, tol, band_lo, band_hi, ci=None, cid=None,
@@ -173,12 +242,7 @@ def _fused_lattice_fn(
         if ci is not None:  # context filter: see _top1_scored
             votes = jnp.where((ci == cid)[None, :], votes, 0)
         m = jnp.max(votes, axis=1)
-        # among max-vote rows, the lowest row index (insertion order);
-        # padded rows can never hold votes > 0 (their lattice map is empty)
-        big = jnp.int32(2**30)
-        cand = jnp.where(votes == m[:, None], jnp.arange(votes.shape[1]), big)
-        best = jnp.where(m > 0, jnp.min(cand, axis=1), -1).astype(jnp.int32)
-        return best, m
+        return _top1(votes, m), m
 
     return run
 
@@ -521,6 +585,17 @@ class Tiresias:
                 # lattice value map — other modes must not pay its
                 # multi-second build (or hold its HBM) for nothing
                 self.store.value_map_for(view)
+                from tiresias_tpu.ops.match_lattice import (
+                    LATTICE_PREFILTER_K,
+                )
+
+                if (
+                    self.mesh is None
+                    and view.db.shape[0] > 2 * LATTICE_PREFILTER_K
+                ):
+                    # the certified lattice prefilter's uint8 companion
+                    # (one fused device pass over the f32 map)
+                    self.store.value_map_q_for(view)
             if (
                 mc.aligned
                 and _on_tpu()
@@ -845,6 +920,94 @@ class Tiresias:
             return None
         return votes_d
 
+    def _lattice_pf_ok(self, view, tolerance, top: int = 1) -> bool:
+        """Gate of the certified lattice prefilter (PARITY D19): size
+        (selection must be real), tolerance (past uint8 saturation every
+        row passes the bound — valid but never certifies), single-device
+        stores, and an ADAPTIVE miss-streak cutoff: a corpus whose top-1
+        genuinely ties beyond k rows (1-coef bag voting at scale — the
+        reference's own discrimination limit) de-certifies every query,
+        and without the cutoff each one would pay the bound scan on top
+        of the full-scan fallback (~1.25x). Eight consecutive failures
+        disable the prefilter for the current view; any store mutation
+        produces a new view object and re-arms it. Races on the two
+        counters only miscount the streak — harmless."""
+        from tiresias_tpu.ops.match_lattice import (
+            BOUND_FAR,
+            BOUND_Q,
+            LATTICE_PREFILTER_K,
+        )
+
+        if (
+            self.mesh is not None
+            or top > LATTICE_PREFILTER_K
+            or view.db.shape[0] <= 2 * LATTICE_PREFILTER_K
+            or not (0 <= tolerance * BOUND_Q < BOUND_FAR)
+        ):
+            return False
+        if id(view) != getattr(self, "_pf_view_id", None):
+            self._pf_view_id = id(view)  # id only — holding the view
+            self._pf_miss = 0  # itself would pin its device buffers
+        return self._pf_miss < 8
+
+    def _lattice_pf_note(self, view, certified: bool) -> None:
+        """Feed a prefiltered search's certificate outcome back into the
+        adaptive gate (both the staged and fused paths report here)."""
+        if id(view) == getattr(self, "_pf_view_id", None):
+            self._pf_miss = (
+                0 if certified else getattr(self, "_pf_miss", 0) + 1
+            )
+        if not certified:
+            metrics.add("search.prefilter_fallbacks", 1)
+
+    def _lattice_prefiltered(
+        self, view, qfp, n_frames, tolerance,
+        freq_ignore_low, freq_ignore_high,
+        ctx_id: int | None = None,
+        top: int = 1,
+    ):
+        """Certified prefiltered DIALPLAN votes (device array) for one
+        view, or None when any query's exactness certificate fails
+        (→ caller full-scans the f32 lattice map). The uint8-quantized
+        map bounds every audio's vote count from above (floor-scaling
+        only under-states distances), so rescoring the top-k candidates
+        on the exact f32 map is provably identical to the full scan
+        whenever the certificate holds — at a quarter of the map read
+        traffic (ops.match_lattice.lattice_prefiltered_votes, PARITY D19).
+        Unlike the aligned prefilter, auto-split views need no bailout:
+        the lattice map min-combines segment rows into one exact
+        per-audio row (follower rows hold the sentinel and never vote)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import (
+            lattice_prefiltered_votes,
+        )
+
+        vm = self.store.value_map_for(view)
+        vm_q = self.store.value_map_q_for(view)
+        b, f = qfp.shape[0], qfp.shape[1]
+        valid = (
+            jnp.ones((b, f), dtype=bool)
+            if n_frames is None
+            else jnp.arange(f)[None, :] < jnp.asarray(n_frames)[:, None]
+        )
+        lo, hi = match_jax.band_thresholds(
+            freq_ignore_low, freq_ignore_high
+        )
+        ctx_ids = (
+            self.store.ctx_ids_for(view) if ctx_id is not None else None
+        )
+        votes_d, cert_d = lattice_prefiltered_votes(
+            vm, vm_q, qfp[..., 0], valid, jnp.float32(tolerance),
+            jnp.float32(lo), jnp.float32(hi), top=top,
+            ctx_ids=ctx_ids, ctx_id=ctx_id,
+        )
+        # only the [B] certificate crosses the link; votes stay on device
+        certified = bool(jax.device_get(cert_d).all())
+        self._lattice_pf_note(view, certified)
+        return votes_d if certified else None
+
     @staticmethod
     def _merge_segment_votes(
         votes: np.ndarray, entries: list[AudioEntry]
@@ -938,10 +1101,20 @@ class Tiresias:
                 if wire_law is not None else None
             )
             band_lo, band_hi = match_jax.band_thresholds(lo, hi)
-            run = _fused_lattice_fn(self.config.dsp, samplerate, wire_law)
-            best_d, count_d = run(
+            from tiresias_tpu.ops.match_lattice import LATTICE_PREFILTER_K
+
+            use_prefilter = self._lattice_pf_ok(view, tolerance)
+            run = _fused_lattice_fn(
+                self.config.dsp, samplerate, wire_law,
+                prefilter=use_prefilter,
+                k=LATTICE_PREFILTER_K if use_prefilter else 0,
+            )
+            vm_args = (self.store.value_map_for(view),)
+            if use_prefilter:
+                vm_args += (self.store.value_map_q_for(view),)
+            out = run(
                 padded, jnp.asarray(n_frames),
-                self.store.value_map_for(view),
+                *vm_args,
                 jnp.float32(tolerance), jnp.float32(band_lo),
                 jnp.float32(band_hi),
                 None if ctx_id is None else self.store.ctx_ids_for(view),
@@ -950,9 +1123,16 @@ class Tiresias:
             )
             import jax
 
-            # one transfer for both outputs — a second readback would pay
+            # one transfer for all outputs — a second readback would pay
             # another full round trip on dispatch-bound transports
-            best, count = jax.device_get((best_d, count_d))
+            got = jax.device_get(out)
+            best, count = got[0], got[1]
+            if use_prefilter:
+                # the lax.cond already served the exact full scan on a
+                # failed certificate; the note only feeds the adaptive
+                # gate so a never-certifying corpus stops paying the
+                # bound scan
+                self._lattice_pf_note(view, bool(got[2]))
         metrics.add("search.queries", len(pcms))
         results: list[SearchResult] = []
         for i in range(len(pcms)):
@@ -1158,15 +1338,29 @@ class Tiresias:
             # dialplan configuration → exact MXU lattice fast path
             from tiresias_tpu.ops.match_lattice import search_lattice
 
-            _, _, votes = search_lattice(
-                self.store.value_map_for(view),
-                qfp,
-                n_frames,
-                tolerance=tolerance,
-                freq_ignore_low=freq_ignore_low,
-                freq_ignore_high=freq_ignore_high,
-                with_top1=False,
-            )
+            votes = None
+            if prefilter and self._lattice_pf_ok(
+                view, tolerance, prefilter_top
+            ):
+                # certified two-stage dialplan search: uint8 bound scan →
+                # exact f32 rescore of the top-K candidates; provably
+                # identical to the full scan when the certificate holds,
+                # full scan otherwise (PARITY D19)
+                votes = self._lattice_prefiltered(
+                    view, qfp, n_frames, tolerance,
+                    freq_ignore_low, freq_ignore_high,
+                    ctx_id=ctx_id, top=prefilter_top,
+                )
+            if votes is None:
+                _, _, votes = search_lattice(
+                    self.store.value_map_for(view),
+                    qfp,
+                    n_frames,
+                    tolerance=tolerance,
+                    freq_ignore_low=freq_ignore_low,
+                    freq_ignore_high=freq_ignore_high,
+                    with_top1=False,
+                )
         elif use_pallas or use_pallas_aligned:
             # generic semantics, fused Pallas kernel (bag-of-frames
             # or offset-consistent aligned accumulation in VMEM)

@@ -331,6 +331,53 @@ def bound_votes(specs: tuple, maps: tuple, q: jax.Array, active: jax.Array,
     return out
 
 
+def _frame_buckets(q0, active, band_lo, band_hi, k_min: int, k_size: int):
+    """Per-frame lattice bucket index + validity under the reference's
+    truncation, lattice-range, and band rules. Shared by the histogram
+    matmul (:func:`lattice_votes`) and the prefilter's exact per-frame
+    rescore (:func:`lattice_prefiltered_votes`), so the two can never
+    diverge on which frames count.
+
+    The band filter tests the TRUNCATED value (fp_handler.c:293-306),
+    which is constant per lattice bucket — filtering frames here is
+    exactly equivalent to zeroing whole lattice rows. Out-of-lattice
+    values (NaN/±inf/pathological magnitudes) must score zero votes, not
+    be folded into the edge bucket; NaN compares false on both sides, so
+    it is masked too."""
+    kq = jnp.trunc(q0)  # the reference (int) cast
+    in_range = (kq >= k_min) & (kq < k_min + k_size)
+    in_band = (kq >= band_lo) & (kq <= band_hi)
+    idx = jnp.clip(kq.astype(jnp.int32) - k_min, 0, k_size - 1)
+    return idx, active & in_range & in_band
+
+
+def _histogram(q0, active, band_lo, band_hi, k_min: int, k_size: int):
+    """Query histogram ``C [B, K]`` — exact counts via scatter-add. NOT a
+    broadcast one-hot compare + sum: that lowering takes minutes to
+    compile on the TPU toolchain (measured 177 s vs 0.5 s for the
+    scatter at A=10k)."""
+    idx, valid = _frame_buckets(q0, active, band_lo, band_hi, k_min, k_size)
+    b = q0.shape[0]
+    c = jnp.zeros((b, k_size), jnp.float32)
+    return c.at[jnp.arange(b)[:, None], idx].add(valid.astype(jnp.float32))
+
+
+def _hit_matmul(c, value_map, tol):
+    """``votes [B, A] = C @ (M <= tol).T`` — the single MXU contraction.
+    Contract on k of BOTH operands (no transpose): materialising H.T
+    through HBM cost ~25x the matmul itself at 1M tracks (measured 77 ms
+    vs 3 ms device time); without the transpose XLA fuses the tolerance
+    compare into the matmul's operand read (for the uint8-quantized maps
+    that read is a QUARTER of the f32 bytes)."""
+    h = (value_map <= tol).astype(jnp.float32)  # [A, K]
+    votes = jax.lax.dot_general(
+        c, h, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return votes.astype(jnp.int32)
+
+
 @functools.partial(jax.jit, static_argnames=("k_min", "k_size"))
 def lattice_votes(
     value_map: jax.Array,
@@ -354,37 +401,173 @@ def lattice_votes(
         from :func:`tiresias_tpu.ops.match_jax.band_thresholds`.
     """
     tol = jnp.asarray(tolerance, dtype=jnp.float32)
-    kq = jnp.trunc(q0)  # the reference (int) cast
-    # Out-of-lattice values (NaN/±inf/pathological magnitudes) must score
-    # zero votes, not be folded into the edge bucket. NaN compares false on
-    # both sides, so it is masked too.
-    in_range = (kq >= k_min) & (kq < k_min + k_size)
-    idx = jnp.clip(kq.astype(jnp.int32) - k_min, 0, k_size - 1)
-    # histogram C[b, k] via scatter-add (exact counts). NOT a broadcast
-    # one-hot compare + sum: that lowering takes minutes to compile on the
-    # TPU toolchain (measured 177 s vs 0.5 s for the scatter at A=10k).
+    c = _histogram(q0, active, band_lo, band_hi, k_min, k_size)
+    return _hit_matmul(c, value_map, tol)
+
+
+@jax.jit
+def quantize_value_map(value_map: jax.Array) -> jax.Array:
+    """uint8 companion of the dialplan distance map for the certified
+    lattice prefilter: ``floor(d * BOUND_Q)`` saturating at
+    :data:`BOUND_FAR` (+inf dead/tombstone rows land exactly on the
+    sentinel). Floor only UNDER-states distances, so
+    ``(q8 <= tol*BOUND_Q)`` is a SUPERSET of the exact ``(d <= tol)`` hit
+    set for any tolerance — the quantized map yields a valid vote upper
+    BOUND at a quarter of the f32 HBM read traffic (the full lattice
+    scan at 1M tracks streams a 2.4 GB f32 map per query batch; the
+    bound streams 0.6 GB). Derived FROM the exact map (not rebuilt from
+    the DB), so incremental maintenance is 'quantize the same rows the
+    f32 map just wrote'. Distances are >= 0 for any in-lattice corpus
+    (the DSP floor at -417 is inside [K_MIN, K_MIN+K_SIZE)); the clip
+    guards the impossible negative case conservatively (0 passes every
+    tolerance — the bound can only inflate)."""
+    return jnp.clip(
+        jnp.floor(value_map * float(BOUND_Q)), 0.0, float(BOUND_FAR)
+    ).astype(jnp.uint8)
+
+
+def lattice_prefiltered_votes(
+    value_map: jax.Array,
+    value_map_q: jax.Array,
+    q0: jax.Array,
+    active: jax.Array,
+    tolerance: jax.Array | float,
+    band_lo: jax.Array | float,
+    band_hi: jax.Array | float,
+    k: int | None = None,
+    top: int = 1,
+    ctx_ids: jax.Array | None = None,
+    ctx_id: jax.Array | int | None = None,
+    k_min: int = K_MIN,
+    k_size: int = K_SIZE,
+):
+    """CERTIFIED two-stage dialplan search: uint8 bound scan → top-k
+    candidate gather → exact per-frame rescore on the f32 map.
+
+    Same proof shape as ``match_pallas.aligned_prefiltered_votes`` (D17),
+    applied to the reference's own dialplan configuration:
+
+      votes(a) = Σ_f valid[f] · (M[a, bucket(q_f)] <= tol)      (exact)
+      bound(a) = Σ_f valid[f] · (Mq[a, bucket(q_f)] <= tol·Q)   (uint8)
+
+    ``Mq = floor(M·Q)`` under-states every distance, so each frame's
+    quantized hit test is a superset of the exact one ⇒ bound >= votes
+    per audio, for ANY tolerance. Rescoring the top-k audios BY BOUND is
+    therefore provably exact whenever the k-th best rescored score
+    strictly beats the maximum unselected bound (the certificate); the
+    caller full-scans on failure. Strict > keeps the D5 lowest-index
+    tiebreak exact — a certified winner cannot tie any unselected audio.
+
+    The rescore gathers ``[B, k, F]`` ELEMENTS of the f32 map (each
+    candidate row only at the query's own lattice buckets) — a few MB —
+    instead of whole ``[k, K]`` rows, so prefilter traffic is the uint8
+    bound scan (A·K bytes) + ε: a ~4x read-traffic reduction over the
+    full f32 scan at any large A.
+
+    Context filtering mirrors the aligned prefilter: out-of-context rows
+    get bound −1 (never selected above a live in-context row) and any
+    that ARE selected rescore to 0, so the certificate certifies the
+    in-context winner against unselected in-context bounds only.
+
+    Caller gates (engine): ``tolerance * BOUND_Q < BOUND_FAR`` (past
+    saturation every row passes the bound — still valid, never certifies)
+    and ``A > 2k`` (selection must be real). Dead/tombstoned rows hold
+    the 255 sentinel in ``Mq`` and +inf in ``M``: never selected while
+    any live row has a positive bound, zero votes if selected.
+
+    Returns ``(votes [B, A] int32 — candidate scores scattered, zeros
+    elsewhere; certificate [B] bool)``.
+    """
+    if k is None:
+        k = LATTICE_PREFILTER_K
+    has_ctx = ctx_ids is not None
+    if has_ctx:
+        args = (ctx_ids, jnp.asarray(ctx_id, jnp.int32))
+    else:
+        args = (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    return _lattice_prefiltered(
+        value_map, value_map_q, q0, active,
+        jnp.asarray(tolerance, jnp.float32),
+        jnp.asarray(band_lo, jnp.float32),
+        jnp.asarray(band_hi, jnp.float32),
+        *args,
+        k=int(k), top=int(top), k_min=k_min, k_size=k_size,
+        has_ctx=has_ctx,
+    )
+
+
+# Candidate budget of the lattice prefilter. Smaller than the aligned
+# prefilter's 1024: the rescore here is a tiny row-gather + matmul (not a
+# Pallas kernel launch), so the pipeline cost is bound-scan + top-k
+# selection — and approx_max_k over [B, 1M] drops ~0.6 ms/query going
+# 1024 -> 256 (measured), while 256 candidates still dwarf any separable
+# corpus's near-tie population (non-separable ones de-certify either way
+# and fall back).
+LATTICE_PREFILTER_K = 256
+
+
+def _prefilter_core(
+    vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
+    k: int, k_min: int, k_size: int, has_ctx: bool,
+):
+    """Traced body shared by :func:`lattice_prefiltered_votes` and the
+    engine's fused one-dispatch search. Returns
+    ``(votes_k [B, k] int32 exact candidate scores, idx [B, k] candidate
+    rows, unselected_max [B] int32 max bound over unselected rows)``."""
     b = q0.shape[0]
+    idxq, valid = _frame_buckets(q0, active, band_lo, band_hi, k_min, k_size)
+    rows_b = jnp.arange(b)[:, None]
     c = jnp.zeros((b, k_size), jnp.float32)
-    c = c.at[jnp.arange(b)[:, None], idx].add(
-        (active & in_range).astype(jnp.float32)
+    c = c.at[rows_b, idxq].add(valid.astype(jnp.float32))
+    # bound stage: integer-vs-integer compare is exact (u8 -> f32 lossless)
+    bound = _hit_matmul(c, vm_q, tol * float(BOUND_Q))  # [B, A] int32
+    if has_ctx:
+        keep = ctx_ids == ctx_id
+        bound = jnp.where(keep[None, :], bound, -1)
+    _, idx = jax.lax.approx_max_k(
+        bound.astype(jnp.float32), k, recall_target=0.99
+    )  # high recall; a missed high-bound audio costs only a certificate
+    # failure -> exact full-scan fallback
+    unselected_max = bound.at[rows_b, idx].set(-1).max(axis=1)
+    # exact rescore: CONTIGUOUS candidate-row gather from the f32 map +
+    # the same histogram contraction as lattice_votes, restricted to the
+    # candidate rows (votes = Σ_k C[b,k]·(M[a,k] <= tol) — identical
+    # math, so parity is structural). Row gather beats a per-(candidate,
+    # frame) element gather ~25x here (measured 1.2 ms -> 0.05 ms at 1M:
+    # TPU gathers like whole sublanes, not scattered elements).
+    m_rows = vm[idx]  # [B, k, K] f32
+    hits = (m_rows <= tol).astype(jnp.float32)
+    votes_k = jnp.einsum(
+        "bk,bjk->bj", c, hits, precision=jax.lax.Precision.HIGHEST
+    ).astype(jnp.int32)  # exact: counts and 0/1 hits are small ints
+    if has_ctx:
+        votes_k = jnp.where(keep[idx], votes_k, 0)
+    return votes_k, idx, unselected_max
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "top", "k_min", "k_size", "has_ctx"),
+)
+def _lattice_prefiltered(
+    vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
+    k: int, top: int, k_min: int, k_size: int, has_ctx: bool,
+):
+    b, a = q0.shape[0], vm.shape[0]
+    votes_k, idx, unselected_max = _prefilter_core(
+        vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
+        k=k, k_min=k_min, k_size=k_size, has_ctx=has_ctx,
     )
-    # band filter zeroes whole lattice rows (it tests trunc(max1), which is
-    # constant per lattice bucket — fp_handler.c:293-306)
-    kvals = jnp.arange(k_min, k_min + k_size, dtype=jnp.float32)
-    in_band = (kvals >= band_lo) & (kvals <= band_hi)
-    c = c * in_band[None, :].astype(jnp.float32)
-    # hit map H[a, k] and the single MXU contraction. Contract on k of BOTH
-    # operands (no transpose): materialising H.T through HBM cost ~25x the
-    # matmul itself at 1M tracks (measured 77 ms vs 3 ms device time);
-    # without the transpose XLA fuses the tolerance compare into the
-    # matmul's operand read.
-    h = (value_map <= tol).astype(jnp.float32)  # [A, K]
-    votes = jax.lax.dot_general(
-        c, h, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return votes.astype(jnp.int32)
+    rows_b = jnp.arange(b)[:, None]
+    votes = jnp.zeros((b, a), jnp.int32).at[rows_b, idx].max(votes_k)
+    if top == 1:
+        kth = votes_k.max(axis=1)
+    else:
+        # top-k listings: ALL k winners must be inside the candidate set,
+        # so the certificate compares the k-th best rescored score
+        kth = jax.lax.top_k(votes_k, top)[0][:, -1]
+    certificate = (kth > unselected_max) | (unselected_max <= 0)
+    return votes, certificate
 
 
 def search_lattice(

@@ -495,6 +495,11 @@ class TierView:
     n_audios: int  # view rows, INCLUDING tombstoned ones
     entries: list[AudioEntry]  # row order at view-build time
     value_map: object = None  # lazily-built lattice map [A_pad, K]
+    # lazily-built uint8 companion of value_map for the certified lattice
+    # prefilter (ops.match_lattice.quantize_value_map); derived from
+    # value_map, maintained at the same mutation sites (append: quantize
+    # the same rows; delete: scatter the 255 saturation sentinel)
+    value_map_q: object = None
     # lazily-built per-coef scaled maps for the certified aligned
     # prefilter ({coef-index-tuple: (specs, maps)} —
     # ops.match_lattice.build_bound_maps); maintained incrementally on
@@ -908,6 +913,10 @@ class FingerprintStore:
         vm = old.value_map
         if vm is not None:
             vm = _scatter_rows(vm, idx, np.float32(np.inf), self.mesh)
+        vmq = old.value_map_q
+        if vmq is not None:
+            # the uint8 map's +inf is the 255 saturation sentinel
+            vmq = _scatter_rows(vmq, idx, np.uint8(255), self.mesh)
         # prefilter bound maps are row-wise too: +inf dead rows can never
         # pass the bound, so the cached maps survive deletes without the
         # multi-second rebuild (same O(deleted) scatter as value_map)
@@ -937,6 +946,7 @@ class FingerprintStore:
             n_audios=old.n_audios,
             entries=old.entries,
             value_map=vm,
+            value_map_q=vmq,
             bound_maps=bms,
             # seq/ctx keys are row-positional and tombstoning changes no
             # rows; dead rows can't vote, so their stale values never win
@@ -995,6 +1005,18 @@ class FingerprintStore:
             ]
             vm_rows = _combine_segment_rows(vm_rows, new_groups, self.mesh)
             value_map = _update_rows(value_map, vm_rows, lo, self.mesh)
+        value_map_q = old.value_map_q
+        if value_map_q is not None:
+            if value_map is None:
+                value_map_q = None  # cannot derive without the f32 rows
+            else:
+                # derived map: quantize the same (segment-combined) rows
+                # the f32 map just wrote
+                from tiresias_tpu.ops.match_lattice import quantize_value_map
+
+                value_map_q = _update_rows(
+                    value_map_q, quantize_value_map(vm_rows), lo, self.mesh
+                )
         # bound maps extend the same way (row-independent builds); segment
         # rows need no combining here — the aligned prefilter bails out of
         # any view with segments (engine._aligned_prefiltered)
@@ -1039,6 +1061,7 @@ class FingerprintStore:
             n_audios=a,
             entries=list(tier.entries),
             value_map=value_map,
+            value_map_q=value_map_q,
             bound_maps=bound_maps,
             seq_dev=seq_dev,
             ctx_dev=ctx_dev,
@@ -1169,6 +1192,25 @@ class FingerprintStore:
             if view.value_map is None:  # a concurrent build may have won
                 view.value_map = vm
             return view.value_map
+
+    def value_map_q_for(self, view: TierView):
+        """uint8 companion of :meth:`value_map_for` for the certified
+        lattice prefilter — derived from the exact f32 map by one fused
+        device pass (ops.match_lattice.quantize_value_map), cached on the
+        view and maintained incrementally at the same mutation sites
+        (append quantizes the freshly-written rows, delete scatters the
+        255 sentinel)."""
+        from tiresias_tpu.ops.match_lattice import quantize_value_map
+
+        with self._lock:
+            if view.value_map_q is not None:
+                return view.value_map_q
+        vm = self.value_map_for(view)
+        vmq = quantize_value_map(vm)
+        with self._lock:
+            if view.value_map_q is None:  # a concurrent build may have won
+                view.value_map_q = vmq
+            return view.value_map_q
 
     def bound_maps_for(self, view: TierView, coefs: int):
         """Prefilter bound maps for one view and search-coef count, cached
