@@ -254,3 +254,38 @@ def test_sharded_engine_wire_law(tmp_path):
     finally:
         eng_m.close()
         eng_s.close()
+
+
+def test_sharded_engine_lattice_prefilter_dispatch(tmp_path, monkeypatch):
+    """Sharded store: DIALPLAN searches above the (monkeypatched)
+    per-shard budget route through the shard-mapped certified lattice
+    prefilter and match the single-device engine exactly — certified or
+    decertified (the fallback is the exact GSPMD full scan)."""
+    import tiresias_tpu.ops.match_lattice as mlmod
+
+    monkeypatch.setattr(mlmod, "LATTICE_PREFILTER_K", 1)  # open the gate
+    mesh = make_mesh(4, 2)
+    sharded = _build(tmp_path / "a", mesh)
+    single = _build(tmp_path / "b", None)
+    # the fused one-dispatch path serves single-tier stores first (GSPMD
+    # full scan on a mesh); disable it so the STAGED sharded path — the
+    # one that consults the shard-mapped prefilter — handles the search,
+    # exactly as it does for multi-tier stores and top-k listings
+    monkeypatch.setattr(sharded, "_fused_search_batch", lambda *a, **k: None)
+
+    ran = {"n": 0}
+    orig = sharded._lattice_prefiltered
+
+    def spy(*a, **k):
+        ran["n"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(sharded, "_lattice_prefiltered", spy)
+    queries = [synth_tone(250 + 140 * i, 0.7, SR) for i in (1, 3)]
+    for tol in (1.0, 0.01):
+        rs = sharded.search_pcm_batch("m", queries, SR, tolerance=tol)
+        r1 = single.search_pcm_batch("m", queries, SR, tolerance=tol)
+        assert [(r.status, r.name, r.match_count) for r in rs] == [
+            (r.status, r.name, r.match_count) for r in r1
+        ]
+    assert ran["n"] >= 1  # the sharded lattice prefilter was consulted

@@ -364,3 +364,95 @@ class TestShardingReviewFixes:
             sharded_fingerprint_long(
                 mesh, np.zeros(s, np.float32), 8000, wide
             )
+
+
+class TestShardedLatticePrefilter:
+    """Certified DIALPLAN prefilter per DB shard (PARITY D19): uint8
+    bound scan + exact rescore on each chip's slice of the distance-map
+    rows; disjoint vote columns compose exactly."""
+
+    def _maps(self, db0, mask):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import (
+            build_value_map,
+            quantize_value_map,
+        )
+
+        vm = build_value_map(jnp.asarray(db0), jnp.asarray(mask))
+        return vm, quantize_value_map(vm)
+
+    def _clustered(self, n_audios=64, t=128):
+        # local rng for the same reason as TestShardedPrefilter
+        rng = np.random.default_rng(6)
+        mu = rng.uniform(-25, 20, size=(n_audios, 1)).astype(np.float32)
+        db0 = (mu + rng.normal(0, 1.5, (n_audios, t))).astype(np.float32)
+        n_frames = rng.integers(96, t + 1, size=n_audios)
+        mask = np.arange(t)[None, :] < n_frames[:, None]
+        db0 = np.where(mask, db0, PAD_VALUE).astype(np.float32)
+        return db0, mask
+
+    def test_matches_full_scan_when_certified(self):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import lattice_votes
+        from tiresias_tpu.parallel.sharding import (
+            sharded_lattice_prefiltered,
+        )
+
+        mesh = make_mesh(4, 2)
+        db0, mask = self._clustered()
+        vm, vmq = self._maps(db0, mask)
+        q0 = np.stack([db0[7, 10:42], db0[33, 40:72]]).astype(np.float32)
+        active = np.ones((2, 32), bool)
+        votes_p, certs = sharded_lattice_prefiltered(
+            mesh, vm, vmq, jnp.asarray(q0), jnp.asarray(active),
+            0.5, -np.inf, np.inf, k=8,  # 8 of 16 rows/shard: real selection
+        )
+        certs = np.asarray(certs)
+        assert certs.shape == (2, 4) and certs.all()
+        full = np.asarray(
+            lattice_votes(vm, jnp.asarray(q0), jnp.asarray(active), 0.5,
+                          -np.inf, np.inf)
+        )
+        vp = np.asarray(votes_p)
+        assert (vp <= full).all()
+        for b in range(2):
+            # parity with the GSPMD full scan is the contract; the true
+            # winner under 1-coef truncated voting need not be the query's
+            # source row (the reference's own discrimination limit)
+            assert full[b].max() > 0
+            assert vp[b].argmax() == full[b].argmax()
+            assert vp[b].max() == full[b].max()
+
+    def test_context_filter_across_shards(self):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import lattice_votes
+        from tiresias_tpu.parallel.sharding import (
+            sharded_lattice_prefiltered,
+        )
+
+        mesh = make_mesh(4, 2)
+        db0, mask = self._clustered()
+        ctx = np.zeros(64, np.int32)
+        ctx[32:] = 1  # shards 2-3 are context 1
+        vm, vmq = self._maps(db0, mask)
+        q0 = np.stack([db0[40, 10:42], db0[40, 10:42]]).astype(np.float32)
+        active = np.ones((2, 32), bool)
+        votes_p, certs = sharded_lattice_prefiltered(
+            mesh, vm, vmq, jnp.asarray(q0), jnp.asarray(active),
+            0.5, -np.inf, np.inf, k=8,
+            ctx_ids=jnp.asarray(ctx), ctx_id=1,
+        )
+        assert np.asarray(certs).all()
+        vp = np.asarray(votes_p)[0]
+        full = np.asarray(
+            lattice_votes(vm, jnp.asarray(q0), jnp.asarray(active), 0.5,
+                          -np.inf, np.inf)
+        )[0]
+        full = np.where(ctx == 1, full, 0)
+        assert (vp[:32] == 0).all()
+        assert full.max() > 0
+        assert vp.argmax() == full.argmax()
+        assert vp.max() == full.max()

@@ -589,10 +589,12 @@ class Tiresias:
                     LATTICE_PREFILTER_K,
                 )
 
-                if (
-                    self.mesh is None
-                    and view.db.shape[0] > 2 * LATTICE_PREFILTER_K
-                ):
+                a_rows = int(view.db.shape[0])
+                if self.mesh is not None:
+                    a_rows //= max(
+                        1, int(self.mesh.shape.get("db", 1))
+                    )
+                if a_rows > 2 * LATTICE_PREFILTER_K:
                     # the certified lattice prefilter's uint8 companion
                     # (one fused device pass over the f32 map)
                     self.store.value_map_q_for(view)
@@ -922,26 +924,31 @@ class Tiresias:
 
     def _lattice_pf_ok(self, view, tolerance, top: int = 1) -> bool:
         """Gate of the certified lattice prefilter (PARITY D19): size
-        (selection must be real), tolerance (past uint8 saturation every
-        row passes the bound — valid but never certifies), single-device
-        stores, and an ADAPTIVE miss-streak cutoff: a corpus whose top-1
-        genuinely ties beyond k rows (1-coef bag voting at scale — the
-        reference's own discrimination limit) de-certifies every query,
-        and without the cutoff each one would pay the bound scan on top
-        of the full-scan fallback (~1.25x). Eight consecutive failures
-        disable the prefilter for the current view; any store mutation
-        produces a new view object and re-arms it. Races on the two
-        counters only miscount the streak — harmless."""
+        (selection must be real — per SHARD on a meshed store), tolerance
+        (past uint8 saturation every row passes the bound — valid but
+        never certifies), and an ADAPTIVE miss-streak cutoff: a corpus
+        whose top-1 genuinely ties beyond k rows (1-coef bag voting at
+        scale — the reference's own discrimination limit) de-certifies
+        every query, and without the cutoff each one would pay the bound
+        scan on top of the full-scan fallback (~1.25x). Eight consecutive
+        failures disable the prefilter for the current view; any store
+        mutation produces a new view object and re-arms it. Races on the
+        two counters only miscount the streak — harmless."""
         from tiresias_tpu.ops.match_lattice import (
             BOUND_FAR,
             BOUND_Q,
             LATTICE_PREFILTER_K,
         )
 
+        a_rows = int(view.db.shape[0])
+        if self.mesh is not None:
+            n_db = int(self.mesh.shape.get("db", 1))
+            if a_rows % n_db:
+                return False  # shard rows must be exact (disjoint columns)
+            a_rows //= n_db
         if (
-            self.mesh is not None
-            or top > LATTICE_PREFILTER_K
-            or view.db.shape[0] <= 2 * LATTICE_PREFILTER_K
+            top > LATTICE_PREFILTER_K
+            or a_rows <= 2 * LATTICE_PREFILTER_K
             or not (0 <= tolerance * BOUND_Q < BOUND_FAR)
         ):
             return False
@@ -998,6 +1005,31 @@ class Tiresias:
         ctx_ids = (
             self.store.ctx_ids_for(view) if ctx_id is not None else None
         )
+        if self.mesh is not None:
+            # per DB shard under shard_map: disjoint vote columns compose
+            # exactly; every shard must certify or the view full-scans
+            from tiresias_tpu.parallel.sharding import (
+                BATCH_AXIS,
+                pad_to_multiple,
+                sharded_lattice_prefiltered,
+            )
+
+            q0 = qfp[..., 0]
+            b = int(q0.shape[0])
+            n_batch = int(self.mesh.shape.get(BATCH_AXIS, 1))
+            b_pad = pad_to_multiple(max(b, n_batch), n_batch)
+            if b_pad != b:
+                # zero-frame padding queries certify trivially
+                pad = b_pad - b
+                q0 = jnp.pad(q0, ((0, pad), (0, 0)))
+                valid = jnp.pad(valid, ((0, pad), (0, 0)))
+            votes_d, certs_d = sharded_lattice_prefiltered(
+                self.mesh, vm, vm_q, q0, valid, tolerance, lo, hi,
+                ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
+            )
+            certified = bool(jax.device_get(certs_d).all())
+            self._lattice_pf_note(view, certified)
+            return votes_d[:b] if certified else None
         votes_d, cert_d = lattice_prefiltered_votes(
             vm, vm_q, qfp[..., 0], valid, jnp.float32(tolerance),
             jnp.float32(lo), jnp.float32(hi), top=top,
@@ -1103,7 +1135,11 @@ class Tiresias:
             band_lo, band_hi = match_jax.band_thresholds(lo, hi)
             from tiresias_tpu.ops.match_lattice import LATTICE_PREFILTER_K
 
-            use_prefilter = self._lattice_pf_ok(view, tolerance)
+            # single-device only here: the fused jit is not shard-mapped,
+            # and meshed stores take the staged sharded prefilter instead
+            use_prefilter = self.mesh is None and self._lattice_pf_ok(
+                view, tolerance
+            )
             run = _fused_lattice_fn(
                 self.config.dsp, samplerate, wire_law,
                 prefilter=use_prefilter,

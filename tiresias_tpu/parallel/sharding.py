@@ -369,6 +369,97 @@ def _sharded_prefiltered_fn(
     )
 
 
+def sharded_lattice_prefiltered(
+    mesh: Mesh,
+    vm: jax.Array,
+    vm_q: jax.Array,
+    q0: jax.Array,
+    active: jax.Array,
+    tolerance: float,
+    band_lo: float,
+    band_hi: float,
+    ctx_ids: jax.Array | None = None,
+    ctx_id: int | None = None,
+    k: int | None = None,
+    top: int = 1,
+):
+    """Certified two-stage DIALPLAN search per DB shard under shard_map
+    (:func:`tiresias_tpu.ops.match_lattice.lattice_prefiltered_votes` run
+    on each chip's slice of the distance-map rows — PARITY D19).
+
+    Exactness composes across shards exactly like
+    :func:`sharded_aligned_prefiltered`: vote columns are disjoint
+    (out spec ``P(batch, db)``), each shard's certificate covers ITS rows,
+    and the caller's cross-shard top-1/top-k compares exact values — so
+    when EVERY shard certifies, the combined result equals the GSPMD full
+    scan. Any shard's failure must fall back for the whole view (the
+    caller checks ``certs.all()``). Pure XLA — no interpret mode needed.
+
+    ``q0``/``active`` must have B divisible by the mesh batch axis (pad
+    with zero-frame queries — they certify trivially). Returns
+    ``(votes [B, A], certs [B, n_db] bool)``.
+    """
+    from tiresias_tpu.ops.match_lattice import LATTICE_PREFILTER_K
+
+    fn = _sharded_lattice_pf_fn(
+        mesh, int(k or LATTICE_PREFILTER_K), int(top), ctx_ids is not None
+    )
+    args = (
+        vm, vm_q, q0, active, jnp.float32(tolerance),
+        jnp.float32(band_lo), jnp.float32(band_hi),
+    )
+    if ctx_ids is not None:
+        args += (ctx_ids, jnp.int32(ctx_id))
+    return fn(*args)
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_lattice_pf_fn(mesh: Mesh, k: int, top: int, has_ctx: bool):
+    """Jitted shard_map program for :func:`sharded_lattice_prefiltered`,
+    cached per parameterization."""
+    from tiresias_tpu.ops.match_lattice import (
+        K_MIN,
+        K_SIZE,
+        _prefilter_core,
+    )
+
+    def shard_fn(vm_s, vmq_s, q_s, act_s, tol, lo, hi, *ctx):
+        ci = ctx[0] if has_ctx else None
+        cid = ctx[1] if has_ctx else None
+        votes_k, idx, unsel = _prefilter_core(
+            vm_s, vmq_s, q_s, act_s, tol, lo, hi, ci, cid,
+            k=k, k_min=K_MIN, k_size=K_SIZE, has_ctx=has_ctx,
+        )
+        b, a = q_s.shape[0], vm_s.shape[0]
+        rows_b = jnp.arange(b)[:, None]
+        votes = jnp.zeros((b, a), jnp.int32).at[rows_b, idx].max(votes_k)
+        if top == 1:
+            kth = votes_k.max(axis=1)
+        else:
+            kth = jax.lax.top_k(votes_k, top)[0][:, -1]
+        cert = (kth > unsel) | (unsel <= 0)
+        # one cert column per shard; the caller ANDs across shards
+        return votes, cert[:, None]
+
+    in_specs = (
+        P(DB_AXIS, None),   # f32 distance-map rows
+        P(DB_AXIS, None),   # uint8 bound-map rows
+        P(BATCH_AXIS, None),  # q0
+        P(BATCH_AXIS, None),  # active
+        P(), P(), P(),      # tolerance, band_lo, band_hi
+    )
+    if has_ctx:
+        in_specs += (P(DB_AXIS), P())  # ctx_ids rows, ctx_id
+    return jax.jit(
+        shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=(P(BATCH_AXIS, DB_AXIS), P(BATCH_AXIS, DB_AXIS)),
+        )
+    )
+
+
 def sharded_fingerprint_long(
     mesh: Mesh,
     pcm: np.ndarray | jax.Array,
