@@ -340,13 +340,13 @@ class TestEngineDispatch:
         for _ in range(9):
             r = eng.search_pcm("c", tone, self.SR, tolerance=1.0)
             assert r.status == "FOUND" and r.name == "dup0"  # exact always
-        assert getattr(eng, "_pf_miss", 0) >= 8
         view = eng.store.search_views()[0]
+        assert eng._pf_misses.get((view.gen, "lattice"), 0) >= 8
         assert not eng._lattice_pf_ok(view, 1.0)
         eng.add_audio_pcm("c", "fresh", synth_tone(999, 1.0, self.SR),
                           self.SR)
         view2 = eng.store.search_views()[0]
-        assert view2 is not view and eng._lattice_pf_ok(view2, 1.0)
+        assert view2.gen != view.gen and eng._lattice_pf_ok(view2, 1.0)
 
     def test_decertified_store_falls_back(self, eng):
         """A store of near-duplicates de-certifies (> k rows tie); the
@@ -362,3 +362,59 @@ class TestEngineDispatch:
         # D5: lowest insertion index wins among the ties
         assert r.status == "FOUND" and r.name == "dup0"
         assert r.match_count == r.frame_count
+
+
+class TestBoundTolOk:
+    def test_dialplan_unit_scale(self):
+        # unit scale saturates at (tol + 1) * 64 >= 255 -> tol >= ~2.98
+        assert ml.bound_tol_ok(None, 0.001)
+        assert ml.bound_tol_ok(None, 1.0)
+        assert not ml.bound_tol_ok(None, 3.0)
+        assert not ml.bound_tol_ok(None, -1.0)
+
+    def test_aligned_scales(self):
+        # coefs >= 2 include the s=8 spec: (8*tol + 1) * 64 < 255
+        # -> tol < ~0.373; coefs == 1 only has the s=4 coef-0 spec
+        assert ml.bound_tol_ok(2, 0.05)
+        assert ml.bound_tol_ok(8, 0.1)
+        assert not ml.bound_tol_ok(2, 0.5)
+        assert ml.bound_tol_ok(1, 0.5)
+        assert not ml.bound_tol_ok(1, 1.0)
+
+    def test_engine_gate_skips_saturated_aligned(self, tmp_path):
+        """tolerance past saturation must bypass the aligned prefilter
+        entirely (the bound could never certify — review finding), not
+        run it and fall back."""
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+        from tiresias_tpu.utils.audio import synth_tone
+
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)),
+                       restore=False)
+        eng.create_context("c")
+        for i in range(4):
+            eng.add_audio_pcm("c", f"t{i}",
+                              synth_tone(300 + 90 * i, 1.0, 8000), 8000)
+        called = {"n": 0}
+        orig = eng._aligned_prefiltered
+
+        def spy(*a, **k):
+            called["n"] += 1
+            return orig(*a, **k)
+
+        eng._aligned_prefiltered = spy
+        import tiresias_tpu.ops.match_pallas as mp
+        old = mp.PREFILTER_K
+        mp.PREFILTER_K = 1  # open the size gate
+        try:
+            q = synth_tone(300, 1.0, 8000)
+            r = eng.search_pcm("c", q, 8000, coefs=2, tolerance=0.5,
+                               trunc_coef1=False, aligned=True)
+            assert r.status == "FOUND"
+            assert called["n"] == 0  # tolerance gate rejected it
+            r2 = eng.search_pcm("c", q, 8000, coefs=2, tolerance=0.05,
+                                trunc_coef1=False, aligned=True)
+            assert r2.status in ("FOUND", "NOTFOUND")
+        finally:
+            mp.PREFILTER_K = old
+        eng.close()

@@ -184,8 +184,8 @@ def _fused_lattice_fn(
             K_MIN,
             K_SIZE,
             _hit_matmul,
-            _histogram,
             _prefilter_core,
+            certificate,
         )
 
         @jax.jit
@@ -197,13 +197,13 @@ def _fused_lattice_fn(
             f = qfp.shape[1]
             valid = jnp.arange(f)[None, :] < n_frames[:, None]
             q0 = qfp[..., 0]
-            votes_k, idx, unsel_max = _prefilter_core(
+            votes_k, idx, unsel_max, c = _prefilter_core(
                 vm, vm_q, q0, valid, tol, band_lo, band_hi, ci, cid,
                 k=k, k_min=K_MIN, k_size=K_SIZE,
                 has_ctx=ci is not None,
             )
             m_k = votes_k.max(axis=1)
-            certified = ((m_k > unsel_max) | (unsel_max <= 0)).all()
+            certified = certificate(votes_k, unsel_max).all()
 
             def pre(_):
                 big = jnp.int32(2**30)
@@ -214,7 +214,8 @@ def _fused_lattice_fn(
                 return best, m_k
 
             def full(_):
-                c = _histogram(q0, valid, band_lo, band_hi, K_MIN, K_SIZE)
+                # the core already built the query histogram for the
+                # bound matmul — reuse it instead of re-scattering
                 votes = _hit_matmul(c, vm, tol)
                 if ci is not None:
                     votes = jnp.where((ci == cid)[None, :], votes, 0)
@@ -223,7 +224,7 @@ def _fused_lattice_fn(
 
             best, m = jax.lax.cond(certified, pre, full, operand=None)
             # the certificate rides the same readback: the engine's
-            # adaptive gate (_lattice_pf_note) needs the outcome
+            # adaptive gate (_pf_note) needs the outcome
             return best, m, certified
 
         return run
@@ -585,18 +586,12 @@ class Tiresias:
                 # lattice value map — other modes must not pay its
                 # multi-second build (or hold its HBM) for nothing
                 self.store.value_map_for(view)
-                from tiresias_tpu.ops.match_lattice import (
-                    LATTICE_PREFILTER_K,
-                )
-
-                a_rows = int(view.db.shape[0])
-                if self.mesh is not None:
-                    a_rows //= max(
-                        1, int(self.mesh.shape.get("db", 1))
-                    )
-                if a_rows > 2 * LATTICE_PREFILTER_K:
+                if self._lattice_pf_ok(view, mc.tolerance):
                     # the certified lattice prefilter's uint8 companion
-                    # (one fused device pass over the f32 map)
+                    # (one fused device pass over the f32 map); the
+                    # runtime gate itself decides, so warmup can never
+                    # build a map the dispatch will not use (e.g. on a
+                    # mesh whose shard rows do not divide evenly)
                     self.store.value_map_q_for(view)
             if (
                 mc.aligned
@@ -613,7 +608,10 @@ class Tiresias:
                 and view.db.shape[0] > 2 * PREFILTER_K
                 and not view.segments
             ):
-                self.store.bound_maps_for(view, mc.coefs)
+                from tiresias_tpu.ops.match_lattice import bound_tol_ok
+
+                if bound_tol_ok(mc.coefs, mc.tolerance):
+                    self.store.bound_maps_for(view, mc.coefs)
 
     def save(self) -> None:
         if not self.lock.held:
@@ -905,8 +903,9 @@ class Tiresias:
                 specs, coefs, interpret=interpret,
                 ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
             )
-            if not jax.device_get(certs_d).all():
-                metrics.add("search.prefilter_fallbacks", 1)
+            certified = bool(jax.device_get(certs_d).all())
+            self._pf_note(view, "aligned", certified)
+            if not certified:
                 return None
             return votes_d[:b]
         votes_d, cert_d = aligned_prefiltered_votes(
@@ -916,11 +915,9 @@ class Tiresias:
         # only the [B] certificate crosses the link here; the [B, A] votes
         # stay on device (the device-ranked path reduces them there, the
         # host-ranked path reads them back itself)
-        cert = jax.device_get(cert_d)
-        if not cert.all():
-            metrics.add("search.prefilter_fallbacks", 1)
-            return None
-        return votes_d
+        certified = bool(jax.device_get(cert_d).all())
+        self._pf_note(view, "aligned", certified)
+        return votes_d if certified else None
 
     def _lattice_pf_ok(self, view, tolerance, top: int = 1) -> bool:
         """Gate of the certified lattice prefilter (PARITY D19): size
@@ -952,19 +949,34 @@ class Tiresias:
             or not (0 <= tolerance * BOUND_Q < BOUND_FAR)
         ):
             return False
-        if id(view) != getattr(self, "_pf_view_id", None):
-            self._pf_view_id = id(view)  # id only — holding the view
-            self._pf_miss = 0  # itself would pin its device buffers
-        return self._pf_miss < 8
+        return self._pf_allowed(view, "lattice")
 
-    def _lattice_pf_note(self, view, certified: bool) -> None:
+    def _pf_allowed(self, view, mode: str) -> bool:
+        """Adaptive miss-streak cutoff of the certified prefilters, keyed
+        by the view's process-unique ``gen`` (per view AND per mode, so
+        multi-tier stores and mixed lattice/aligned traffic each track
+        their own streak) — 8 consecutive certificate misses disable the
+        prefilter for that view; a certified result or a store mutation
+        (new view, new gen) re-arms it. Races only miscount — harmless."""
+        misses = getattr(self, "_pf_misses", None)
+        if misses is None:
+            misses = self._pf_misses = {}
+        return misses.get((view.gen, mode), 0) < 8
+
+    def _pf_note(self, view, mode: str, certified: bool) -> None:
         """Feed a prefiltered search's certificate outcome back into the
-        adaptive gate (both the staged and fused paths report here)."""
-        if id(view) == getattr(self, "_pf_view_id", None):
-            self._pf_miss = (
-                0 if certified else getattr(self, "_pf_miss", 0) + 1
-            )
-        if not certified:
+        adaptive gate (every prefiltered path reports here)."""
+        misses = getattr(self, "_pf_misses", None)
+        if misses is None:
+            misses = self._pf_misses = {}
+        key = (view.gen, mode)
+        if certified:
+            misses.pop(key, None)
+        else:
+            misses[key] = misses.get(key, 0) + 1
+            if len(misses) > 32:  # bound: stale view gens age out
+                for old_key in sorted(misses)[: len(misses) - 32]:
+                    misses.pop(old_key, None)
             metrics.add("search.prefilter_fallbacks", 1)
 
     def _lattice_prefiltered(
@@ -1028,7 +1040,7 @@ class Tiresias:
                 ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
             )
             certified = bool(jax.device_get(certs_d).all())
-            self._lattice_pf_note(view, certified)
+            self._pf_note(view, "lattice", certified)
             return votes_d[:b] if certified else None
         votes_d, cert_d = lattice_prefiltered_votes(
             vm, vm_q, qfp[..., 0], valid, jnp.float32(tolerance),
@@ -1037,7 +1049,7 @@ class Tiresias:
         )
         # only the [B] certificate crosses the link; votes stay on device
         certified = bool(jax.device_get(cert_d).all())
-        self._lattice_pf_note(view, certified)
+        self._pf_note(view, "lattice", certified)
         return votes_d if certified else None
 
     @staticmethod
@@ -1168,7 +1180,7 @@ class Tiresias:
                 # failed certificate; the note only feeds the adaptive
                 # gate so a never-certifying corpus stops paying the
                 # bound scan
-                self._lattice_pf_note(view, bool(got[2]))
+                self._pf_note(view, "lattice", bool(got[2]))
         metrics.add("search.queries", len(pcms))
         results: list[SearchResult] = []
         for i in range(len(pcms)):
@@ -1405,12 +1417,18 @@ class Tiresias:
                 search_batch_pallas,
             )
 
+            from tiresias_tpu.ops.match_lattice import bound_tol_ok
+
             votes = None
             if (
                 use_pallas_aligned
                 and prefilter
                 and view.db.shape[0] > 2 * PREFILTER_K
                 and prefilter_top <= PREFILTER_K
+                # past uint8 saturation the bound maps stop informing:
+                # the certificate can never hold, so skip the pipeline
+                and bound_tol_ok(coefs, tolerance)
+                and self._pf_allowed(view, "aligned")
             ):
                 # certified two-stage accuracy mode: lattice bound
                 # (shared with the dialplan path's distance map) →
@@ -1443,6 +1461,8 @@ class Tiresias:
             from tiresias_tpu.ops.match_pallas import PREFILTER_K
             from tiresias_tpu.parallel.sharding import sharded_search
 
+            from tiresias_tpu.ops.match_lattice import bound_tol_ok
+
             votes = None
             n_db = int(self.mesh.shape.get("db", 1))
             if (
@@ -1451,6 +1471,8 @@ class Tiresias:
                 and prefilter_top <= PREFILTER_K
                 and view.db.shape[0] % n_db == 0
                 and view.db.shape[0] // n_db > 2 * PREFILTER_K
+                and bound_tol_ok(coefs, tolerance)
+                and self._pf_allowed(view, "aligned")
             ):
                 # certified two-stage accuracy mode, per DB shard (the
                 # same gates as the single-device path, per shard)

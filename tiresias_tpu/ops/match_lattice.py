@@ -458,11 +458,12 @@ def lattice_prefiltered_votes(
     caller full-scans on failure. Strict > keeps the D5 lowest-index
     tiebreak exact — a certified winner cannot tie any unselected audio.
 
-    The rescore gathers ``[B, k, F]`` ELEMENTS of the f32 map (each
-    candidate row only at the query's own lattice buckets) — a few MB —
-    instead of whole ``[k, K]`` rows, so prefilter traffic is the uint8
-    bound scan (A·K bytes) + ε: a ~4x read-traffic reduction over the
-    full f32 scan at any large A.
+    The rescore gathers the ``[B, k, K]`` candidate ROWS of the f32 map
+    (contiguous sublanes — measured ~25x faster than a per-(candidate,
+    frame) element gather on TPU) and contracts them against the same
+    query histogram as the full scan; prefilter traffic is the uint8
+    bound scan (A·K bytes) + a few MB of candidate rows: a ~4x
+    read-traffic reduction over the full f32 scan at any large A.
 
     Context filtering mirrors the aligned prefilter: out-of-context rows
     get bound −1 (never selected above a live in-context row) and any
@@ -506,6 +507,55 @@ def lattice_prefiltered_votes(
 LATTICE_PREFILTER_K = 256
 
 
+def bound_tol_ok(specs_or_coefs, tolerance: float) -> bool:
+    """Whether the uint8-quantized maps remain INFORMATIVE at this
+    tolerance: every spec's scaled threshold ``(s·tol + 1)·BOUND_Q`` must
+    stay below the :data:`BOUND_FAR` saturation sentinel, or every row
+    (including tombstones) passes the bound — still VALID, but the
+    certificate can never hold and the prefilter pipeline is pure
+    overhead on top of the guaranteed full-scan fallback. Engines gate
+    both the dialplan prefilter (s = 1: the raw lattice) and the aligned
+    prefilter (its :func:`bound_specs` scales) on this. Accepts either a
+    spec tuple (aligned) or a coef count (resolved via ``bound_specs``);
+    the dialplan path passes ``specs_or_coefs=None`` for the unit
+    scale."""
+    if tolerance < 0:
+        return False
+    if specs_or_coefs is None:
+        scales = (1.0,)
+    elif isinstance(specs_or_coefs, int):
+        scales = tuple(s[1] for s in bound_specs(specs_or_coefs))
+    else:
+        scales = tuple(s[1] for s in specs_or_coefs)
+    return all(
+        (s * tolerance + 1.0) * BOUND_Q < BOUND_FAR for s in scales
+    ) if scales else False
+
+
+def certificate(votes_k, unselected_max, top: int = 1):
+    """THE certification rule, shared by every prefiltered path (ops,
+    shard_map, fused): the ``top``-th best exactly-rescored score must
+    STRICTLY beat the maximum bound over unselected rows (strict >
+    keeps the D5 lowest-index tiebreak exact — a certified winner cannot
+    tie any unselected audio); an unselected max <= 0 certifies
+    trivially (nothing unselected can appear in any result)."""
+    if top == 1:
+        kth = votes_k.max(axis=1)
+    else:
+        # top-k listings: ALL k winners must be inside the candidate set
+        kth = jax.lax.top_k(votes_k, top)[0][:, -1]
+    return (kth > unselected_max) | (unselected_max <= 0)
+
+
+def scatter_candidates(votes_k, idx, n_rows: int):
+    """Candidate scores scattered into a dense ``[B, n_rows]`` votes
+    array (zeros elsewhere) — shared by the ops-level and shard-mapped
+    prefilters so their output layout can never diverge."""
+    b = votes_k.shape[0]
+    rows_b = jnp.arange(b)[:, None]
+    return jnp.zeros((b, n_rows), jnp.int32).at[rows_b, idx].max(votes_k)
+
+
 def _prefilter_core(
     vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
     k: int, k_min: int, k_size: int, has_ctx: bool,
@@ -513,7 +563,9 @@ def _prefilter_core(
     """Traced body shared by :func:`lattice_prefiltered_votes` and the
     engine's fused one-dispatch search. Returns
     ``(votes_k [B, k] int32 exact candidate scores, idx [B, k] candidate
-    rows, unselected_max [B] int32 max bound over unselected rows)``."""
+    rows, unselected_max [B] int32 max bound over unselected rows,
+    c [B, K] f32 query histogram — reusable by a full-scan fallback in
+    the same program)."""
     b = q0.shape[0]
     idxq, valid = _frame_buckets(q0, active, band_lo, band_hi, k_min, k_size)
     rows_b = jnp.arange(b)[:, None]
@@ -542,7 +594,7 @@ def _prefilter_core(
     ).astype(jnp.int32)  # exact: counts and 0/1 hits are small ints
     if has_ctx:
         votes_k = jnp.where(keep[idx], votes_k, 0)
-    return votes_k, idx, unselected_max
+    return votes_k, idx, unselected_max, c
 
 
 @functools.partial(
@@ -553,21 +605,12 @@ def _lattice_prefiltered(
     vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
     k: int, top: int, k_min: int, k_size: int, has_ctx: bool,
 ):
-    b, a = q0.shape[0], vm.shape[0]
-    votes_k, idx, unselected_max = _prefilter_core(
+    votes_k, idx, unselected_max, _ = _prefilter_core(
         vm, vm_q, q0, active, tol, band_lo, band_hi, ctx_ids, ctx_id,
         k=k, k_min=k_min, k_size=k_size, has_ctx=has_ctx,
     )
-    rows_b = jnp.arange(b)[:, None]
-    votes = jnp.zeros((b, a), jnp.int32).at[rows_b, idx].max(votes_k)
-    if top == 1:
-        kth = votes_k.max(axis=1)
-    else:
-        # top-k listings: ALL k winners must be inside the candidate set,
-        # so the certificate compares the k-th best rescored score
-        kth = jax.lax.top_k(votes_k, top)[0][:, -1]
-    certificate = (kth > unselected_max) | (unselected_max <= 0)
-    return votes, certificate
+    votes = scatter_candidates(votes_k, idx, vm.shape[0])
+    return votes, certificate(votes_k, unselected_max, top)
 
 
 def search_lattice(

@@ -421,23 +421,19 @@ def _sharded_lattice_pf_fn(mesh: Mesh, k: int, top: int, has_ctx: bool):
         K_MIN,
         K_SIZE,
         _prefilter_core,
+        certificate,
+        scatter_candidates,
     )
 
     def shard_fn(vm_s, vmq_s, q_s, act_s, tol, lo, hi, *ctx):
         ci = ctx[0] if has_ctx else None
         cid = ctx[1] if has_ctx else None
-        votes_k, idx, unsel = _prefilter_core(
+        votes_k, idx, unsel, _ = _prefilter_core(
             vm_s, vmq_s, q_s, act_s, tol, lo, hi, ci, cid,
             k=k, k_min=K_MIN, k_size=K_SIZE, has_ctx=has_ctx,
         )
-        b, a = q_s.shape[0], vm_s.shape[0]
-        rows_b = jnp.arange(b)[:, None]
-        votes = jnp.zeros((b, a), jnp.int32).at[rows_b, idx].max(votes_k)
-        if top == 1:
-            kth = votes_k.max(axis=1)
-        else:
-            kth = jax.lax.top_k(votes_k, top)[0][:, -1]
-        cert = (kth > unsel) | (unsel <= 0)
+        votes = scatter_candidates(votes_k, idx, vm_s.shape[0])
+        cert = certificate(votes_k, unsel, top)
         # one cert column per shard; the caller ANDs across shards
         return votes, cert[:, None]
 

@@ -40,6 +40,7 @@ ingest batch (PARITY.md D2).
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import json
 import os
 import re
@@ -520,6 +521,11 @@ class TierView:
     # row groups of auto-split audios; their lattice-map rows min-combine
     # into the first row (exact ∃t-over-whole-audio semantics)
     segments: tuple = ()
+    # process-unique monotonic id: the engine's adaptive prefilter gate
+    # keys its per-view miss counters on this (object ids can be recycled
+    # by the allocator, which would carry a stale miss streak onto a
+    # fresh view)
+    gen: int = dataclasses.field(default_factory=itertools.count().__next__)
 
 
 class FingerprintStore:
