@@ -197,10 +197,11 @@ def test_sharded_engine_prefilter_dispatch(tmp_path, monkeypatch):
         eng.create_context("x")
         eng.add_audio_pcm("x", "decoy", synth_tone(390, 1.0, SR), SR)
 
-    ran = {"n": 0}
+    ran = {"n": 0, "calls": 0}
     orig = sharded._aligned_prefiltered
 
     def spy(*a, **k):
+        ran["calls"] += 1
         out = orig(*a, **k)
         if out is not None:
             ran["n"] += 1
@@ -225,6 +226,15 @@ def test_sharded_engine_prefilter_dispatch(tmp_path, monkeypatch):
     )
     assert rf.status == f1.status and rf.name == f1.name
     assert ran["n"] == before + 1
+    # past the uint8 bound-map saturation the certificate can never
+    # hold — the sharded dispatch must bypass the prefilter entirely
+    # (not run it and fall back) and still answer correctly
+    before = ran["calls"]
+    sat = dict(coefs=2, tolerance=0.5, trunc_coef1=False, aligned=True)
+    rs2 = sharded.search_pcm("m", queries[0], SR, **sat)
+    r12 = single.search_pcm("m", queries[0], SR, **sat)
+    assert (rs2.status, rs2.name) == (r12.status, r12.name)
+    assert ran["calls"] == before  # tolerance gate rejected the pipeline
 
 
 def test_sharded_engine_wire_law(tmp_path):
