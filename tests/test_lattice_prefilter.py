@@ -364,12 +364,49 @@ class TestEngineDispatch:
         assert r.match_count == r.frame_count
 
 
+class TestPfMissLru:
+    def test_live_streak_survives_stale_churn(self, tmp_path):
+        """The miss-dict size bound must evict by NOTE recency, not key
+        order: a live view under traffic keeps its streak while stale
+        gens churn past the cap (review finding: lowest-gen eviction
+        kept resetting the one streak that mattered)."""
+        from types import SimpleNamespace
+
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+
+        eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)),
+                       restore=False)
+        try:
+            live = SimpleNamespace(gen=1)
+            gen = 2
+            for _ in range(7):  # live misses with stale churn between
+                eng._pf_note(live, "lattice", False)
+                for _ in range(20):  # 140 total stale gens (cap is 32)
+                    eng._pf_note(
+                        SimpleNamespace(gen=gen), "lattice", False
+                    )
+                    gen += 1
+                assert eng._pf_allowed(live, "lattice")
+            assert len(eng._pf_misses) <= 32
+            eng._pf_note(live, "lattice", False)  # 8th live miss
+            assert not eng._pf_allowed(live, "lattice")
+            # a certified result re-arms
+            eng._pf_note(live, "lattice", True)
+            assert eng._pf_allowed(live, "lattice")
+        finally:
+            eng.close()
+
+
 class TestBoundTolOk:
     def test_dialplan_unit_scale(self):
-        # unit scale saturates at (tol + 1) * 64 >= 255 -> tol >= ~2.98
+        # the dialplan bound thresholds at tol * 64 (_prefilter_core, no
+        # +1 slack) -> saturation at tol >= 255/64 ~ 3.98; must agree
+        # with the engine gate (_lattice_pf_ok) exactly
         assert ml.bound_tol_ok(None, 0.001)
         assert ml.bound_tol_ok(None, 1.0)
-        assert not ml.bound_tol_ok(None, 3.0)
+        assert ml.bound_tol_ok(None, 3.9)
+        assert not ml.bound_tol_ok(None, 4.0)
         assert not ml.bound_tol_ok(None, -1.0)
 
     def test_aligned_scales(self):
@@ -381,12 +418,19 @@ class TestBoundTolOk:
         assert ml.bound_tol_ok(1, 0.5)
         assert not ml.bound_tol_ok(1, 1.0)
 
-    def test_engine_gate_skips_saturated_aligned(self, tmp_path):
+    def test_engine_gate_skips_saturated_aligned(self, tmp_path,
+                                                  monkeypatch):
         """tolerance past saturation must bypass the aligned prefilter
         entirely (the bound could never certify — review finding), not
-        run it and fall back."""
+        run it and fall back. The single-device aligned-Pallas branch is
+        TPU-gated, so _on_tpu is forced and the kernel entry points are
+        stubbed: this test asserts the GATING, not the kernels (those
+        have their own parity tests in tests_tpu/)."""
+        import tiresias_tpu.api.engine as engine_mod
+        import tiresias_tpu.ops.match_pallas as mp
         from tiresias_tpu.api import Tiresias
         from tiresias_tpu.config import TiresiasConfig
+        from tiresias_tpu.ops import match_jax
         from tiresias_tpu.utils.audio import synth_tone
 
         eng = Tiresias(TiresiasConfig(data_dir=str(tmp_path)),
@@ -395,26 +439,33 @@ class TestBoundTolOk:
         for i in range(4):
             eng.add_audio_pcm("c", f"t{i}",
                               synth_tone(300 + 90 * i, 1.0, 8000), 8000)
-        called = {"n": 0}
-        orig = eng._aligned_prefiltered
+        called = {"pf": 0}
 
-        def spy(*a, **k):
-            called["n"] += 1
-            return orig(*a, **k)
+        def fake_prefiltered(*a, **k):
+            called["pf"] += 1
+            return None  # decertify -> dispatch falls to the full scan
 
-        eng._aligned_prefiltered = spy
-        import tiresias_tpu.ops.match_pallas as mp
-        old = mp.PREFILTER_K
-        mp.PREFILTER_K = 1  # open the size gate
+        def fake_pallas(db, query, n_frames=None, **kw):
+            # stand-in full scan with identical semantics (XLA matcher)
+            view = eng.store.search_views()[0]
+            kw.pop("interpret", None)
+            return match_jax.search_batch(
+                db, view.mask, query, n_frames, **kw
+            )
+
+        monkeypatch.setattr(engine_mod, "_on_tpu", lambda: True)
+        monkeypatch.setattr(mp, "PREFILTER_K", 1)  # open the size gate
+        monkeypatch.setattr(mp, "search_batch_pallas", fake_pallas)
+        monkeypatch.setattr(eng, "_aligned_prefiltered", fake_prefiltered)
         try:
             q = synth_tone(300, 1.0, 8000)
             r = eng.search_pcm("c", q, 8000, coefs=2, tolerance=0.5,
                                trunc_coef1=False, aligned=True)
             assert r.status == "FOUND"
-            assert called["n"] == 0  # tolerance gate rejected it
+            assert called["pf"] == 0  # tolerance gate rejected it
             r2 = eng.search_pcm("c", q, 8000, coefs=2, tolerance=0.05,
                                 trunc_coef1=False, aligned=True)
             assert r2.status in ("FOUND", "NOTFOUND")
+            assert called["pf"] == 1  # informative tolerance ran it
         finally:
-            mp.PREFILTER_K = old
-        eng.close()
+            eng.close()

@@ -339,6 +339,11 @@ class Tiresias:
         # tick racing an admin-plane sync): both walk the same directories
         # and the reconcile is only idempotent when runs don't interleave
         self._sync_mutex = threading.Lock()
+        # adaptive prefilter gate state: (view.gen, mode) -> consecutive
+        # certificate misses, least-recently-noted first (see _pf_note);
+        # its own lock — searches run on serve executor threads
+        self._pf_misses: dict = {}
+        self._pf_lock = threading.Lock()
         self.lock = DataDirLock(self.config.expanded_data_dir)
         if exclusive is not False:
             try:
@@ -574,6 +579,11 @@ class Tiresias:
         )
 
         mc = self.config.match
+        # the negative "use default" sentinel resolves at search time
+        # (_resolve_search, fp_handler.c:252-256); warm with the value
+        # real requests will actually run at, or the gates below would
+        # skip maps the first live search then builds on demand
+        tol = mc.tolerance if mc.tolerance >= 0 else DEF_SEARCH_TOLERANCE
         lattice_mode = mc.coefs == 1 and mc.trunc_coef1 and not mc.aligned
         for view in self.store.search_views():
             if view.n_audios == 0:
@@ -586,7 +596,7 @@ class Tiresias:
                 # lattice value map — other modes must not pay its
                 # multi-second build (or hold its HBM) for nothing
                 self.store.value_map_for(view)
-                if self._lattice_pf_ok(view, mc.tolerance):
+                if self._lattice_pf_ok(view, tol):
                     # the certified lattice prefilter's uint8 companion
                     # (one fused device pass over the f32 map); the
                     # runtime gate itself decides, so warmup can never
@@ -610,7 +620,7 @@ class Tiresias:
             ):
                 from tiresias_tpu.ops.match_lattice import bound_tol_ok
 
-                if bound_tol_ok(mc.coefs, mc.tolerance):
+                if bound_tol_ok(mc.coefs, tol):
                     self.store.bound_maps_for(view, mc.coefs)
 
     def save(self) -> None:
@@ -929,12 +939,10 @@ class Tiresias:
         every query, and without the cutoff each one would pay the bound
         scan on top of the full-scan fallback (~1.25x). Eight consecutive
         failures disable the prefilter for the current view; any store
-        mutation produces a new view object and re-arms it. Races on the
-        two counters only miscount the streak — harmless."""
+        mutation produces a new view object and re-arms it."""
         from tiresias_tpu.ops.match_lattice import (
-            BOUND_FAR,
-            BOUND_Q,
             LATTICE_PREFILTER_K,
+            bound_tol_ok,
         )
 
         a_rows = int(view.db.shape[0])
@@ -946,7 +954,7 @@ class Tiresias:
         if (
             top > LATTICE_PREFILTER_K
             or a_rows <= 2 * LATTICE_PREFILTER_K
-            or not (0 <= tolerance * BOUND_Q < BOUND_FAR)
+            or not bound_tol_ok(None, tolerance)
         ):
             return False
         return self._pf_allowed(view, "lattice")
@@ -957,26 +965,26 @@ class Tiresias:
         multi-tier stores and mixed lattice/aligned traffic each track
         their own streak) — 8 consecutive certificate misses disable the
         prefilter for that view; a certified result or a store mutation
-        (new view, new gen) re-arms it. Races only miscount — harmless."""
-        misses = getattr(self, "_pf_misses", None)
-        if misses is None:
-            misses = self._pf_misses = {}
-        return misses.get((view.gen, mode), 0) < 8
+        (new view, new gen) re-arms it."""
+        with self._pf_lock:
+            return self._pf_misses.get((view.gen, mode), 0) < 8
 
     def _pf_note(self, view, mode: str, certified: bool) -> None:
         """Feed a prefiltered search's certificate outcome back into the
-        adaptive gate (every prefiltered path reports here)."""
-        misses = getattr(self, "_pf_misses", None)
-        if misses is None:
-            misses = self._pf_misses = {}
+        adaptive gate (every prefiltered path reports here). Serve-layer
+        searches run on executor threads, so the dict is lock-guarded;
+        a miss pops-and-reinserts its key, making insertion order
+        least-recently-NOTED — the size bound then evicts stale view
+        gens, never a live view's active streak."""
         key = (view.gen, mode)
-        if certified:
-            misses.pop(key, None)
-        else:
-            misses[key] = misses.get(key, 0) + 1
-            if len(misses) > 32:  # bound: stale view gens age out
-                for old_key in sorted(misses)[: len(misses) - 32]:
-                    misses.pop(old_key, None)
+        with self._pf_lock:
+            if certified:
+                self._pf_misses.pop(key, None)
+            else:
+                self._pf_misses[key] = self._pf_misses.pop(key, 0) + 1
+                while len(self._pf_misses) > 32:  # stale gens age out
+                    self._pf_misses.pop(next(iter(self._pf_misses)))
+        if not certified:
             metrics.add("search.prefilter_fallbacks", 1)
 
     def _lattice_prefiltered(

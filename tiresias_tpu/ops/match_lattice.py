@@ -509,21 +509,26 @@ LATTICE_PREFILTER_K = 256
 
 def bound_tol_ok(specs_or_coefs, tolerance: float) -> bool:
     """Whether the uint8-quantized maps remain INFORMATIVE at this
-    tolerance: every spec's scaled threshold ``(s·tol + 1)·BOUND_Q`` must
-    stay below the :data:`BOUND_FAR` saturation sentinel, or every row
-    (including tombstones) passes the bound — still VALID, but the
-    certificate can never hold and the prefilter pipeline is pure
-    overhead on top of the guaranteed full-scan fallback. Engines gate
-    both the dialplan prefilter (s = 1: the raw lattice) and the aligned
-    prefilter (its :func:`bound_specs` scales) on this. Accepts either a
+    tolerance: the scaled threshold — ``tol·BOUND_Q`` for the dialplan
+    lattice, ``(s·tol + 1)·BOUND_Q`` per aligned spec (the +1 is
+    :func:`bound_votes`' quantization slack) — must stay below the
+    :data:`BOUND_FAR` saturation sentinel, or every row (including
+    tombstones) passes the bound — still VALID, but the certificate can
+    never hold and the prefilter pipeline is pure overhead on top of the
+    guaranteed full-scan fallback. Engines gate both the dialplan
+    prefilter and the aligned prefilter (its :func:`bound_specs` scales)
+    on this. Accepts either a
     spec tuple (aligned) or a coef count (resolved via ``bound_specs``);
     the dialplan path passes ``specs_or_coefs=None`` for the unit
     scale."""
     if tolerance < 0:
         return False
     if specs_or_coefs is None:
-        scales = (1.0,)
-    elif isinstance(specs_or_coefs, int):
+        # dialplan lattice: the bound thresholds at tol·BOUND_Q directly
+        # (_prefilter_core — floor quantization UNDER-states distances,
+        # so no +1 slack term), hence saturation at tol ≥ 255/64 ≈ 3.98
+        return tolerance * BOUND_Q < BOUND_FAR
+    if isinstance(specs_or_coefs, int):
         scales = tuple(s[1] for s in bound_specs(specs_or_coefs))
     else:
         scales = tuple(s[1] for s in specs_or_coefs)

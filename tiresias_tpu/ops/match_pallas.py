@@ -568,21 +568,13 @@ def aligned_prefiltered_votes(
         # than k in-context rows exist; its true votes must not win,
         # certify, or scatter into the filtered result
         votes_k = jnp.where(keep[idx], votes_k, 0)
-    votes = jnp.zeros((b, a), jnp.int32).at[rows, idx].max(votes_k)
-    if top == 1:
-        kth = votes_k.max(axis=1)
-    else:
-        # top-k listings (CLI --top): the certificate must put ALL k
-        # winners inside the candidate set, so it compares the k-th best
-        # rescored score (not the best) against the unselected bounds
-        kth = jax.lax.top_k(votes_k, top)[0][:, -1]
-    # strict > keeps the D5 lowest-index tiebreak exact (a tie with an
-    # unselected audio's bound could hide an equal-score lower-index row);
-    # unselected_max <= 0 certifies trivially (everything unselected
-    # scores 0 — or nothing is unselected at all — and 0-vote rows never
-    # appear in a result anyway)
-    certificate = (kth > unselected_max) | (unselected_max <= 0)
-    return votes, certificate
+    # shared certification rule + candidate scatter (match_lattice):
+    # every prefiltered variant — dialplan lattice, aligned, shard-mapped,
+    # fused — certifies and lays out votes identically by construction
+    from tiresias_tpu.ops.match_lattice import certificate, scatter_candidates
+
+    votes = scatter_candidates(votes_k, idx, a)
+    return votes, certificate(votes_k, unselected_max, top)
 
 
 def search_batch_pallas(
