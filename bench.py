@@ -342,7 +342,7 @@ def bench_lattice_prefiltered(n_tracks: int = 1_000_000, t: int = 128) -> None:
     @jax.jit
     def seq_pre(qs, vm, vmq):
         def body(c, q):
-            vk, idx, un = ml._prefilter_core(
+            vk, idx, un, _ = ml._prefilter_core(
                 vm, vmq, q[None], ones1, tol, neg, pos, None, None,
                 k=ml.LATTICE_PREFILTER_K, k_min=ml.K_MIN,
                 k_size=ml.K_SIZE, has_ctx=False,
