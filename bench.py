@@ -93,6 +93,9 @@ def bench_fingerprint_throughput(small: bool = False) -> float:
     return throughput
 
 
+_measured_link_mbs = 0.0  # MB/s, set by the host-feed section each run
+
+
 def bench_fingerprint_hostfeed() -> None:
     """H2D-INCLUSIVE fingerprint throughput: int16 PCM batches streamed
     from HOST memory, transfers overlapped with compute via async dispatch
@@ -133,6 +136,8 @@ def bench_fingerprint_hostfeed() -> None:
     audio_seconds = iters * batch * clip_s
     throughput = audio_seconds / elapsed
     mb = iters * batch * n * 2 / 2**20
+    global _measured_link_mbs  # db build normalizes against this run's link
+    _measured_link_mbs = mb / elapsed
     print(
         f"[bench] fingerprint HOST-FEED: {iters} x {batch} x {clip_s:.0f}s "
         f"int16 ({mb:.0f} MB H2D) in {elapsed:.2f}s -> {throughput:.0f} "
@@ -890,8 +895,17 @@ def bench_db_build(n_clips: int = 1000) -> None:
         elapsed, report = timed[len(timed) // 2]
         best, best_report = timed[0]
         # the pipeline ships raw int16 PCM; the corpus' H2D bytes set a hard
-        # link-bound floor on any cold sync over this transport
+        # link-bound floor on any cold sync over this transport — normalize
+        # against the link speed THIS RUN measured (host-feed section), so
+        # the number distinguishes pipeline overhead from transport
         h2d_mb = report.created * 3.0 * sr * 2 / 1e6
+        floor = ""
+        if _measured_link_mbs:
+            floor_s = (h2d_mb / 1.048576) / _measured_link_mbs
+            floor = (
+                f"; same-run link floor {floor_s:.1f}s -> best trial at "
+                f"{100 * floor_s / best:.0f}% of link speed"
+            )
         print(
             f"[bench] db build: {report.created} clips x 3 s ingested in "
             f"{elapsed:.1f}s -> {report.created / elapsed:.0f} clips/s "
@@ -901,7 +915,7 @@ def bench_db_build(n_clips: int = 1000) -> None:
             f"{best_report.created * 3.0 / best:.0f} audio-hrs/hr; trial "
             f"spread {timed[0][0]:.1f}-{timed[-1][0]:.1f}s is dev-tunnel "
             f"jitter around the {h2d_mb:.0f} MB PCM upload this shared link "
-            "carries per cold sync)",
+            "carries per cold sync" + floor + ")",
             file=sys.stderr,
         )
     finally:
