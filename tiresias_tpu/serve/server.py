@@ -148,6 +148,11 @@ class RecognitionServer:
         # writer cleanup must wait for any pass that may still hold a
         # window of the hung-up channel)
         self._in_flight: set[asyncio.Task] = set()
+        # set by the pcm handler when a push completes a window: the
+        # scorer wakes immediately instead of finishing its tick — the
+        # tick's mean 10 ms wait would otherwise ride on every paced
+        # batch-1 recognition's completion latency
+        self._score_wake = asyncio.Event()
         self._cleanups: set[asyncio.Task] = set()
         self._chan_epoch: dict[str, int] = {}
         # wire law per channel, OWNED here (not read back from the
@@ -225,7 +230,15 @@ class RecognitionServer:
         in_flight = self._in_flight
         try:
             while True:
-                await asyncio.sleep(SCORE_INTERVAL_S)
+                # event-driven with the tick as fallback: a completed
+                # window wakes the pass immediately; timer-paced work
+                # (continuous-mode slides, stragglers) still runs at
+                # SCORE_INTERVAL_S
+                with contextlib.suppress(asyncio.TimeoutError):
+                    await asyncio.wait_for(
+                        self._score_wake.wait(), SCORE_INTERVAL_S
+                    )
+                self._score_wake.clear()
                 try:
                     if (
                         self.recognizer.n_channels == 0
@@ -542,7 +555,8 @@ class RecognitionServer:
                 pcm = np.frombuffer(raw, dtype=np.uint8)  # G.711 bytes
             else:
                 pcm = np.frombuffer(raw, dtype="<i2")
-            self.recognizer.push(cid(channel), pcm)
+            if self.recognizer.push(cid(channel), pcm):
+                self._score_wake.set()  # full window: wake the scorer now
         elif op == "stats":
             from tiresias_tpu.utils.tracing import metrics
 

@@ -265,13 +265,18 @@ class StreamingRecognizer:
                 raise ValueError(f"channel {channel_id!r} is already open")
             self._channels[channel_id] = state
 
-    def push(self, channel_id: str, pcm: np.ndarray) -> None:
+    def push(self, channel_id: str, pcm: np.ndarray) -> bool:
         """Feed PCM (float32 [-1,1]) — the ast_read frame loop
-        (/root/reference/src/application_handler.c:264-302, voice frames)."""
+        (/root/reference/src/application_handler.c:264-302, voice frames).
+
+        Returns True when the channel now buffers at least one COMPLETE
+        window: the TCP server uses this to wake its scorer immediately
+        instead of waiting out the remainder of the 20 ms tick (the tick
+        stays as the fallback pace for everything else)."""
         with self._lock:
             state = self._channels.get(channel_id)
             if state is None or state.closed:
-                return
+                return False
             pcm = np.asarray(pcm).ravel()
             if state.law is not None:
                 # G.711 channel: raw trunk bytes, ONE byte per sample, kept
@@ -309,14 +314,14 @@ class StreamingRecognizer:
                     # NaN/Inf frames would collapse to floor fingerprints
                     # that spuriously match silence; drop, don't poison
                     log.warning("dropped non-finite frame on %s", channel_id)
-                    return
+                    return False
             if state.skip_debt > 0:
                 # still discarding toward the next window (hop > duration)
                 take = min(state.skip_debt, len(pcm))
                 state.skip_debt -= take
                 pcm = pcm[take:]
                 if not len(pcm):
-                    return
+                    return False
             if state.buffered + len(pcm) > state.max_buffered:
                 raise ValueError(
                     f"channel buffer overflow: {state.buffered + len(pcm)} "
@@ -325,6 +330,7 @@ class StreamingRecognizer:
                 )
             state.chunks.append(pcm)
             state.buffered += len(pcm)
+            return state.buffered >= state.needed_samples
 
     def hangup(
         self, channel_id: str, flush: bool = True
