@@ -260,6 +260,10 @@ def _fingerprint_framed(
     kp = dft_re.shape[1]
     fp = mel_t.shape[1]
     cp = dct_t.shape[1]
+    if tile_f % 8:
+        # the halo BlockSpec addresses 8-row blocks at (ti+1)*tile_f//8;
+        # a non-multiple would silently fetch the wrong rows
+        raise ValueError(f"tile_f must be a multiple of 8, got {tile_f}")
     b, s = pcm.shape
     f = s // hop
     t = -(-f // tile_f)

@@ -238,12 +238,23 @@ class RecognitionServer:
                     await asyncio.wait_for(
                         self._score_wake.wait(), SCORE_INTERVAL_S
                     )
-                self._score_wake.clear()
                 try:
-                    if (
-                        self.recognizer.n_channels == 0
-                        or len(in_flight) >= MAX_SCORES_IN_FLIGHT
-                    ):
+                    self._score_wake.clear()
+                    if len(in_flight) >= MAX_SCORES_IN_FLIGHT:
+                        # every pass slot busy: sleep again — the
+                        # done-callback below re-sets the wake when a
+                        # slot frees, so a window that completed during
+                        # saturation dispatches the moment a pass ends,
+                        # not after the remaining tick. Windows that
+                        # complete while passes are in flight coalesce
+                        # into the NEXT pass (_take_ready batches
+                        # everything ready), so load keeps the old
+                        # tick-batched amortization.
+                        continue
+                    if not self.recognizer.has_ready():
+                        # nothing to take (idle tick, or a done-callback
+                        # wake that found the ready set already drained):
+                        # skip the executor round trip entirely
                         continue
                     # device work off the event loop so slow searches don't
                     # stall IO; NOT awaited here — up to MAX_SCORES_IN_FLIGHT
@@ -251,7 +262,14 @@ class RecognitionServer:
                     # hands each pass disjoint windows under the lock)
                     task = asyncio.create_task(self._score_once())
                     in_flight.add(task)
-                    task.add_done_callback(in_flight.discard)
+
+                    def _done(t, in_flight=in_flight):
+                        in_flight.discard(t)
+                        # a slot freed: re-check for windows that went
+                        # ready while we were saturated
+                        self._score_wake.set()
+
+                    task.add_done_callback(_done)
                 except Exception:  # noqa: BLE001 - the scorer must never die
                     log.exception("score loop iteration failed; continuing")
         finally:

@@ -413,6 +413,17 @@ class StreamingRecognizer:
             state = self._channels.get(channel_id)
             return state is not None and not state.closed
 
+    def has_ready(self) -> bool:
+        """Whether any channel currently buffers a COMPLETE window — the
+        server's scorer gates its dispatches on this (O(channels) pointer
+        reads under the lock; the same predicate ``_take_ready`` uses, so
+        a True here is exactly \"the next pass will take work\")."""
+        with self._lock:
+            return any(
+                not s.closed and s.buffered >= s.needed_samples
+                for s in self._channels.values()
+            )
+
     # ------------------------------------------------------------------ #
     # batched scoring
     # ------------------------------------------------------------------ #
