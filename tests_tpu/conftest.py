@@ -13,6 +13,16 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    # the real-backend suite compiles a dozen Pallas/XLA programs; over a
+    # remote-compile transport a cold run can take minutes per program, so
+    # reuse the same persistent executable cache the CLI/serve entry
+    # points use (utils/compile_cache.py)
+    from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+
 def pytest_collection_modifyitems(config, items):
     from tiresias_tpu.utils.platform import backend_alive, is_tpu
 
