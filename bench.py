@@ -81,7 +81,13 @@ def bench_fingerprint_throughput(small: bool = False) -> float:
     iters = 3 if small else 20
     start = time.perf_counter()
     outs = [run() for _ in range(iters)]
-    _ = sum(float(np.asarray(o[0, 0, 0])) for o in outs)
+    # sync with ONE readback: a device-side reduction over every output
+    # (so all iters' compute must finish) read back as a scalar. Reading
+    # o[0,0,0] per iter instead pays iters sequential host round trips —
+    # ~0.5 s of pure tunnel RTT in a degraded window, which halved the
+    # reported device-resident throughput on bad days.
+    probe = jnp.stack([o[0, 0, 0] for o in outs]).sum()
+    _ = float(np.asarray(probe))
     elapsed = time.perf_counter() - start
     audio_seconds = iters * batch * clip_s
     throughput = audio_seconds / elapsed
