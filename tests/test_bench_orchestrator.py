@@ -1,0 +1,74 @@
+"""The bench orchestrator's watchdog plumbing.
+
+Round 3's driver bench died rc=124 with ZERO output because one stalled
+XLA compile outlived the driver's timeout (BENCH_r03.json). bench.py now
+runs every section in its own subprocess under a hard deadline; these
+tests drive that machinery with stub sections — no device, no compiles.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+import time
+
+_BENCH = os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py")
+spec = importlib.util.spec_from_file_location("bench", _BENCH)
+bench = importlib.util.module_from_spec(spec)
+sys.modules.setdefault("bench", bench)
+spec.loader.exec_module(bench)
+
+
+class TestRegistry:
+    def test_every_secondary_section_is_registered(self):
+        for name, deadline in bench.SECONDARY:
+            assert name in bench.SECTIONS, name
+            assert deadline >= 60
+
+    def test_headline_ladder_sections_registered(self):
+        for name in ("fingerprint", "fingerprint_reduced", "fingerprint_cpu"):
+            assert name in bench.SECTIONS
+
+
+class TestExtractHeadline:
+    def test_finds_metric_line(self):
+        out = (
+            '[noise]\n{"_ctrl": 1, "key": "K", "value": 2}\n'
+            '{"metric": "fingerprint_throughput", "value": 5.0}\n'
+        )
+        line = bench._extract_headline(out)
+        assert json.loads(line)["value"] == 5.0
+
+    def test_none_on_no_line(self):
+        assert bench._extract_headline("garbage\n") is None
+        assert bench._extract_headline(None) is None
+
+
+class TestWatchdog:
+    def test_kills_stalled_section_within_deadline(self):
+        t0 = time.monotonic()
+        out = bench._run_child("_test_sleep", 30, {})
+        elapsed = time.monotonic() - t0
+        # the child sleeps 600 s; the watchdog must kill it at ~deadline.
+        # (the child still pays a few seconds of interpreter+jax import)
+        assert out is None
+        assert elapsed < 45
+
+    def test_headline_section_round_trips(self):
+        out = bench._run_child("_test_headline", 120, {})
+        line = bench._extract_headline(out)
+        assert line is not None
+        assert json.loads(line)["value"] == 1234.5
+
+    def test_control_lines_feed_state(self):
+        state = {}
+        # run the headline stub; fake a control line through the parser
+        out = '{"_ctrl": 1, "key": "TIRESIAS_BENCH_LINK_MBS", "value": 42.5}\n'
+        for ln in out.splitlines():
+            if ln.startswith('{"_ctrl"'):
+                d = json.loads(ln)
+                state[d["key"]] = d["value"]
+        assert state["TIRESIAS_BENCH_LINK_MBS"] == 42.5
+
+    def test_too_small_deadline_skips(self):
+        assert bench._run_child("_test_sleep", 10, {}) is None

@@ -225,3 +225,25 @@ class TestStatsCommand:
         run(capsys, "-c", env["conf"], "create")
         rc, out = run(capsys, "-c", env["conf"], "stats")
         assert rc == 0 and "3 audios in 1 contexts" in out
+
+
+class TestWarmupCommand:
+    def test_warmup_reports_programs_and_runs(self, env, capsys):
+        """`tiresias warmup` pre-compiles the serving config's search
+        programs and reports the bill — the operator's pre-cutover
+        cold-start tool (no reference analogue: C is AOT-compiled)."""
+        run(capsys, "-c", env["conf"], "create")
+        rc, out = run(
+            capsys, "-c", env["conf"], "warmup", "--max-channels", "2",
+            "--wire-formats", "ulaw",
+        )
+        assert rc == 0
+        # 2 buckets (1, 2) x (int16 + f32 + ulaw) = 6 programs
+        assert "6 search programs" in out
+        assert "warmup complete" in out
+
+    def test_warmup_rejects_unknown_wire_format(self, env, capsys):
+        rc, _ = run(
+            capsys, "-c", env["conf"], "warmup", "--wire-formats", "gsm",
+        )
+        assert rc == 2

@@ -34,6 +34,10 @@ import time
 
 import numpy as np
 
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from tiresias_tpu.api import Tiresias
 from tiresias_tpu.config import MatchConfig, TiresiasConfig
 from tiresias_tpu.serve.server import RecognitionServer, warmup_batch_sizes
@@ -165,6 +169,116 @@ def client(
         print(f"client {channel} failed: {exc}", file=sys.stderr)
 
 
+def _rss_mb() -> float:
+    with open("/proc/self/status") as fh:
+        for ln in fh:
+            if ln.startswith("VmRSS:"):
+                return float(ln.split()[1]) / 1024.0
+    return 0.0
+
+
+def _hbm_mb() -> float:
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return float(stats.get("bytes_in_use", 0)) / 2**20
+    except Exception:  # noqa: BLE001 - backend without memory_stats
+        return 0.0
+
+
+def mem_sampler(
+    stop: threading.Event, samples: list, period: float = 10.0
+) -> None:
+    """Record (t, host RSS MB, device HBM MB) every ``period`` s for the
+    soak's memory-trend assertion (VERDICT r3 item 8: flat memory under
+    sustained load + live mutation)."""
+    t0 = time.monotonic()
+    while not stop.is_set():
+        samples.append((time.monotonic() - t0, _rss_mb(), _hbm_mb()))
+        stop.wait(period)
+    samples.append((time.monotonic() - t0, _rss_mb(), _hbm_mb()))
+
+
+def mutator(
+    port: int,
+    mut_dir: str,
+    seconds: float,
+    stats: dict,
+    lock: threading.Lock,
+    period: float = 20.0,
+) -> None:
+    """Live admin-plane mutation under load: every ``period`` s, ingest a
+    new clip into its own context via per-context sync, then alternately
+    remove it (file + admin remove_audio), with periodic save/compact —
+    the store's device views churn (new gens, re-armed prefilter gates)
+    while the client fleet keeps recognizing on the untouched context."""
+    import os
+
+    from tiresias_tpu.utils.audio import write_wav
+
+    n = ok = fail = 0
+    deadline = time.monotonic() + seconds
+    try:
+        with socket.create_connection(("127.0.0.1", port), timeout=30.0) as s:
+            f = s.makefile("rw", encoding="utf-8", newline="\n")
+
+            def admin(**msg):
+                f.write(json.dumps({"op": "admin", **msg}) + "\n")
+                f.flush()
+                return json.loads(f.readline())
+
+            while time.monotonic() < deadline:
+                path = os.path.join(mut_dir, f"m{n}.wav")
+                write_wav(path, synth_tone(2400 + 31 * (n % 40), 2.0, SR), SR)
+                r = admin(cmd="sync", context="mut")
+                created = r.get("admin", {}).get("sync", {}).get("created")
+                ok += created == 1
+                fail += created != 1
+                if n % 2:  # remove the previous cycle's clip, live
+                    rows = admin(cmd="show_audios", context="mut")
+                    rows = rows.get("admin", {}).get("audios", [])
+                    victim = next(
+                        (r for r in rows
+                         if f"m{n - 1}.wav" in str(r.get("name", ""))
+                         or str(r.get("name", "")) == f"m{n - 1}"),
+                        None,
+                    )
+                    if victim:
+                        os.unlink(
+                            os.path.join(mut_dir, f"m{n - 1}.wav")
+                        )
+                        rm = admin(cmd="remove_audio",
+                                   uuid=victim["uuid"])
+                        removed = rm.get("admin", {}).get("removed")
+                        ok += removed is True
+                        fail += removed is not True
+                if n % 3 == 2:
+                    ok += admin(cmd="save").get("admin", {}).get(
+                        "saved"
+                    ) is True
+                if n % 5 == 4:
+                    ok += admin(cmd="compact").get("admin", {}).get(
+                        "compacted"
+                    ) is True
+                n += 1
+                wake = time.monotonic() + period
+                while time.monotonic() < min(wake, deadline):
+                    time.sleep(0.5)
+        print(
+            f"mutator: {n} cycles, {ok} admin mutations ok, {fail} failed "
+            "(live sync/remove/save/compact under full client load)",
+            file=sys.stderr,
+        )
+        with lock:
+            stats["mutations"] = ok
+            stats["errors"] += fail
+    except Exception as exc:  # noqa: BLE001 - a dead mutator is an error stat
+        with lock:
+            stats["errors"] += 1
+        print(f"mutator failed: {exc}", file=sys.stderr)
+
+
 def hostile_client(port: int, stats: dict, lock: threading.Lock) -> None:
     """Abusive client exercising every protocol bound: over-cap duration,
     buffer-overflow pushes, unknown-channel hangups, and an over-limit line.
@@ -228,6 +342,12 @@ def main() -> int:
         help="run an abusive client alongside the fleet; it must get clean "
         "errors while everyone else keeps recognizing",
     )
+    ap.add_argument(
+        "--mutate", action="store_true",
+        help="run a live admin mutator alongside the fleet: per-context "
+        "sync ingest, remove, save, compact against the serving store",
+    )
+    ap.add_argument("--mutate-period", type=float, default=20.0)
     ap.add_argument("--debug", action="store_true")
     ap.add_argument(
         "--cpu", action="store_true",
@@ -244,6 +364,10 @@ def main() -> int:
     enable_compilation_cache()
 
     eng = build_engine(args.wire)
+    mut_dir = None
+    if args.mutate:
+        mut_dir = tempfile.mkdtemp(prefix="tir_soak_mut")
+        eng.create_context("mut", mut_dir)
     for b in warmup_batch_sizes(args.channels):
         # warm the ACTUAL window shape: a non-default --duration-ms in a
         # different frame bucket would otherwise compile every batch
@@ -297,20 +421,58 @@ def main() -> int:
                 target=hostile_client, args=(port, stats, lock), daemon=True
             )
         )
+    if args.mutate:
+        threads.append(
+            threading.Thread(
+                target=mutator,
+                args=(port, mut_dir, args.seconds, stats, lock,
+                      args.mutate_period),
+                daemon=True,
+            )
+        )
+    mem_stop = threading.Event()
+    mem_samples: list = []
+    mem_thread = threading.Thread(
+        target=mem_sampler, args=(mem_stop, mem_samples), daemon=True
+    )
+    mem_thread.start()
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     elapsed = time.monotonic() - t0
+    mem_stop.set()
+    mem_thread.join(timeout=5)
     pct = 100.0 * stats["correct"] / max(1, stats["windows"])
     print(
         f"soak: {stats['windows']} windows, {pct:.1f}% correct, "
         f"{stats['windows'] / elapsed:.1f}/s sustained, "
         f"{stats['errors']} errors "
         f"({args.channels} channels x {args.seconds:.0f}s, "
-        f"{args.duration_ms} ms window / {args.hop_ms} ms hop)",
+        f"{args.duration_ms} ms window / {args.hop_ms} ms hop"
+        + (f", {stats.get('mutations', 0)} live mutations" if args.mutate
+           else "")
+        + ")",
         flush=True,
     )
+    # memory-trend assertion: compare steady-state halves (the first
+    # samples include compile/warm allocations and are excluded)
+    mem_flat = True
+    if len(mem_samples) >= 4:
+        body = mem_samples[1:]
+        half = len(body) // 2
+        rss_a = float(np.median([s[1] for s in body[:half]]))
+        rss_b = float(np.median([s[1] for s in body[half:]]))
+        hbm_a = float(np.median([s[2] for s in body[:half]]))
+        hbm_b = float(np.median([s[2] for s in body[half:]]))
+        mem_flat = rss_b <= rss_a * 1.15 + 64 and hbm_b <= hbm_a * 1.15 + 64
+        print(
+            f"soak-mem: RSS median {rss_a:.0f} -> {rss_b:.0f} MB, "
+            f"HBM {hbm_a:.0f} -> {hbm_b:.0f} MB over "
+            f"{mem_samples[-1][0]:.0f}s ({len(mem_samples)} samples) — "
+            f"{'flat' if mem_flat else 'GROWING'}",
+            flush=True,
+        )
     # stop AFTER reporting; waiting also keeps the interpreter from tearing
     # down the executor under the daemon threads ("cannot schedule new
     # futures after interpreter shutdown"). server.close() cancels
@@ -322,7 +484,7 @@ def main() -> int:
         ).result(timeout=30)
     except (TimeoutError, asyncio.CancelledError):
         pass
-    return 0 if stats["errors"] == 0 and pct > 95.0 else 1
+    return 0 if stats["errors"] == 0 and pct > 95.0 and mem_flat else 1
 
 
 if __name__ == "__main__":
