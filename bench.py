@@ -171,11 +171,13 @@ def bench_fingerprint_hostfeed() -> None:
 
     dsp = DspConfig()
     sr = 8000
-    batch, clip_s = 256, 60.0
+    batch, clip_s = 256, 30.0
     n = int(sr * clip_s)
     n -= n % dsp.hop_size
     rng = np.random.default_rng(11)
-    # distinct host buffers so no transfer is cached away
+    # distinct host buffers so no transfer is cached away (4 x ~117 MB —
+    # the section exists to measure the link, so the upload IS the work,
+    # but it must fit a congested window inside the watchdog deadline)
     n_bufs = 4
     bufs = [
         np.clip(
@@ -184,9 +186,10 @@ def bench_fingerprint_hostfeed() -> None:
         ).astype(np.int16)
         for _ in range(n_bufs)
     ]
+    mark("hostfeed: compiling + first upload")
     out = fingerprint_padded_batch(bufs[0], sr, dsp)  # compile
     float(np.asarray(out[0, 0, 0]))
-    iters = 8
+    iters = 4
     start = time.perf_counter()
     outs = [
         fingerprint_padded_batch(bufs[i % n_bufs], sr, dsp)
@@ -1157,7 +1160,7 @@ def _speechlike_batch(
 
 
 def bench_accuracy(
-    n_tracks: int = 10_000, n_queries: int = 100, n_impostors: int = 50
+    n_tracks: int = 10_240, n_queries: int = 100, n_impostors: int = 50
 ) -> None:
     """Accuracy AT SCALE in the driver artifact (VERDICT r3 weak #5): top-1
     and false-accept rates against ``n_tracks`` distractor tracks for (a)
@@ -1189,7 +1192,9 @@ def bench_accuracy(
     eng.create_context("c")
 
     mark(f"accuracy: synthesizing + fingerprinting {n_tracks} tracks")
-    bs = 512
+    bs = 512  # n_tracks stays a multiple: ONE device batch shape, ONE
+    # compile (a 272-row remainder batch cost a second multi-minute
+    # compile in a degraded remote-compile window)
     kept: dict[int, np.ndarray] = {}  # track idx -> pcm (query targets)
     targets = list(range(0, n_tracks, max(1, n_tracks // n_queries)))
     targets = targets[:n_queries]
@@ -1242,7 +1247,10 @@ def bench_accuracy(
             if not pf:
                 eng._pf_allowed = saved
         if expect is None:
-            hits = sum(r.found and r.confidence > 0.5 for r in res)
+            hits = (
+                sum(r.found and r.confidence > 0.5 for r in res),
+                sum(r.found and r.confidence > 0.9 for r in res),
+            )
         else:
             hits = sum(
                 r.found and r.name == want
@@ -1285,7 +1293,8 @@ def bench_accuracy(
             f"[bench] accuracy @ {n_tracks} distractors, {label}: "
             f"top-1 clean {ex}/{len(excerpts)}, noisy20dB "
             f"{nz}/{len(noisy)}, G.711 wire {g7}/{len(wire)}; "
-            f"false-accepts {fa}/{n_impostors}; prefilter ON==OFF "
+            f"false-accepts {fa[0]}/{n_impostors} @conf>0.5 "
+            f"({fa[1]} @conf>0.9); prefilter ON==OFF "
             f"{'yes' if same else 'NO — MISMATCH'}" + note
         )
     # the documented noise operating point: widening tolerance trades
@@ -1298,7 +1307,10 @@ def bench_accuracy(
         lines.append(
             f"[bench] accuracy @ {n_tracks} distractors, aligned@8 tol "
             f"0.3 (noise operating point): noisy20dB {nz3}/{len(noisy)}; "
-            f"false-accepts {fa3}/{n_impostors}"
+            f"false-accepts {fa3[0]}/{n_impostors} @conf>0.5 "
+            f"({fa3[1]} @conf>0.9 — at 10k distractors the wider "
+            "tolerance needs the higher confidence gate, "
+            "docs/performance.md §noise)"
         )
     fallbacks = _fallbacks()
     for ln in lines:
@@ -1330,28 +1342,25 @@ def bench_prefilter_fallback(n_tracks: int = 100_000, t: int = 128) -> None:
     from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
 
     sr = 8000
-    eng = Tiresias(
-        TiresiasConfig(data_dir=tempfile.mkdtemp(prefix="tir_bench_tie")),
-        restore=False,
-    )
-    eng.create_context("c")
-    mark(f"prefilter fallback: injecting {n_tracks} near-duplicate tracks")
     rng = np.random.default_rng(13)
     q = synth_tone(440, 3.0, sr)
     # every track is (a tiling of) the QUERY's own fingerprint plus noise
     # far below the tolerance: every query frame votes on every track, all
     # n_tracks tie at the maximum — no top-k bound can separate them and
     # the exactness certificate fails on every single query (the designed
-    # worst case of PARITY D19's two-stage search)
+    # worst case of PARITY D19's two-stage search). The dialplan corpus
+    # stores the TRUNCATED coef-1 values (search compares |db - trunc(q)|,
+    # fp_handler.c:290 — raw values would never vote at tol 0.001); the
+    # aligned corpus stores the raw values.
     qn = len(q) - len(q) % 256
     qfp = np.asarray(
         fingerprint_padded_batch(q[None, :qn], sr, DspConfig())
     )[0]
     reps = int(np.ceil(t / qfp.shape[0]))
-    base = np.tile(qfp, (reps, 1))[:t].astype(np.float32)
+    base_raw = np.tile(qfp, (reps, 1))[:t].astype(np.float32)
+    base_trunc = base_raw.copy()
+    base_trunc[:, 0] = np.trunc(base_trunc[:, 0])
     noise = rng.uniform(-1e-5, 1e-5, (n_tracks, t, 2)).astype(np.float32)
-    for i in range(n_tracks):
-        eng.store.add_audio(f"t{i}", "c", base + noise[i], f"tie{i:08d}")
 
     def _fb() -> int:
         return int(
@@ -1360,42 +1369,53 @@ def bench_prefilter_fallback(n_tracks: int = 100_000, t: int = 128) -> None:
             )
         )
 
-    def series(label, n_q, **kw):
-        times = []
-        fb0 = _fb()
-        for _ in range(n_q):
-            t0 = time.perf_counter()
-            eng.search_pcm("c", q, sr, **kw)
-            times.append((time.perf_counter() - t0) * 1e3)
-        return times, _fb() - fb0
-
-    for label, kw in (
-        ("dialplan", {}),
-        ("aligned@2 tol 0.1",
+    for label, base, kw in (
+        ("dialplan", base_trunc, {}),
+        ("aligned@2 tol 0.1", base_raw,
          dict(coefs=2, tolerance=0.1, trunc_coef1=False, aligned=True)),
     ):
+        mark(
+            f"prefilter fallback: injecting {n_tracks} near-duplicate "
+            f"tracks ({label} corpus)"
+        )
+        eng = Tiresias(
+            TiresiasConfig(data_dir=tempfile.mkdtemp(prefix="tir_tie")),
+            restore=False,
+        )
+        eng.create_context("c")
+        for i in range(n_tracks):
+            eng.store.add_audio(
+                f"t{i}", "c", base + noise[i], f"tie{i:08d}"
+            )
         mark(f"prefilter fallback: '{label}' compile + miss phase")
-        eng.search_pcm("c", q, sr, **kw)  # compile both paths
+        eng.search_pcm("c", q, sr, **kw)  # compile + first miss
         # fresh view (re-arms the gate) so the miss phase is measured
         # from streak 0: any store mutation produces a new view gen
-        eng.store.add_audio(
-            f"rearm-{label}", "c", base, f"rearm{label[:4]}"
-        )
+        eng.store.add_audio(f"rearm", "c", base, "rearm000")
         eng.search_pcm("c", q, sr, **kw)  # compile at the new A (+1 row)
-        times, fb = series(label, 12, **kw)
+        times, fbs = [], []
+        fb0 = _fb()
+        for _ in range(12):
+            t0 = time.perf_counter()
+            r = eng.search_pcm("c", q, sr, **kw)
+            times.append((time.perf_counter() - t0) * 1e3)
+            fbs.append(_fb() - fb0)
+        assert r.found, "tie corpus must match (every track votes)"
         miss_phase = times[:8]  # gate disables after 8 straight misses
         gated = times[8:]
         print(
             f"[bench] prefilter fallback-regime @ {n_tracks} tie-heavy "
-            f"tracks, {label}: miss-phase p50={np.percentile(miss_phase, 50):.1f} "
-            f"ms/query (bound scan + full-scan fallback, {fb} certificate "
-            f"misses -> gate closed at 8), gated steady-state "
-            f"p50={np.percentile(gated, 50):.1f} ms/query (full scan only; "
-            "store mutation re-arms)",
+            f"tracks, {label}: miss-phase "
+            f"p50={np.percentile(miss_phase, 50):.1f} ms/query (bound "
+            f"scan + certificate miss + full-scan fallback; {fbs[-1]} "
+            f"misses -> adaptive gate closed after query "
+            f"{next((i + 1 for i, v in enumerate(fbs) if v == fbs[-1]), 0)}"
+            f"), gated steady-state p50={np.percentile(gated, 50):.1f} "
+            "ms/query (full scan only; store mutation re-arms)",
             file=sys.stderr,
             flush=True,
         )
-    eng.close()
+        eng.close()
 
 
 def bench_coldstart() -> None:
@@ -1545,13 +1565,15 @@ SECONDARY = (
     ("server", 300),
     ("streams", 330),
     ("accuracy", 420),
-    ("fallback_regime", 240),
-    ("hostfeed", 150),
+    ("fallback_regime", 330),
     ("db_build", 300),
-    ("engine_search", 180),
-    ("device_rank", 180),
     ("search_scale", 330),
     ("coldstart", 180),
+    # trailing tier: first to be trimmed under budget pressure (their
+    # stories are mostly told by earlier lines)
+    ("hostfeed", 240),
+    ("engine_search", 240),
+    ("device_rank", 180),
 )
 
 
