@@ -946,6 +946,23 @@ def bench_db_build(n_clips: int = 1000) -> None:
         _measured_link_mbs = float(
             os.environ.get("TIRESIAS_BENCH_LINK_MBS", "0") or 0
         )
+    if not _measured_link_mbs:
+        # no host-feed measurement this run (section order / watchdog):
+        # probe the link with one 32 MB upload so the floor line stays
+        # same-run (what distinguishes pipeline overhead from transport)
+        import jax.numpy as jnp
+
+        probe = np.random.default_rng(0).integers(  # 32 MiB, incompressible
+            -1000, 1000, (16, 2**20), dtype=np.int16
+        )
+        t0 = time.perf_counter()
+        # readback, not block_until_ready: over the tunneled PJRT plugin
+        # the latter returns before the transfer lands
+        int(np.asarray(jnp.asarray(probe)[0, 0]))
+        dt = time.perf_counter() - t0
+        if dt > 0.05:  # a cached/instant transfer measured nothing
+            _measured_link_mbs = 32.0 / dt
+            mark(f"db build: link probe {_measured_link_mbs:.0f} MB/s")
 
     from tiresias_tpu.api import Tiresias
     from tiresias_tpu.config import ContextConfig, TiresiasConfig

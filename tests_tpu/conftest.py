@@ -21,6 +21,13 @@ def pytest_configure(config):
     from tiresias_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
+    # cold-cache CI tier: `pytest tests_tpu -m smoke` compiles ~1/4 of
+    # the programs (one test per kernel family — MFCC, bag match,
+    # lattice, aligned, engine end-to-end), bounding a cold first run;
+    # the full suite is the warm-cache / release gate
+    config.addinivalue_line(
+        "markers", "smoke: cold-cache CI subset (one test per kernel family)"
+    )
 
 
 def pytest_collection_modifyitems(config, items):

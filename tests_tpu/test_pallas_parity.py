@@ -24,6 +24,7 @@ def _random_batch(rng, b=8, seconds=2.0, dtype=np.float32):
     return pcm
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("dtype", [np.float32, np.int16])
 def test_mfcc_pallas_bitwise_equals_xla(rng, dtype):
     import jax.numpy as jnp
@@ -51,6 +52,7 @@ def test_mfcc_pallas_bitwise_equals_xla(rng, dtype):
     assert bit_equal > 0.5, f"only {bit_equal:.1%} bit-identical"
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("coefs", [1, 2])
 def test_match_pallas_bitwise_equals_xla(rng, coefs):
     import jax.numpy as jnp
@@ -80,6 +82,7 @@ def test_match_pallas_bitwise_equals_xla(rng, coefs):
         np.testing.assert_array_equal(np.asarray(count_p), np.asarray(count_x))
 
 
+@pytest.mark.smoke
 def test_lattice_equals_xla_on_device(rng):
     import jax.numpy as jnp
 
@@ -183,6 +186,7 @@ def test_framed_kernel_bitwise_equals_frame_materialising(rng):
     np.testing.assert_array_equal(framed.reshape(3 * f, dsp.n_coefs), ref)
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("coefs", [1, 2, 8])
 def test_aligned_pallas_equals_xla_on_device(rng, coefs):
     """The fused aligned (offset-consistent) kernel — the recommended
@@ -296,6 +300,7 @@ def test_aligned_long_tier_sliding_window_on_device(rng):
     assert int(np.asarray(votes_p)[0, 7]) == f
 
 
+@pytest.mark.smoke
 def test_engine_int16_end_to_end_on_device(rng, tmp_path):
     """Full engine path on the real chip with int16 telephony input: ingest
     (raw-int16 H2D + device scaling), fused dialplan search, aligned

@@ -433,7 +433,10 @@ def main() -> int:
     mem_stop = threading.Event()
     mem_samples: list = []
     mem_thread = threading.Thread(
-        target=mem_sampler, args=(mem_stop, mem_samples), daemon=True
+        target=mem_sampler,
+        args=(mem_stop, mem_samples,
+              max(1.0, min(10.0, args.seconds / 8))),
+        daemon=True,
     )
     mem_thread.start()
     for t in threads:
@@ -458,7 +461,13 @@ def main() -> int:
     # memory-trend assertion: compare steady-state halves (the first
     # samples include compile/warm allocations and are excluded)
     mem_flat = True
-    if len(mem_samples) >= 4:
+    if len(mem_samples) < 4:
+        print(
+            f"soak-mem: only {len(mem_samples)} samples (run too short "
+            "for a trend) — flat by default",
+            flush=True,
+        )
+    else:
         body = mem_samples[1:]
         half = len(body) // 2
         rss_a = float(np.median([s[1] for s in body[:half]]))
