@@ -633,6 +633,18 @@ def cmd_bench(args) -> int:
     spec = importlib.util.spec_from_file_location("bench", path)
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
+    if getattr(args, "section", None):
+        if args.section not in bench.SECTIONS:
+            names = ", ".join(n for n in bench.SECTIONS if not
+                              n.startswith("_"))
+            print(f"bench: unknown section {args.section!r} (choose from "
+                  f"{names})", file=sys.stderr)
+            return 2
+        from tiresias_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        bench.SECTIONS[args.section]()
+        return 0
     bench.main()
     return 0
 
@@ -939,6 +951,11 @@ def build_parser() -> argparse.ArgumentParser:
     rl.set_defaults(func=cmd_reload)
 
     be = sub.add_parser("bench", help="run the benchmark harness")
+    be.add_argument(
+        "--section", default=None,
+        help="run ONE bench section in-process (default: the full "
+        "watchdogged orchestrator)",
+    )
     be.set_defaults(func=cmd_bench)
 
     st = sub.add_parser(
