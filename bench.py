@@ -1200,6 +1200,9 @@ def bench_accuracy(
     from tiresias_tpu.utils.audio import float_to_i16
     from tiresias_tpu.utils.g711 import encode
 
+    import jax
+    import jax.numpy as jnp
+
     sr = 8000
     clip_s, query_s = 2.0, 1.5
     rng = np.random.default_rng(99)
@@ -1214,22 +1217,69 @@ def bench_accuracy(
     bs = 512  # n_tracks stays a multiple: ONE device batch shape, ONE
     # compile (a 272-row remainder batch cost a second multi-minute
     # compile in a degraded remote-compile window)
+    n_clip = int(clip_s * sr)
+    n_clip -= n_clip % 256
+
+    # corpus synthesized ON DEVICE (the host variant _speechlike_batch
+    # cost ~190 s of host sin + PCM uploads for 10k tracks; here only
+    # tiny parameter vectors go up and only fingerprints + the target
+    # rows come back). The int16 round-trip mirrors the telephony path.
+    def synth_batch(params, key):
+        t = jnp.arange(n_clip, dtype=jnp.float32)[None, None, :] / sr
+        f0, vibf, amp, modf, phase = params
+        vib = 1.0 + 0.03 * jnp.sin(
+            2 * jnp.pi * vibf[:, None, :] * t
+        )  # [nb, 1, n]
+        h = jnp.arange(1, 9, dtype=jnp.float32)[None, :, None]
+        mod = 1.0 + 0.5 * jnp.sin(2 * jnp.pi * modf * t + phase)
+        out = (
+            amp * mod * jnp.sin(2 * jnp.pi * f0[:, None, :] * h * vib * t)
+        ).sum(axis=1)
+        out += 0.02 * jax.random.normal(key, out.shape, jnp.float32)
+        out *= 0.3 / jnp.maximum(
+            1e-9, jnp.abs(out).max(axis=1, keepdims=True)
+        )
+        i16 = jnp.clip(
+            jnp.round(out * 32768.0), -32768, 32767
+        ).astype(jnp.int16)
+        return i16, fingerprint_padded_batch(i16, sr, dsp)
+
+    synth_batch_j = jax.jit(synth_batch)
+
+    def draw_params(nb):
+        return (
+            jnp.asarray(rng.uniform(90, 220, (nb, 1)), jnp.float32),
+            jnp.asarray(rng.uniform(3, 7, (nb, 1)), jnp.float32),
+            jnp.asarray(
+                rng.uniform(0.2, 1.0, (nb, 8, 1))
+                / np.arange(1, 9)[None, :, None], jnp.float32,
+            ),
+            jnp.asarray(rng.uniform(0.5, 3.0, (nb, 8, 1)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 6.28, (nb, 8, 1)), jnp.float32),
+        )
+
     kept: dict[int, np.ndarray] = {}  # track idx -> pcm (query targets)
     targets = list(range(0, n_tracks, max(1, n_tracks // n_queries)))
     targets = targets[:n_queries]
     tset = set(targets)
     done = 0
+    batch_no = 0
     while done < n_tracks:
         nb = min(bs, n_tracks - done)
-        pcm = _speechlike_batch(rng, nb, clip_s, sr)
-        fps = np.asarray(
-            fingerprint_padded_batch(float_to_i16(pcm), sr, dsp)
+        i16_d, fps_d = synth_batch_j(
+            draw_params(nb), jax.random.PRNGKey(1000 + batch_no)
         )
+        batch_no += 1
+        fps = np.asarray(fps_d)
+        rows = [j for j in range(nb) if done + j in tset]
+        if rows:
+            pcm_rows = np.asarray(i16_d[jnp.asarray(rows)])
+            for j, pr in zip(rows, pcm_rows):
+                kept[done + j] = pr.astype(np.float32) / 32768.0
         for j in range(nb):
-            i = done + j
-            if i in tset:
-                kept[i] = pcm[j]
-            eng.store.add_audio(f"clip{i}", "c", fps[j], f"acc{i:08d}")
+            eng.store.add_audio(
+                f"clip{done + j}", "c", fps[j], f"acc{done + j:08d}"
+            )
         done += nb
     mark(f"accuracy: corpus ready ({done} tracks); building query sets")
 

@@ -504,7 +504,8 @@ def cmd_warmup(args) -> int:
     total = _time.perf_counter() - t0
     print(
         f"warmup complete: {n_programs} programs in {total:.1f}s "
-        "(persistent cache makes every later process near-instant)",
+        "(compiles now persist in the cache; later processes pay only "
+        "dispatch, not compilation)",
         flush=True,
     )
     eng.close()
