@@ -923,10 +923,12 @@ def bench_server_latency(
         f"(~{2 * n_clients} rps offered): completion "
         f"p50={paced_p50:.1f} ms "
         f"p90={np.percentile(lats, 90):.1f} ms "
-        f"= device RTT {rtt_dev:.1f} + server overhead {overhead:.1f} ms "
+        f"= device RTT {rtt_dev:.1f} + residual {overhead:.1f} ms "
         f"(scorer tick + batching + attribution + {rtt_tcp:.2f} ms TCP "
-        "loopback; same-run floors above — the <10 ms north star is "
-        "judged on the overhead term, the RTT is transport)",
+        "loopback + the score pass's FURTHER wire round-trips — the "
+        "residual shrinks with the same-run RTT floor above; clean-window "
+        "measurements put true server-side work at ~7 ms, "
+        "docs/performance.md)",
         file=sys.stderr,
     )
     try:
