@@ -204,8 +204,9 @@ def bench_fingerprint_hostfeed() -> None:
     mb = iters * batch * n * 2 / 2**20
     global _measured_link_mbs  # db build normalizes against this run's link
     _measured_link_mbs = mb / elapsed
-    # control line for the orchestrator: the db-build section runs in a
-    # different subprocess and needs this run's measured link speed
+    # control line for the orchestrator (used when sections are ordered
+    # with hostfeed before db_build; in the DEFAULT order db_build runs
+    # first and measures its own one-shot link probe instead)
     print(
         json.dumps({"_ctrl": 1, "key": "TIRESIAS_BENCH_LINK_MBS",
                     "value": round(mb / elapsed, 1)}),
@@ -1472,15 +1473,19 @@ def bench_prefilter_fallback(n_tracks: int = 100_000, t: int = 128) -> None:
             times.append((time.perf_counter() - t0) * 1e3)
             fbs.append(_fb() - fb0)
         assert r.found, "tie corpus must match (every track votes)"
-        miss_phase = times[:8]  # gate disables after 8 straight misses
-        gated = times[8:]
+        # split on the OBSERVED gate closure (the post-rearm compile
+        # search already consumed miss #1 of the fresh view's streak, so
+        # the closure lands around timed query 7, not 8 — derive it from
+        # the counter instead of hard-coding)
+        close_i = fbs.index(max(fbs)) if max(fbs) else 7
+        miss_phase = times[: close_i + 1] or times[:1]
+        gated = times[close_i + 1:] or times[-1:]
         print(
             f"[bench] prefilter fallback-regime @ {n_tracks} tie-heavy "
             f"tracks, {label}: miss-phase "
             f"p50={np.percentile(miss_phase, 50):.1f} ms/query (bound "
             f"scan + certificate miss + full-scan fallback; {fbs[-1]} "
-            f"misses -> adaptive gate closed after query "
-            f"{next((i + 1 for i, v in enumerate(fbs) if v == fbs[-1]), 0)}"
+            f"misses -> adaptive gate closed after query {close_i + 1}"
             f"), gated steady-state p50={np.percentile(gated, 50):.1f} "
             "ms/query (full scan only; store mutation re-arms)",
             file=sys.stderr,
@@ -1623,6 +1628,11 @@ SECTIONS = {
     # watchdog actually kills a stalled section (the round-3 failure mode)
     "_test_sleep": lambda: time.sleep(600),
     "_test_headline": lambda: _emit_headline(1234.5),
+    "_test_ctrl": lambda: print(
+        json.dumps({"_ctrl": 1, "key": "TIRESIAS_BENCH_LINK_MBS",
+                    "value": 42.5}),
+        flush=True,
+    ),
 }
 
 # (name, nominal watchdog deadline s) — most judge-relevant first, so a
@@ -1735,8 +1745,15 @@ def _orchestrate() -> None:
             if not alive
             else "cpu_fallback_after_tpu_watchdog_kills"
         )
+        # clamp to the remaining budget like the TPU rungs (but never
+        # below a floor that a local CPU compile can actually meet —
+        # printing the headline a little late beats never printing it)
         headline = _extract_headline(
-            _run_child("fingerprint_cpu", 240, state, force_cpu=True)
+            _run_child(
+                "fingerprint_cpu",
+                min(240, max(60, _budget_s() - _t())),
+                state, force_cpu=True,
+            )
         )
     if headline is None:  # never leave the driver without a parseable line
         headline = json.dumps({
@@ -1762,7 +1779,14 @@ def _orchestrate() -> None:
 
 def main() -> None:
     if "--section" in sys.argv:
-        name = sys.argv[sys.argv.index("--section") + 1]
+        i = sys.argv.index("--section") + 1
+        name = sys.argv[i] if i < len(sys.argv) else ""
+        if name not in SECTIONS:
+            names = ", ".join(n for n in SECTIONS if not n.startswith("_"))
+            print(
+                f"bench: --section needs one of: {names}", file=sys.stderr
+            )
+            raise SystemExit(2)
         if os.environ.get("TIRESIAS_BENCH_FORCE_CPU"):
             import jax
 

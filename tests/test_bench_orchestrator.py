@@ -61,13 +61,11 @@ class TestWatchdog:
         assert json.loads(line)["value"] == 1234.5
 
     def test_control_lines_feed_state(self):
+        # drive the REAL parser in _run_child with a stub section that
+        # emits a control line — an inline re-implementation would keep
+        # passing after the actual parsing loop regressed
         state = {}
-        # run the headline stub; fake a control line through the parser
-        out = '{"_ctrl": 1, "key": "TIRESIAS_BENCH_LINK_MBS", "value": 42.5}\n'
-        for ln in out.splitlines():
-            if ln.startswith('{"_ctrl"'):
-                d = json.loads(ln)
-                state[d["key"]] = d["value"]
+        bench._run_child("_test_ctrl", 120, state)
         assert state["TIRESIAS_BENCH_LINK_MBS"] == 42.5
 
     def test_too_small_deadline_skips(self):

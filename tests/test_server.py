@@ -175,6 +175,14 @@ class TestProtocol:
         assert r3 == {"channel": "ok", "opened": True}
         assert r4["result"]["TIRSTATUS"] == "FOUND"
 
+    def test_echo_op(self, server):
+        """Liveness/RTT probe: inline reply, no scorer, no device —
+        the TCP-floor term of the bench's latency decomposition."""
+        replies = _talk(server.port, [{"op": "echo", "payload": "ping"}], 1)
+        assert replies[0] == {"echo": "ping"}
+        replies = _talk(server.port, [{"op": "echo"}], 1)
+        assert replies[0] == {"echo": ""}
+
     def test_stats_op(self, server):
         replies = _talk(server.port, [{"op": "stats", "channel": ""}], 1)
         stats = replies[0]["stats"]

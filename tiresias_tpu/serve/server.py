@@ -12,6 +12,8 @@ per line:
        bytes instead — one byte per sample, decoded ON DEVICE; "l16" is
        the default linear int16)
     → {"op": "hangup", "channel": "c1"}
+    → {"op": "echo", "payload": "..."}    (liveness/RTT probe; replies
+       {"echo": payload} inline — no scorer, no device)
     ← {"channel": "c1", "result": {"TIRSTATUS": "FOUND", ...,
        "CONFIDENCE": "0.96"}}
 
@@ -575,6 +577,17 @@ class RecognitionServer:
                 pcm = np.frombuffer(raw, dtype="<i2")
             if self.recognizer.push(cid(channel), pcm):
                 self._score_wake.set()  # full window: wake the scorer now
+        elif op == "echo":
+            # minimal wire round-trip: socket IO + JSON parse + inline
+            # reply on the event loop, touching neither the scorer nor
+            # the device. Load balancers use it as a liveness probe and
+            # the bench as the TCP-floor term of its latency
+            # decomposition (bench.py server section).
+            writer.write(
+                (json.dumps({"echo": msg.get("payload", "")}) + "\n")
+                .encode()
+            )
+            await writer.drain()
         elif op == "stats":
             from tiresias_tpu.utils.tracing import metrics
 

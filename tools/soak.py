@@ -244,7 +244,17 @@ def mutator(
 
             while time.monotonic() < deadline:
                 path = os.path.join(mut_dir, f"m{n}.wav")
-                write_wav(path, synth_tone(2400 + 31 * (n % 40), 2.0, SR), SR)
+                # per-cycle unique CONTENT, not just a tone palette: only
+                # even cycles are ever removed, so odd clips persist with
+                # their hashes — a palette that wraps (31 * (n % 40))
+                # reproduces an old hash, sync dedupes it (created=0) and
+                # a long soak reports spurious mutator failures (this is
+                # exactly what SOAK_r04.json's 9 'failed' ops were)
+                tone = synth_tone(2400 + 31 * (n % 40), 2.0, SR)
+                tone += 1e-4 * np.random.default_rng(n).standard_normal(
+                    len(tone)
+                ).astype(np.float32)
+                write_wav(path, tone, SR)
                 r = admin(cmd="sync", context="mut")
                 created = r.get("admin", {}).get("sync", {}).get("created")
                 ok += created == 1
@@ -494,9 +504,13 @@ def main() -> int:
         rss_b = float(np.median([s[1] for s in body[half:]]))
         hbm_a = float(np.median([s[2] for s in body[:half]]))
         hbm_b = float(np.median([s[2] for s in body[half:]]))
-        mem_flat = rss_b <= rss_a * 1.15 + 64 and hbm_b <= hbm_a * 1.15 + 64
+        rss_flat = rss_b <= rss_a * 1.15 + 64
+        hbm_flat = hbm_b <= hbm_a * 1.15 + 64
+        mem_flat = rss_flat and hbm_flat
         verdict = "flat" if mem_flat else "GROWING"
-        if not mem_flat and _tunneled_backend():
+        # the transport-leak allowance below may only excuse the RSS
+        # term — a growing HBM trend is a real device leak regardless
+        if not rss_flat and hbm_flat and _tunneled_backend():
             # KNOWN DEV-TUNNEL ARTIFACT, measured and bounded (round 4):
             # the tunneled PJRT plugin leaks every host->device upload's
             # bytes host-side (1,000 fresh 6 MB uploads grew RSS by
