@@ -170,14 +170,21 @@ def client(
 
 
 def _tunneled_backend() -> bool:
-    """True when the default backend is a TUNNELED PJRT plugin (platform
-    string 'axon' — the dev environment's remote TPU relay). Local
-    backends (cpu, real tpu) return False, so the per-upload-leak
-    allowance below can never mask a real framework leak there."""
+    """True when the default backend is a TUNNELED PJRT plugin (the dev
+    environment's 'axon' remote TPU relay — devices report platform
+    'tpu', so the plugin REGISTRATION name / platform_version is the
+    discriminator). Local backends (cpu, real tpu) return False, so the
+    per-upload-leak allowance below can never mask a real framework
+    leak there."""
     try:
-        import jax
+        import jax  # noqa: F401 - backend must be initialized
+        import jax._src.xla_bridge as xb
 
-        return jax.devices()[0].platform == "axon"
+        if "axon" in xb.backends():
+            return True
+        return "axon" in str(
+            getattr(xb.get_backend(), "platform_version", "")
+        ).lower()
     except Exception:  # noqa: BLE001
         return False
 
