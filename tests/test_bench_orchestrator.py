@@ -70,3 +70,12 @@ class TestWatchdog:
 
     def test_too_small_deadline_skips(self):
         assert bench._run_child("_test_sleep", 10, {}) is None
+
+    def test_partial_output_salvaged_on_watchdog_kill(self):
+        """A section that prints its headline and THEN hangs (PJRT
+        teardown over a dead relay) must not lose the measurement: the
+        watchdog kill drains the pipe and returns the partial output."""
+        out = bench._run_child("_test_headline_then_hang", 30, {})
+        line = bench._extract_headline(out)
+        assert line is not None
+        assert json.loads(line)["value"] == 777.0

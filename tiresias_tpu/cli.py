@@ -486,6 +486,17 @@ def cmd_warmup(args) -> int:
     import jax
 
     cache_dir = jax.config.jax_compilation_cache_dir
+    if cache_dir is None:
+        # (TIRESIAS_NO_COMPILE_CACHE set): warming THIS process is
+        # pointless — nothing persists for the serving process to reuse
+        print(
+            "warmup: the persistent compilation cache is DISABLED "
+            "(TIRESIAS_NO_COMPILE_CACHE); compiles would not outlive "
+            "this process — unset it and re-run",
+            file=sys.stderr,
+        )
+        eng.close()
+        return 2
     print(
         f"warming {len(sizes)} batch buckets {sizes} x "
         f"{2 + len(warm_laws)} wire dtypes = {n_programs} search programs "
@@ -635,16 +646,17 @@ def cmd_bench(args) -> int:
     bench = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(bench)
     if getattr(args, "section", None):
-        if args.section not in bench.SECTIONS:
-            names = ", ".join(n for n in bench.SECTIONS if not
-                              n.startswith("_"))
-            print(f"bench: unknown section {args.section!r} (choose from "
-                  f"{names})", file=sys.stderr)
-            return 2
-        from tiresias_tpu.utils.compile_cache import enable_compilation_cache
-
-        enable_compilation_cache()
-        bench.SECTIONS[args.section]()
+        # delegate to bench.main()'s own --section path (validation,
+        # TIRESIAS_BENCH_FORCE_CPU handling, cache enable) — a second
+        # dispatch implementation here would drift from it
+        saved_argv = sys.argv
+        sys.argv = ["bench.py", "--section", args.section]
+        try:
+            bench.main()
+        except SystemExit as exc:
+            return int(exc.code or 0)
+        finally:
+            sys.argv = saved_argv
         return 0
     bench.main()
     return 0

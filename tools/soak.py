@@ -289,13 +289,19 @@ def mutator(
                             fail += 1
                             fail_reasons.append(f"cycle {n} remove: {rm}")
                 if n % 3 == 2:
-                    ok += admin(cmd="save").get("admin", {}).get(
-                        "saved"
-                    ) is True
+                    r = admin(cmd="save")
+                    good = r.get("admin", {}).get("saved") is True
+                    ok += good
+                    if not good:
+                        fail += 1
+                        fail_reasons.append(f"cycle {n} save: {r}")
                 if n % 5 == 4:
-                    ok += admin(cmd="compact").get("admin", {}).get(
-                        "compacted"
-                    ) is True
+                    r = admin(cmd="compact")
+                    good = r.get("admin", {}).get("compacted") is True
+                    ok += good
+                    if not good:
+                        fail += 1
+                        fail_reasons.append(f"cycle {n} compact: {r}")
                 n += 1
                 wake = time.monotonic() + period
                 while time.monotonic() < min(wake, deadline):
