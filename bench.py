@@ -153,6 +153,41 @@ def bench_fingerprint_throughput(
         file=sys.stderr,
         flush=True,
     )
+    if not small and not reduced and not over_budget("fast-mode headline"):
+        # the opt-in reduced-precision envelope (TIRESIAS_FAST_MFCC:
+        # default MXU precision instead of f32-HIGHEST, ±0.03 drift in
+        # the log-log domain — docs/performance.md). Never the JSON
+        # headline: parity mode is the product default.
+        os.environ["TIRESIAS_FAST_MFCC"] = "1"
+        try:
+            @jax.jit
+            def run_scan_fast(pcm, eps):
+                def body(acc, e):
+                    fp = fingerprint_padded_batch(pcm + e, sr, dsp)
+                    return acc + fp[0, 0, 0], None
+
+                acc, _ = jax.lax.scan(body, jnp.float32(0.0), eps)
+                return acc
+
+            mark("fingerprint: compiling FAST-mode scan (opt-in)")
+            float(np.asarray(run_scan_fast(pcm, eps)))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(np.asarray(run_scan_fast(pcm, eps)))
+                ts.append(time.perf_counter() - t0)
+            el = float(np.median(ts))
+            print(
+                f"[bench] fingerprint FAST MODE (opt-in "
+                f"TIRESIAS_FAST_MFCC, ±0.03 log-domain drift): "
+                f"{audio_seconds / el:.0f} audio-hrs/hr "
+                f"({el * 1e9 / frames:.0f} ns/frame; parity mode stays "
+                "the headline)",
+                file=sys.stderr,
+                flush=True,
+            )
+        finally:
+            del os.environ["TIRESIAS_FAST_MFCC"]
     return throughput
 
 
