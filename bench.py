@@ -60,6 +60,50 @@ def _budget_s() -> float:
     return float(os.environ.get("TIRESIAS_BENCH_BUDGET_S", "1100"))
 
 
+def summary(section: str, **kw) -> None:
+    """Per-section key numbers for the driver artifact (VERDICT r4 #1).
+
+    Printed as a stdout control line the orchestrator aggregates; after
+    the last section it prints ONE compact ``{"sections": ...}`` JSON
+    line followed by the headline JSON as the FINAL stdout lines — the
+    driver keeps only the last ~2000 chars of output and parses the
+    final lines, so the bench's last words must be its most important
+    ones (BENCH_r04.json lost the 695k headline to tail truncation).
+    Repeated calls for the same section merge (partial results survive a
+    later watchdog kill)."""
+
+    def _r(v):
+        return round(v, 2) if isinstance(v, float) else v
+
+    print(
+        json.dumps(
+            {"_summary": 1, "section": section,
+             **{k: _r(v) for k, v in kw.items()}},
+            separators=(",", ":"),
+        ),
+        flush=True,
+    )
+
+
+def _rtt_probe_ms(n: int = 15) -> float:
+    """Same-run device dispatch round-trip floor (ms): one trivial jitted
+    readback, timed warm — the cost every blocking dispatch pays at least
+    once (~27-35 ms over this dev tunnel; ~0.1 ms on local hardware).
+    Every full-stack latency line prints this same-run floor next to its
+    p50 so the artifact carries its own decomposition (VERDICT r4 #2)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda x: x + 1)
+    float(np.asarray(probe(jnp.float32(0.0))))  # compile
+    ts = []
+    for i in range(n):
+        t0 = time.perf_counter()
+        float(np.asarray(probe(jnp.float32(i % 7))))
+        ts.append((time.perf_counter() - t0) * 1e3)
+    return float(np.percentile(ts, 50))
+
+
 def over_budget(label: str) -> bool:
     """True (and prints a skip marker) when the bench is past its soft
     wall-clock budget — callers skip the labeled section/config."""
@@ -153,6 +197,8 @@ def bench_fingerprint_throughput(
         file=sys.stderr,
         flush=True,
     )
+    summary("fingerprint", hrs_hr=round(throughput),
+            ns_frame=round(ns_frame, 1))
     if not small and not reduced and not over_budget("fast-mode headline"):
         # the opt-in reduced-precision envelope (TIRESIAS_FAST_MFCC:
         # default MXU precision instead of f32-HIGHEST, ±0.03 drift in
@@ -186,6 +232,8 @@ def bench_fingerprint_throughput(
                 file=sys.stderr,
                 flush=True,
             )
+            summary("fingerprint", fast_hrs_hr=round(audio_seconds / el),
+                    fast_ns_frame=round(el * 1e9 / frames, 1))
         finally:
             del os.environ["TIRESIAS_FAST_MFCC"]
     return throughput
@@ -253,6 +301,8 @@ def bench_fingerprint_hostfeed() -> None:
         f"audio-hrs/hr incl. H2D ({mb / elapsed:.0f} MB/s sustained link)",
         file=sys.stderr,
     )
+    summary("hostfeed", hrs_hr=round(throughput),
+            link_mbs=round(mb / elapsed, 1))
 
 
 def bench_search_latency(
@@ -296,11 +346,12 @@ def bench_search_latency(
     # host arrays: the chunked fixed-shape build — one compile per tier
     value_map = build_value_map(db, mask)
     float(np.asarray(value_map[0, 0]))  # sync
+    build_s = time.perf_counter() - t_build0
     if time_build:
         vm_mb = value_map.size * value_map.dtype.itemsize / 2**20
         print(
             f"[bench] lattice build @ {n_tracks} tracks: "
-            f"{time.perf_counter() - t_build0:.1f}s for a {vm_mb:.0f} MB "
+            f"{build_s:.1f}s for a {vm_mb:.0f} MB "
             "distance map (exact O(A*(T+K)) transform, incl. H2D)",
             file=sys.stderr,
         )
@@ -381,6 +432,20 @@ def bench_search_latency(
         f"{np.percentile(seq_times, 50):.1f} ms incl. one tunnel RTT)",
         file=sys.stderr,
     )
+    # search_scale reuses this function at 100k/1M; keep the two
+    # sections' numbers apart in the final summary line
+    if n_tracks == 10_000:
+        sec, pfx = "search", ""
+    else:
+        sec = "search_scale"
+        pfx = "1m_" if n_tracks >= 1_000_000 else "100k_"
+    kw = {f"{pfx}dev_ms": per_query}
+    for b in (1, 64):
+        if b in results:
+            kw[f"{pfx}b{b}_ms"] = results[b]
+    if time_build:
+        kw[f"{pfx}build_s"] = round(build_s, 1)
+    summary(sec, **kw)
     return results.get(64, results.get("device", 0.0))
 
 
@@ -494,6 +559,11 @@ def bench_lattice_prefiltered(n_tracks: int = 1_000_000, t: int = 128) -> None:
         "map's read traffic)",
         file=sys.stderr,
     )
+    summary(
+        "lattice_prefiltered", pf_ms=results["prefiltered"],
+        full_ms=results["full f32 scan"], speedup=round(speedup, 1),
+        certs=f"{certs}/{k_seq}",
+    )
 
 
 def bench_aligned_scale(n_coefs: int = 8) -> None:
@@ -603,6 +673,8 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
                 "fused Pallas offset-accumulation kernel, full scan)",
                 file=sys.stderr,
             )
+            apfx = {100_000: "100k", 1_000_000: "1m"}.get(n_tracks, "long")
+            summary("aligned_scale", **{f"{apfx}_full_ms": per_query})
 
         # certified two-stage path: bound matmuls + top-k exact rescore
         if not prefilter:
@@ -649,6 +721,12 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
             f"dispatch; certificates {int(certs.sum())}/{len(certs)} exact; "
             f"one-off bound-map build {build_s:.1f}s)",
             file=sys.stderr,
+        )
+        apfx = {100_000: "100k", 1_000_000: "1m"}.get(n_tracks, "long")
+        summary(
+            "aligned_scale",
+            **{f"{apfx}_pf_ms": per_query_p,
+               f"{apfx}_certs": f"{int(certs.sum())}/{len(certs)}"},
         )
 
         if n_tracks == 100_000:
@@ -699,6 +777,8 @@ def bench_aligned_scale(n_coefs: int = 8) -> None:
                 f"in-context winners {'all correct' if ok else 'WRONG'})",
                 file=sys.stderr,
             )
+            summary("aligned_scale", ctx_ms=per_query_c,
+                    ctx_ok=bool(ok))
         del db_d, mask_d, maps
 
 
@@ -724,6 +804,13 @@ def bench_engine_search(n_tracks: int = 10_000) -> None:
         eng.store.add_audio(f"t{i}", "c", fp, f"h{i:08d}")
     q = synth_tone(440, 3.0, sr)
     eng.search_pcm("c", q, sr)  # compile + view/lattice build
+    # same-run dispatch RTT floor: the fused path is ONE blocking
+    # device round-trip per batch, so `p50 - RTT` is the host-side
+    # overhead term the <10 ms north star judges (VERDICT r4 #2 — the
+    # bare 43.84 ms in BENCH_r04.json read as a 4x miss when ~2 RTTs
+    # of it were transport)
+    rtt = _rtt_probe_ms()
+    kw_sum: dict = {"rtt_ms": rtt}
     for batch in (1, 64):
         qs = [q] * batch
         eng.search_pcm_batch("c", qs, sr)
@@ -732,12 +819,20 @@ def bench_engine_search(n_tracks: int = 10_000) -> None:
             t0 = time.perf_counter()
             eng.search_pcm_batch("c", qs, sr)
             times.append((time.perf_counter() - t0) * 1e3 / batch)
+        p50 = float(np.percentile(times, 50))
+        ovh = p50 - rtt / batch
+        kw_sum[f"b{batch}_ms"] = p50
+        kw_sum[f"b{batch}_ovh_ms"] = round(ovh, 2)
         print(
             f"[bench] engine search @ {n_tracks} tracks, batch {batch}: "
-            f"p50={np.percentile(times, 50):.2f} ms/query full-stack "
-            "(host batching + fused dispatch + attribution, incl. tunnel RTT)",
+            f"p50={p50:.2f} ms/query full-stack = dispatch RTT "
+            f"{rtt / batch:.2f} + host+device overhead {ovh:.2f} ms "
+            f"(host batching + ONE fused dispatch + attribution; "
+            f"same-run RTT floor {rtt:.1f} ms, ~0.1 ms on local PCIe)",
             file=sys.stderr,
         )
+    summary("engine_search", **kw_sum)
+    eng.close()
 
 
 def bench_device_rank(n_tracks: int = 100_000) -> None:
@@ -764,27 +859,40 @@ def bench_device_rank(n_tracks: int = 100_000) -> None:
         eng.store.add_audio(f"t{i}", "c", fp, f"r{i:08d}")
     q = synth_tone(440, 3.0, sr)
     kw = dict(coefs=2, tolerance=0.01, trunc_coef1=False)
+    # same-run dispatch RTT floor: the staged multi-coef path pays
+    # SEVERAL blocking round-trips per query over this tunnel, so the
+    # line carries its own decomposition (VERDICT r4 #2 — the bare
+    # 164.84 ms @100k in BENCH_r04.json had no RTT term on it)
+    rtt = _rtt_probe_ms()
+    kw_sum: dict = {"rtt_ms": rtt}
 
-    def p50(label):
+    def p50(label, key):
         eng.search_pcm("c", q, sr, **kw)  # warm
         times = []
         for _ in range(20):
             t0 = time.perf_counter()
             eng.search_pcm("c", q, sr, **kw)
             times.append((time.perf_counter() - t0) * 1e3)
+        p = float(np.percentile(times, 50))
+        n_rtt = p / rtt if rtt > 1e-6 else 0.0
+        kw_sum[key] = p
         print(
             f"[bench] device-rank @ {n_tracks} tracks, {label}: "
-            f"p50={np.percentile(times, 50):.2f} ms/query full-stack",
+            f"p50={p:.2f} ms/query full-stack (~{n_rtt:.1f}x the "
+            f"same-run {rtt:.1f} ms dispatch RTT floor — transport-"
+            "dominated on this tunnel, ~0.1 ms RTT on local PCIe)",
             file=sys.stderr,
         )
+        return p
 
-    p50("device top-1 (O(B) readback)")
+    p50("device top-1 (O(B) readback)", "dev_rank_ms")
     saved = eng._device_ranked_batch
     eng._device_ranked_batch = lambda *a, **k: None
     try:
-        p50("host ranking (full [1, A] readback)")
+        p50("host ranking (full [1, A] readback)", "host_rank_ms")
     finally:
         eng._device_ranked_batch = saved
+    summary("device_rank", **kw_sum)
     eng.close()
 
 
@@ -853,20 +961,7 @@ def bench_server_latency(
     # (a) device dispatch RTT: one trivial jitted readback, timed after
     # warmup — the host<->chip round-trip every score pass pays at least
     # once (over this dev tunnel ~30 ms; ~0.1 ms on local hardware)
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def _probe(x):
-        return x + 1
-
-    float(np.asarray(_probe(jnp.float32(0.0))))  # compile
-    dev_ts = []
-    for _ in range(15):
-        t0 = time.perf_counter()
-        float(np.asarray(_probe(jnp.float32(t0 % 7))))
-        dev_ts.append((time.perf_counter() - t0) * 1e3)
-    rtt_dev = float(np.percentile(dev_ts, 50))
+    rtt_dev = _rtt_probe_ms()
     # (b) TCP loopback echo through the server's event loop (socket IO +
     # JSON parse + reply write; no scorer, no device)
     with socket.create_connection(("127.0.0.1", port), timeout=30) as es:
@@ -948,6 +1043,11 @@ def bench_server_latency(
         f"({total / busy:.0f} qps) with pipelined score passes",
         file=sys.stderr,
     )
+    summary(
+        "server", rtt_ms=rtt_dev, tcp_ms=rtt_tcp,
+        burst_p50_ms=float(np.percentile(lats, 50)),
+        ss_ms=round(busy / total * 1e3, 2), qps=round(total / busy),
+    )
     # phase 2 — PACED: ~2 requests/s/client with random phase (realistic
     # offered load well under capacity) — per-request completion latency
     # without the burst queue; over this tunnel it floors at ~RTT + tick
@@ -967,6 +1067,7 @@ def bench_server_latency(
         "docs/performance.md)",
         file=sys.stderr,
     )
+    summary("server", paced_p50_ms=paced_p50, resid_ms=round(overhead, 1))
     try:
         asyncio.run_coroutine_threadsafe(
             holder["server"].stop(), holder["loop"]
@@ -1094,6 +1195,12 @@ def bench_db_build(n_clips: int = 1000) -> None:
             "carries per cold sync" + floor + ")",
             file=sys.stderr,
         )
+        kw_db = {"hrs_hr": round(report.created * 3.0 / elapsed),
+                 "best_hrs_hr": round(best_report.created * 3.0 / best)}
+        if _measured_link_mbs:
+            kw_db["link_pct"] = round(100 * floor_s / best)
+            kw_db["link_mbs"] = round(_measured_link_mbs, 1)
+        summary("db_build", **kw_db)
     finally:
         shutil.rmtree(directory, ignore_errors=True)
         shutil.rmtree(data, ignore_errors=True)
@@ -1164,6 +1271,8 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
         f"aggregate ({audio_s / elapsed / n_streams:.2f}x per channel)",
         file=sys.stderr,
     )
+    summary("streams", x128=round(audio_s / elapsed, 1),
+            x128_per_ch=round(audio_s / elapsed / n_streams, 2))
     if scale_streams > n_streams:
         done, elapsed = run(scale_streams)
         audio_s = scale_streams * 3.0
@@ -1174,6 +1283,7 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
             f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
             file=sys.stderr,
         )
+        summary("streams", x1024=round(audio_s / elapsed, 1))
         if over_budget("streams SCALE ulaw"):
             return
         # G.711 trunk bytes: HALF the per-window H2D of int16 (uint8 to
@@ -1186,6 +1296,7 @@ def bench_streams(n_streams: int = 128, scale_streams: int = 1024) -> None:
             f"({audio_s / elapsed / scale_streams:.2f}x per channel)",
             file=sys.stderr,
         )
+        summary("streams", x1024_ulaw=round(audio_s / elapsed, 1))
 
 
 def _speechlike_batch(
@@ -1407,6 +1518,15 @@ def bench_accuracy(
             file=sys.stderr,
             flush=True,
         )
+        pre = "dp" if "dialplan" in label else "al8"
+        summary(
+            "accuracy", n=n_tracks,
+            **{f"{pre}_clean": f"{ex}/{len(excerpts)}",
+               f"{pre}_noisy": f"{nz}/{len(noisy)}",
+               f"{pre}_g711": f"{g7}/{len(wire)}",
+               f"{pre}_fa": f"{fa[0]}/{n_impostors}",
+               f"{pre}_pf_eq": bool(same)},
+        )
     # the documented noise operating point: widening tolerance trades
     # noisy recall against false-accept headroom (performance.md §noise)
     if not over_budget("accuracy tol-0.3 noise point"):
@@ -1424,6 +1544,8 @@ def bench_accuracy(
             file=sys.stderr,
             flush=True,
         )
+        summary("accuracy", tol03_noisy=f"{nz3}/{len(noisy)}",
+                tol03_fa=f"{fa3[0]}/{n_impostors}")
     fallbacks = _fallbacks()
     print(
         f"[bench] accuracy: prefilter certificate fallbacks this section: "
@@ -1431,6 +1553,7 @@ def bench_accuracy(
         file=sys.stderr,
         flush=True,
     )
+    summary("accuracy", pf_fallbacks=fallbacks)
     eng.close()
 
 
@@ -1523,6 +1646,10 @@ def bench_prefilter_fallback(n_tracks: int = 100_000, t: int = 128) -> None:
                 file=sys.stderr,
                 flush=True,
             )
+            pre = "dp" if label == "dialplan" else "al2"
+            summary("fallback_regime",
+                    **{f"{pre}_ms": float(np.percentile(times, 50)),
+                       f"{pre}_note": "pf_not_exercised"})
             eng.close()
             continue
         # split on the OBSERVED gate closure (the post-rearm compile
@@ -1542,6 +1669,12 @@ def bench_prefilter_fallback(n_tracks: int = 100_000, t: int = 128) -> None:
             "ms/query (full scan only; store mutation re-arms)",
             file=sys.stderr,
             flush=True,
+        )
+        pre = "dp" if label == "dialplan" else "al2"
+        summary(
+            "fallback_regime",
+            **{f"{pre}_miss_ms": float(np.percentile(miss_phase, 50)),
+               f"{pre}_gated_ms": float(np.percentile(gated, 50))},
         )
         eng.close()
 
@@ -1583,6 +1716,7 @@ def bench_coldstart() -> None:
         file=sys.stderr,
         flush=True,
     )
+    summary("coldstart", warm_s=round(warm_s, 1), programs=2 * len(sizes))
     eng.close()
     if over_budget("coldstart cold-cache run"):
         return
@@ -1625,6 +1759,7 @@ def bench_coldstart() -> None:
                 file=sys.stderr,
                 flush=True,
             )
+            summary("coldstart", cold_s=round(cold_s, 1))
         else:
             mark(f"coldstart: cold-cache run failed rc={proc.returncode}")
     except subprocess.TimeoutExpired:
@@ -1683,6 +1818,11 @@ SECTIONS = {
     "_test_headline_then_hang": lambda: (
         _emit_headline(777.0), time.sleep(600)
     ),
+    "_test_summary": lambda: (
+        summary("alpha", a_ms=1.5),
+        summary("alpha", b=2),
+        summary("beta", ok=True),
+    ),
     "_test_ctrl": lambda: print(
         json.dumps({"_ctrl": 1, "key": "TIRESIAS_BENCH_LINK_MBS",
                     "value": 42.5}),
@@ -1713,8 +1853,33 @@ SECONDARY = (
 )
 
 
+def _consume_control_lines(
+    out: str | None, state: dict, summaries: dict | None
+) -> None:
+    """Parse a section's captured stdout for ``{"_ctrl": ...}`` state
+    lines and ``{"_summary": ...}`` per-section key numbers. Same-section
+    summaries merge, so a section that prints results incrementally keeps
+    its finished numbers even when the watchdog kills it later."""
+    for ln in (out or "").splitlines():
+        if ln.startswith('{"_ctrl"'):
+            try:
+                d = json.loads(ln)
+                state[d["key"]] = d["value"]
+            except (ValueError, KeyError):
+                pass
+        elif ln.startswith('{"_summary"') and summaries is not None:
+            try:
+                d = json.loads(ln)
+                sec = d.pop("section")
+                d.pop("_summary", None)
+                summaries.setdefault(sec, {}).update(d)
+            except (ValueError, KeyError):
+                pass
+
+
 def _run_child(
-    name: str, deadline: float, state: dict, force_cpu: bool = False
+    name: str, deadline: float, state: dict,
+    summaries: dict | None = None, force_cpu: bool = False,
 ) -> str | None:
     """Run one section in a subprocess under a hard watchdog deadline.
 
@@ -1764,26 +1929,14 @@ def _run_child(
             f"shape, now bounded per section"
             f"{'; partial output salvaged' if out else ''})"
         )
-        for ln in out.splitlines():
-            if ln.startswith('{"_ctrl"'):
-                try:
-                    d = json.loads(ln)
-                    state[d["key"]] = d["value"]
-                except (ValueError, KeyError):
-                    pass
+        _consume_control_lines(out, state, summaries)
         return out or None
     dt = time.monotonic() - t0
     if proc.returncode != 0:
         mark(f"section {name}: FAILED rc={proc.returncode} after {dt:.0f}s")
     else:
         mark(f"section {name}: done in {dt:.0f}s")
-    for ln in (out or "").splitlines():
-        if ln.startswith('{"_ctrl"'):
-            try:
-                d = json.loads(ln)
-                state[d["key"]] = d["value"]
-            except (ValueError, KeyError):
-                pass
+    _consume_control_lines(out, state, summaries)
     return out
 
 
@@ -1805,13 +1958,14 @@ def _orchestrate() -> None:
     alive = backend_alive(timeout=90, attempts=1)
     mark(f"backend probe: {'live' if alive else 'UNREACHABLE (dead relay)'}")
     state: dict = {}
+    summaries: dict = {}
     headline = None
     if alive:
         # escalation ladder: full -> reduced (smaller program compiles
         # faster in a degraded window) -> CPU (local compile, can't stall)
         for name, dl in (("fingerprint", 240), ("fingerprint_reduced", 150)):
             headline = _extract_headline(
-                _run_child(name, min(dl, budget - _t()), state)
+                _run_child(name, min(dl, budget - _t()), state, summaries)
             )
             if headline:
                 break
@@ -1828,7 +1982,7 @@ def _orchestrate() -> None:
             _run_child(
                 "fingerprint_cpu",
                 min(240, max(60, _budget_s() - _t())),
-                state, force_cpu=True,
+                state, summaries, force_cpu=True,
             )
         )
     if headline is None:  # never leave the driver without a parseable line
@@ -1840,6 +1994,7 @@ def _orchestrate() -> None:
     print(headline, flush=True)
     if not alive:
         mark("skipping secondary sections: TPU backend unreachable")
+        _print_final(headline, summaries)
         return
     for name, nominal in SECONDARY:
         remaining = budget - _t()
@@ -1849,8 +2004,31 @@ def _orchestrate() -> None:
                 f"{budget:.0f}s budget)"
             )
             continue
-        _run_child(name, min(nominal, remaining), state)
+        _run_child(name, min(nominal, remaining), state, summaries)
     mark("bench complete (rc=0)")
+    _print_final(headline, summaries)
+
+
+def _print_final(headline: str, summaries: dict) -> None:
+    """The bench's LAST stdout lines: the compact all-sections summary,
+    then the headline JSON again (VERDICT r4 #1 — the driver keeps only
+    the tail of the output and parses the final lines; in round 4 the
+    headline printed first and scrolled out of the artifact, leaving
+    `parsed: null`). Both lines together must fit the ~2000-char tail."""
+    if summaries:
+        keep = dict(summaries)
+        line = json.dumps({"sections": keep}, separators=(",", ":"))
+        # keep the line (and the headline after it) inside the tail
+        # window: drop the LARGEST section payloads whole — a parseable
+        # line with named drops beats an unparseable truncated one
+        while len(line) > 1700:
+            big = max(keep, key=lambda s: len(json.dumps(keep[s])))
+            if keep[big] == "dropped_for_size":
+                break  # every payload already dropped; nothing to shrink
+            keep[big] = "dropped_for_size"
+            line = json.dumps({"sections": keep}, separators=(",", ":"))
+        print(line, flush=True)
+    print(headline, flush=True)
 
 
 def main() -> None:
