@@ -413,3 +413,106 @@ class TestProtocolDtype:
             expect_lines=1,
         )
         assert "unknown dtype" in replies[0]["error"]
+
+
+class TestG711WavIngest:
+    """G.711 WAVs ingest as RAW wire bytes (round-5 compressed ingest
+    wire): read_wav_g711 parses format tags 7/6 without expanding;
+    engine/sync ships the codes to the device, where the table expansion
+    is bit-identical to host decoding (PARITY D18)."""
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_wav_round_trip(self, tmp_path, law):
+        from tiresias_tpu.utils.audio import read_wav_g711, write_wav_g711
+
+        codes = g711.encode(_tone_i16(440, 1.0), law)
+        p = str(tmp_path / "t.wav")
+        write_wav_g711(p, codes, SR, law)
+        got = read_wav_g711(p)
+        assert got is not None
+        got_codes, sr, got_law = got
+        assert sr == SR and got_law == law
+        np.testing.assert_array_equal(got_codes, codes)
+
+    def test_non_g711_wav_returns_none(self, tmp_path):
+        from tiresias_tpu.utils.audio import read_wav_g711, write_wav
+
+        p = str(tmp_path / "pcm.wav")
+        write_wav(p, synth_tone(440, 0.5, SR), SR)
+        assert read_wav_g711(p) is None
+        assert read_wav_g711(str(tmp_path / "missing.wav")) is None
+
+    @pytest.mark.parametrize("law", ["ulaw", "alaw"])
+    def test_sync_ingests_wire_bytes_bit_identical(self, tmp_path, law):
+        """A synced G.711 WAV must store the SAME fingerprint as host-
+        decoding the codes and ingesting linear PCM (D18 exactness), and
+        wire-byte queries of the same codes must self-match fully."""
+        from tiresias_tpu.utils.audio import write_wav_g711
+
+        codes = g711.encode(_tone_i16(330, 1.0), law)
+        media = tmp_path / "m"
+        media.mkdir()
+        write_wav_g711(str(media / "a.wav"), codes, SR, law)
+        eng = Tiresias(
+            TiresiasConfig(
+                contexts=(ContextConfig("c", str(media)),),
+                data_dir=str(tmp_path / "d"),
+            ),
+            restore=False,
+        )
+        assert eng.sync().created == 1
+        entry = eng.get_audios("c")[0]
+        fp_wire = eng.store.get_fingerprint(entry.uuid)
+        # oracle: host-decode the same codes, ingest as linear floats
+        eng.create_context("o")
+        host = g711.decode(codes, law)
+        e2 = eng.add_audio_pcm("o", "host", host, SR)
+        fp_host = eng.store.get_fingerprint(e2.uuid)
+        # allclose, not array_equal: the uint8-gather and float programs
+        # are DIFFERENT XLA compilations (1-ulp fusion wobble on CPU);
+        # same-shape bitwise parity is TestDeviceDecode's claim
+        np.testing.assert_allclose(fp_wire, fp_host, atol=2e-5)
+        # the wire bytes as a search query hit their own file exactly
+        r = eng.search_pcm(
+            "c", codes, SR, coefs=2, tolerance=0.01, trunc_coef1=False,
+            wire_law=law,
+        )
+        assert r.status == "FOUND" and r.name == "a.wav"
+        assert r.match_count == r.frame_count
+        eng.close()
+
+    def test_sync_over_mesh_matches_unsharded_g711(self, tmp_path):
+        """The mesh ingest path must apply the same expansion + valid-
+        sample masking per shard (sharded_fingerprint law/n_valid)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tiresias_tpu.parallel import make_mesh
+        from tiresias_tpu.utils.audio import write_wav_g711
+
+        media = tmp_path / "m"
+        media.mkdir()
+        for i in range(6):
+            codes = g711.encode(_tone_i16(200 + 40 * i, 0.7), "ulaw")
+            write_wav_g711(str(media / f"m{i}.wav"), codes, SR, "ulaw")
+        mk = lambda sub, mesh: Tiresias(  # noqa: E731
+            TiresiasConfig(
+                contexts=(ContextConfig("c", str(media)),),
+                data_dir=str(tmp_path / sub),
+            ),
+            restore=False, mesh=mesh,
+        )
+        eng_m = mk("dm", make_mesh(4, 2))
+        eng_s = mk("ds", None)
+        assert eng_m.sync().created == 6
+        assert eng_s.sync().created == 6
+        fm = {e.name: eng_m.store.get_fingerprint(e.uuid)
+              for e in eng_m.get_audios("c")}
+        fs = {e.name: eng_s.store.get_fingerprint(e.uuid)
+              for e in eng_s.get_audios("c")}
+        assert fm.keys() == fs.keys()
+        for name in fm:
+            np.testing.assert_allclose(fm[name], fs[name], atol=1e-5)
+        eng_m.close()
+        eng_s.close()

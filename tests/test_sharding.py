@@ -311,6 +311,104 @@ class TestShardedFingerprint:
         fp_single = np.asarray(fingerprint_padded_batch(padded, sr, dsp))
         np.testing.assert_allclose(fp_sharded, fp_single, atol=1e-5)
 
+    def test_int16_wire_matches_single_device(self, rng, dsp):
+        """int16 batches must scale on device exactly like the
+        single-device path (a bare f32 cast fed the DSP 32768x-scaled
+        samples — caught by the round-5 sharded-ingest dryrun)."""
+        sr = 8000
+        pcms = [
+            np.clip(
+                np.round(0.5 * rng.standard_normal(sr // 2) * 32768.0),
+                -32768, 32767,
+            ).astype(np.int16)
+            for _ in range(8)
+        ]
+        padded, _ = pad_frames_bucket(pcms, dsp.hop_size)
+        assert padded.dtype == np.int16
+        mesh = make_mesh(4, 2)
+        fp_sharded = np.asarray(sharded_fingerprint(mesh, padded, sr, dsp))
+        fp_single = np.asarray(fingerprint_padded_batch(padded, sr, dsp))
+        np.testing.assert_allclose(fp_sharded, fp_single, atol=1e-5)
+
+
+class TestShardedIngest:
+    def test_sync_over_mesh_matches_unsharded(self, tmp_path, rng):
+        """A mesh engine's directory sync fingerprints batches
+        data-parallel over the mesh (engine/sync.py dispatch with
+        mesh=...); the stored fingerprints must match an unsharded
+        engine's for the same corpus, and a checkpoint round-trip under
+        the mesh must restore them identically."""
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import ContextConfig, TiresiasConfig
+        from tiresias_tpu.utils.audio import synth_tone, write_wav
+
+        sr = 8000
+        media = tmp_path / "media"
+        media.mkdir()
+        for i in range(6):  # not a multiple of 8: exercises batch padding
+            write_wav(
+                str(media / f"m{i}.wav"),
+                synth_tone(200 + 40 * i, 0.7, sr), sr,
+            )
+        mesh = make_mesh(4, 2)
+        cfg_m = TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
+            data_dir=str(tmp_path / "dm"),
+        )
+        eng_m = Tiresias(cfg_m, restore=False, mesh=mesh)
+        assert eng_m._ingest_mesh() is mesh
+        assert eng_m.sync().created == 6
+        cfg_s = TiresiasConfig(
+            contexts=(ContextConfig("m", str(media)),),
+            data_dir=str(tmp_path / "ds"),
+        )
+        eng_s = Tiresias(cfg_s, restore=False, mesh=None)
+        assert eng_s.sync().created == 6
+        by_name_m = {e.name: e for e in eng_m.get_audios("m")}
+        by_name_s = {e.name: e for e in eng_s.get_audios("m")}
+        assert by_name_m.keys() == by_name_s.keys()
+        for name, e in by_name_s.items():
+            np.testing.assert_allclose(
+                eng_m.store.get_fingerprint(by_name_m[name].uuid),
+                eng_s.store.get_fingerprint(e.uuid), atol=1e-5,
+            )
+        fps_m = {
+            e.name: eng_m.store.get_fingerprint(e.uuid)
+            for e in by_name_m.values()
+        }
+        eng_m.save()
+        eng_m.close()
+        eng_s.close()
+        eng_r = Tiresias(cfg_m, mesh=mesh)  # restore under the mesh
+        by_name_r = {e.name: e for e in eng_r.get_audios("m")}
+        assert by_name_r.keys() == by_name_m.keys()
+        for name, fp in fps_m.items():
+            np.testing.assert_array_equal(
+                eng_r.store.get_fingerprint(by_name_r[name].uuid), fp
+            )
+        eng_r.close()
+
+    def test_multiprocess_mesh_ingests_locally(self, tmp_path, monkeypatch):
+        """A mesh containing non-addressable devices (multi-controller)
+        must NOT take the sharded ingest path — host-local inputs cannot
+        form global arrays."""
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+
+        mesh = make_mesh(4, 2)
+        eng = Tiresias(
+            TiresiasConfig(data_dir=str(tmp_path)), restore=False, mesh=mesh
+        )
+        try:
+            import jax
+
+            monkeypatch.setattr(
+                jax, "process_index", lambda *a, **k: 7
+            )  # every mesh device now looks remote
+            assert eng._ingest_mesh() is None
+        finally:
+            eng.close()
+
 
 class TestShardingReviewFixes:
     def test_negative_tolerance_uses_default(self, rng):

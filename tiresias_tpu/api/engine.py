@@ -411,7 +411,25 @@ class Tiresias:
                 self.config.expanded_data_dir, self.lock.owner_info()
             )
         with self._sync_mutex, phase("engine.sync"):
-            return sync_all(self.store, self.config, self.checkpoint_dir)
+            return sync_all(self.store, self.config, self.checkpoint_dir,
+                            mesh=self._ingest_mesh())
+
+    def _ingest_mesh(self):
+        """Mesh for data-parallel ingest fingerprinting: the engine's mesh
+        when every device is addressable by this process. Multi-controller
+        deployments return None — each process ingests its own files on
+        its default device (host-local inputs cannot form the global
+        arrays a cross-process shard_map needs)."""
+        if self.mesh is None:
+            return None
+        import jax
+
+        local = jax.process_index()
+        if any(
+            d.process_index != local for d in self.mesh.devices.flat
+        ):
+            return None
+        return self.mesh
 
     def sync_context(self, context: str) -> SyncReport:
         """Per-context directory re-sync + checkpoint (the admin plane's
@@ -434,7 +452,8 @@ class Tiresias:
             raise ValueError(f"unknown context {context!r}")
         with self._sync_mutex, phase("engine.sync"):
             report = sync_context_audio(
-                self.store, context, ctx["directory"], self.config.dsp
+                self.store, context, ctx["directory"], self.config.dsp,
+                mesh=self._ingest_mesh(),
             )
             self.save()
             return report

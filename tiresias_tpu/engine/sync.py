@@ -154,6 +154,7 @@ def ingest_files(
     paths: list[str],
     dsp: DspConfig | None = None,
     known_hashes: dict[str, str] | None = None,
+    mesh=None,
 ) -> SyncReport:
     """Fingerprint new files in device batches and add them to the store.
 
@@ -167,21 +168,50 @@ def ingest_files(
     happen while the NEXT batch executes and later files decode. Paths are
     submitted in file-size order so arrivals are roughly length-ordered and
     batch padding stays tight (batch cost = count x longest member).
+
+    ``mesh``: optional single-controller ``jax.sharding.Mesh`` — batches
+    are then fingerprinted data-parallel over EVERY device (batch axis
+    sharded, ``parallel.sharding.sharded_fingerprint``), the multi-chip
+    scale-out of the reference's one-file-at-a-time ingest loop
+    (/root/reference/src/fp_handler.c:604-652).
     """
     dsp = dsp or DspConfig()
     report = SyncReport()
 
     def load_one(path: str):
         digest = (known_hashes or {}).get(path) or file_md5(path)
+        law = None
         decoded = read_wav_i16(path)
         # 16-bit mono PCM ships to device as raw int16 (half the bytes,
-        # bit-identical after the device-side /32768); anything else —
-        # float/multichannel WAV or compressed formats — via read_audio
-        pcm, samplerate = decoded if decoded is not None else read_audio(path)
+        # bit-identical after the device-side /32768); G.711 telephony
+        # WAVs ship as their RAW companded bytes (ONE byte per sample —
+        # quarter of float's wire traffic; the on-chip table expansion
+        # is bit-identical to host decoding, PARITY D18); anything else
+        # — float/multichannel WAV or compressed formats — via read_audio
+        if decoded is not None:
+            pcm, samplerate = decoded
+        else:
+            from tiresias_tpu.utils.audio import read_wav_g711
+
+            g711 = read_wav_g711(path)
+            if g711 is not None:
+                pcm, samplerate, law = g711
+            else:
+                pcm, samplerate = read_audio(path)
         # a positive DspConfig.samplerate forces one analysis rate
-        # (reference: 0 = native rate, fp_handler.c:37,612)
+        # (reference: 0 = native rate, fp_handler.c:37,612); companded
+        # bytes can't be filtered, so a G.711 file that needs resampling
+        # expands on host first and continues as linear PCM
+        if (
+            law is not None
+            and dsp.samplerate > 0
+            and int(samplerate) != int(dsp.samplerate)
+        ):
+            from tiresias_tpu.utils.g711 import decode as g711_decode
+
+            pcm, law = g711_decode(pcm, law), None
         pcm, samplerate = ensure_samplerate(pcm, samplerate, dsp.samplerate)
-        return path, digest, pcm, samplerate
+        return path, digest, pcm, samplerate, law
 
     def drain(inflight) -> None:
         """Read back a dispatched batch and write it into the store."""
@@ -202,16 +232,38 @@ def ingest_files(
 
     inflight = None  # at most one dispatched-but-undrained batch
 
-    def dispatch(samplerate: int, items: list) -> None:
+    def dispatch(samplerate: int, law: str | None, items: list) -> None:
         nonlocal inflight
         pcms = [pcm for _, _, pcm in items]
         # pad the batch count to a power-of-two bucket with empty signals
         # (sliced off in drain via items' length) — bounded compile shapes
-        pcms += [np.zeros(0, pcms[0].dtype)] * (_batch_bucket(len(pcms)) - len(pcms))
+        target = _batch_bucket(len(pcms))
+        if mesh is not None:  # batch must split evenly over the mesh
+            n_dev = int(mesh.devices.size)
+            target = -(-target // n_dev) * n_dev
+        pcms += [np.zeros(0, pcms[0].dtype)] * (target - len(pcms))
         with phase("ingest.fingerprint_batch"):
-            fp_dev, n_frames = fingerprint_signals_async(
-                pcms, samplerate, dsp, bucket_multiple=INGEST_FRAME_MULTIPLE
-            )
+            if mesh is not None:
+                from tiresias_tpu.ops.mfcc_jax import pad_frames_bucket
+                from tiresias_tpu.parallel.sharding import (
+                    sharded_fingerprint,
+                )
+
+                padded, n_frames = pad_frames_bucket(
+                    pcms, dsp.hop_size, INGEST_FRAME_MULTIPLE, law=law
+                )
+                n_valid = (
+                    np.array([len(p) for p in pcms], np.int32)
+                    if law is not None else None
+                )
+                fp_dev = sharded_fingerprint(
+                    mesh, padded, samplerate, dsp, law=law, n_valid=n_valid
+                )
+            else:
+                fp_dev, n_frames = fingerprint_signals_async(
+                    pcms, samplerate, dsp,
+                    bucket_multiple=INGEST_FRAME_MULTIPLE, law=law,
+                )
         prev, inflight = inflight, (items, fp_dev, n_frames)
         if prev is not None:
             drain(prev)
@@ -224,7 +276,11 @@ def ingest_files(
         except OSError:
             return 0
 
-    buckets: dict[int, list[tuple[str, str, np.ndarray]]] = {}
+    # batches are uniform in (samplerate, wire format): the fingerprint
+    # dispatch decodes a whole batch with one law
+    buckets: dict[
+        tuple[int, str | None], list[tuple[str, str, np.ndarray]]
+    ] = {}
     seen_hashes: set[tuple[str, str]] = set()
     # bounded decode window: submit at most ~2x the thread count and
     # replace each consumed future with the next path. Eager submission
@@ -247,7 +303,7 @@ def ingest_files(
             if nxt is not None:
                 pending.append(pool.submit(load_one, nxt))
             try:
-                path, digest, pcm, samplerate = future.result()
+                path, digest, pcm, samplerate, law = future.result()
             except Exception:  # noqa: BLE001 - any unreadable file is skipped
                 report.failed += 1
                 continue
@@ -261,24 +317,27 @@ def ingest_files(
                 log.warning("empty audio %s", path)
                 report.failed += 1
                 continue
-            if pcm.dtype != np.int16 and not np.isfinite(pcm).all():
+            if pcm.dtype not in (np.int16, np.uint8) and not np.isfinite(
+                pcm
+            ).all():
                 # NaN/Inf samples (possible in float32 WAVs) would collapse
                 # to floor-valued fingerprints that spuriously match silence
                 log.warning("non-finite samples in %s", path)
                 report.failed += 1
                 continue
             seen_hashes.add((context, digest))
-            items = buckets.setdefault(int(samplerate), [])
+            key = (int(samplerate), law)
+            items = buckets.setdefault(key, [])
             if items and batch_exceeds(
                 len(items) + 1,
                 max(len(pcm), *(len(it[2]) for it in items)),
             ):
-                dispatch(int(samplerate), items)
-                items = buckets[int(samplerate)] = []
+                dispatch(key[0], key[1], items)
+                items = buckets[key] = []
             items.append((path, digest, pcm))
-    for samplerate, items in buckets.items():
+    for (samplerate, law), items in buckets.items():
         if items:
-            dispatch(samplerate, items)
+            dispatch(samplerate, law, items)
     if inflight is not None:
         drain(inflight)
     return report
@@ -289,6 +348,7 @@ def sync_context_audio(
     context: str,
     directory: str,
     dsp: DspConfig | None = None,
+    mesh=None,
 ) -> SyncReport:
     """delete-removed + create-new for one context
     (init_audio per-context body, /root/reference/src/app_tiresias.c:324-358)."""
@@ -303,7 +363,7 @@ def sync_context_audio(
             # unreadable directory: sync is a no-op, never a mass delete
             return report
         paths = [os.path.join(directory, n) for n in names]
-        report += ingest_files(store, context, paths, dsp, None)
+        report += ingest_files(store, context, paths, dsp, None, mesh=mesh)
         return report
     hashes = hash_directory(directory)  # one MD5 pass serves both phases
     if hashes is None:
@@ -312,7 +372,8 @@ def sync_context_audio(
     report.deleted = delete_removed_audio(
         store, context, directory, set(hashes.values())
     )
-    report += ingest_files(store, context, list(hashes), dsp, hashes)
+    report += ingest_files(store, context, list(hashes), dsp, hashes,
+                           mesh=mesh)
     return report
 
 
@@ -332,6 +393,7 @@ def sync_all(
     store: FingerprintStore,
     config: TiresiasConfig,
     checkpoint_dir: str | None = None,
+    mesh=None,
 ) -> SyncReport:
     """Full init-time sync: contexts, then per-context audio, checkpointing
     after each context's ingest (crash-safe improvement, PARITY.md D2)."""
@@ -339,7 +401,8 @@ def sync_all(
     total = SyncReport()
     for ctx in config.contexts:
         with phase("sync.context"):
-            report = sync_context_audio(store, ctx.name, ctx.directory, config.dsp)
+            report = sync_context_audio(store, ctx.name, ctx.directory,
+                                        config.dsp, mesh=mesh)
         total += report
         if checkpoint_dir and (report.created or report.deleted):
             store.save(checkpoint_dir)

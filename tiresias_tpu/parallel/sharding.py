@@ -552,6 +552,8 @@ def sharded_fingerprint(
     pcm_padded: np.ndarray | jax.Array,
     samplerate: int,
     dsp: DspConfig | None = None,
+    law: str | None = None,
+    n_valid: np.ndarray | jax.Array | None = None,
 ) -> jax.Array:
     """Data-parallel fingerprinting: signals sharded on the batch axis.
 
@@ -559,23 +561,48 @@ def sharded_fingerprint(
     note), so sharding whole signals across chips needs no halo exchange;
     ``pcm_padded [B, S]`` with B divisible by the mesh's total device count
     (the db axis is folded into batch for ingest — all chips fingerprint).
+
+    ``law``/``n_valid``: G.711 wire batches (uint8 codes, one byte per
+    sample over the link) expand on device per shard, with decoded
+    padding zeroed exactly like the single-device path
+    (ops.mfcc_jax.mask_valid_samples — PARITY D18 bit-parity holds
+    per shard).
     """
-    from tiresias_tpu.ops.mfcc_jax import _fingerprint_padded
+    from tiresias_tpu.ops.mfcc_jax import (
+        _fingerprint_padded,
+        mask_valid_samples,
+        to_float_pcm,
+    )
 
     dsp = dsp or DspConfig()
     window, mel_t, dct_t = dsp_constants(dsp, int(samplerate))
     n_total = mesh.devices.size
-    pcm = jnp.asarray(pcm_padded, dtype=jnp.float32)
+    # keep the WIRE dtype across the shards: int16 ships at half the
+    # bytes, G.711 uint8 at a quarter, both scaled/expanded on device
+    # (to_float_pcm — the same rule as the single-device
+    # fingerprint_padded_batch; a bare float32 cast would feed
+    # 32768x-scaled samples to the DSP)
+    pcm = jnp.asarray(pcm_padded)
+    if pcm.dtype == jnp.uint8 and law is None:
+        raise ValueError("uint8 PCM requires a G.711 law (pass law=...)")
+    if pcm.dtype not in (jnp.int16, jnp.uint8, jnp.float32):
+        pcm = pcm.astype(jnp.float32)
     if pcm.shape[0] % n_total != 0:
         raise ValueError(f"batch {pcm.shape[0]} not divisible by {n_total} devices")
+    nv = (
+        jnp.asarray(n_valid, jnp.int32)
+        if n_valid is not None
+        else jnp.full((pcm.shape[0],), pcm.shape[1], jnp.int32)
+    )
 
-    def shard_fn(pcm_s, w, m, d):
-        return _fingerprint_padded(pcm_s, w, m, d, dsp.hop_size, dsp.buf_size)
+    def shard_fn(pcm_s, nv_s, w, m, d):
+        x = mask_valid_samples(to_float_pcm(pcm_s, law), nv_s)
+        return _fingerprint_padded(x, w, m, d, dsp.hop_size, dsp.buf_size)
 
     flat = P((DB_AXIS, BATCH_AXIS), None)
     return shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(flat, P(), P(), P()),
+        in_specs=(flat, P((DB_AXIS, BATCH_AXIS)), P(), P(), P()),
         out_specs=P((DB_AXIS, BATCH_AXIS), None, None),
-    )(pcm, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t))
+    )(pcm, nv, jnp.asarray(window), jnp.asarray(mel_t), jnp.asarray(dct_t))

@@ -178,6 +178,81 @@ def read_wav_i16(path: str) -> tuple[np.ndarray, int] | None:
     return np.frombuffer(raw, dtype="<i2"), samplerate
 
 
+def read_wav_g711(path: str) -> tuple[np.ndarray, int, str] | None:
+    """Read a mono G.711 WAV (format tag 7 µ-law / 6 A-law) as RAW wire
+    bytes (uint8, one byte per sample) without expanding.
+
+    Returns (codes uint8, samplerate, law) or None for any other format.
+    Telephony corpora are stored companded; shipping the codes to the
+    device (ops.mfcc_jax.to_float_pcm's table expansion, bit-identical
+    to host decoding — PARITY D18) quarters the H2D bytes of the float
+    path the ffmpeg fallback would take, and halves int16's. The
+    reference expands on host via aubio/libav
+    (/root/reference/src/fp_handler.c:604-652)."""
+    try:
+        with open(path, "rb") as f:
+            hdr = f.read(12)
+            if len(hdr) < 12 or hdr[:4] != b"RIFF" or hdr[8:12] != b"WAVE":
+                return None
+            fmt = raw = None
+            while True:
+                chunk = f.read(8)
+                if len(chunk) < 8:
+                    break
+                cid = chunk[:4]
+                size = int.from_bytes(chunk[4:8], "little")
+                payload = f.read(size)
+                if len(payload) < size:
+                    return None  # truncated file
+                if cid == b"fmt ":
+                    fmt = payload
+                elif cid == b"data":
+                    raw = payload
+                if size % 2:  # chunks are word-aligned
+                    f.seek(1, 1)
+    except OSError:
+        return None
+    if fmt is None or raw is None or len(fmt) < 16:
+        return None
+    tag = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    samplerate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    law = {7: "ulaw", 6: "alaw"}.get(tag)
+    if law is None or n_channels != 1 or bits != 8:
+        return None  # stereo/odd G.711 takes the ffmpeg float path
+    return np.frombuffer(raw, dtype=np.uint8), samplerate, law
+
+
+def write_wav_g711(
+    path: str, codes: np.ndarray, samplerate: int, law: str
+) -> None:
+    """Write raw G.711 codes as a standard telephony WAV (format tag
+    7 µ-law / 6 A-law) — the fixture-side inverse of
+    :func:`read_wav_g711` (tools + tests)."""
+    codes = np.ascontiguousarray(np.asarray(codes, dtype=np.uint8))
+    tag = {"ulaw": 7, "alaw": 6}[law]
+    fmt = (
+        tag.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")  # mono
+        + int(samplerate).to_bytes(4, "little")
+        + int(samplerate).to_bytes(4, "little")  # byte rate = sr * 1 * 1
+        + (1).to_bytes(2, "little")  # block align
+        + (8).to_bytes(2, "little")  # bits/sample
+    )
+    data = codes.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"data" + len(data).to_bytes(4, "little") + data
+        + (b"\x00" if len(data) % 2 else b"")
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(b"RIFF" + len(body).to_bytes(4, "little") + body)
+    os.replace(tmp, path)
+
+
 def float_to_i16(pcm: np.ndarray) -> np.ndarray:
     """Quantize float PCM in [-1, 1] to int16 with aubio's 32768 scale
     (round, clip) — the ONE idiom every harness must share: a drifting
