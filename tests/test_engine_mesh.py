@@ -230,7 +230,7 @@ def test_sharded_engine_prefilter_dispatch(tmp_path, monkeypatch):
     # hold — the sharded dispatch must bypass the prefilter entirely
     # (not run it and fall back) and still answer correctly
     before = ran["calls"]
-    sat = dict(coefs=2, tolerance=0.5, trunc_coef1=False, aligned=True)
+    sat = dict(coefs=2, tolerance=1.0, trunc_coef1=False, aligned=True)
     rs2 = sharded.search_pcm("m", queries[0], SR, **sat)
     r12 = single.search_pcm("m", queries[0], SR, **sat)
     assert (rs2.status, rs2.name) == (r12.status, r12.name)

@@ -410,11 +410,16 @@ class TestBoundTolOk:
         assert not ml.bound_tol_ok(None, -1.0)
 
     def test_aligned_scales(self):
-        # coefs >= 2 include the s=8 spec: (8*tol + 1) * 64 < 255
-        # -> tol < ~0.373; coefs == 1 only has the s=4 coef-0 spec
+        # ANY unsaturated coef keeps the min() bound informative.
+        # coefs >= 3 use the (s=8, s=8) specs: (8*tol + 1) * 64 < 255
+        # -> tol < ~0.373. coefs == 2 ANDs the s=4 coef-0 spec in
+        # (round 5): informative until (4*tol + 1) * 64 >= 255
+        # -> tol ~0.746. coefs == 1 has only the s=4 coef-0 spec.
         assert ml.bound_tol_ok(2, 0.05)
         assert ml.bound_tol_ok(8, 0.1)
-        assert not ml.bound_tol_ok(2, 0.5)
+        assert ml.bound_tol_ok(2, 0.5)   # coef 1 saturated, coef 0 not
+        assert not ml.bound_tol_ok(2, 1.0)  # both saturated
+        assert not ml.bound_tol_ok(8, 0.5)  # both s=8 specs saturated
         assert ml.bound_tol_ok(1, 0.5)
         assert not ml.bound_tol_ok(1, 1.0)
 
@@ -457,9 +462,16 @@ class TestBoundTolOk:
         monkeypatch.setattr(mp, "PREFILTER_K", 1)  # open the size gate
         monkeypatch.setattr(mp, "search_batch_pallas", fake_pallas)
         monkeypatch.setattr(eng, "_aligned_prefiltered", fake_prefiltered)
+        # this test asserts the STAGED path's gate; the round-5 fused
+        # strict path would intercept first
+        monkeypatch.setattr(eng, "_fused_strict_batch",
+                            lambda *a, **k: None)
         try:
             q = synth_tone(300, 1.0, 8000)
-            r = eng.search_pcm("c", q, 8000, coefs=2, tolerance=0.5,
+            # tol 1.0 saturates BOTH 2-coef bound specs (s=4 coef 0 at
+            # ~0.746, s=8 coef 1 at ~0.373) — round 5 widened the gate
+            # to "any coef informative", so 0.5 no longer rejects
+            r = eng.search_pcm("c", q, 8000, coefs=2, tolerance=1.0,
                                trunc_coef1=False, aligned=True)
             assert r.status == "FOUND"
             assert called["pf"] == 0  # tolerance gate rejected it

@@ -244,12 +244,16 @@ class TestAlignedPrefilter:
         for n in range(1, 9):
             assert all(c < n for c in bound_coef_indices(n))
         assert bound_coef_indices(1) == (0,)
-        assert bound_coef_indices(2) == (1,)
+        # 2-coef: BOTH coefs — min over more valid bounds is strictly
+        # tighter, and coef 1 alone cannot separate wide-spectrum
+        # corpora (round-5 strict-bag fast path)
+        assert bound_coef_indices(2) == (0, 1)
         assert bound_coef_indices(8) == (1, 2)
 
     def test_search_coefs_fewer_than_stored(self, rng):
-        """Search with coefs=2 over an 8-coef store: the bound must only
-        test coef 1, and the certified result must equal the full scan."""
+        """Search with coefs=2 over an 8-coef store: the bound tests
+        exactly the searched coefs {0, 1}, and the certified result must
+        equal the full scan."""
         import jax.numpy as jnp
 
         from tiresias_tpu.ops.match_lattice import build_bound_maps
@@ -259,7 +263,7 @@ class TestAlignedPrefilter:
         specs, maps = build_bound_maps(
             jnp.asarray(db), jnp.asarray(mask), coefs=2
         )
-        assert [s[0] for s in specs] == [1]
+        assert [s[0] for s in specs] == [0, 1]
         q = db[None, 9, 10:42, :].astype(np.float32)
         qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
         votes_p, cert = aligned_prefiltered_votes(
@@ -341,14 +345,16 @@ class TestAlignedPrefilter:
             )
             assert (bound >= np.asarray(votes_full)).all()
 
-    @pytest.mark.parametrize("tolerance", [0.36, 0.5])
+    @pytest.mark.parametrize("tolerance", [0.36, 0.5, 1.0])
     def test_bound_dominates_at_saturation_edge(self, rng, tolerance):
         """Bound validity at the uint8 saturation boundary: tol=0.36 puts
-        the scaled threshold (8*tol+1)*64 ≈ 249 just UNDER the 255
-        sentinel (dead/masked rows still excluded), tol=0.5 pushes it to
-        320, PAST the sentinel — every row passes the bound, including
-        tombstoned ones, and the bound must inflate (de-certify) rather
-        than ever under-state a true score."""
+        the coef-1 scaled threshold (8*tol+1)*64 ≈ 249 just UNDER the 255
+        sentinel (dead/masked rows still excluded); tol=0.5 pushes coef 1
+        PAST it while coef 0 (s=4) stays informative — the 2-coef bound
+        min()s down to the coef-0 term; tol=1.0 saturates BOTH — every
+        row passes every bound, including tombstoned ones, and the bound
+        must inflate (de-certify) rather than ever under-state a true
+        score."""
         import jax.numpy as jnp
 
         from tiresias_tpu.ops.match_lattice import build_bound_maps, bound_votes
@@ -370,11 +376,21 @@ class TestAlignedPrefilter:
             trunc_coef1=False, aligned=True,
         )
         assert (bound >= np.asarray(votes_full)).all()
-        if tolerance == 0.5:
-            # past saturation every frame passes every row's bound: the
-            # bound saturates at the active frame count (useless but VALID)
+        if tolerance == 1.0:
+            # past BOTH coefs' saturation every frame passes every row's
+            # bound: it saturates at the active frame count (useless but
+            # VALID), and bound_tol_ok gates the prefilter off
+            from tiresias_tpu.ops.match_lattice import bound_tol_ok
+
             n_active = np.asarray(active).sum(axis=1)
             assert (bound == n_active[:, None]).all()
+            assert not bound_tol_ok(specs, tolerance)
+        if tolerance == 0.5:
+            # coef 1 saturated, coef 0 informative: the min keeps the
+            # prefilter useful — bound_tol_ok must NOT gate it off
+            from tiresias_tpu.ops.match_lattice import bound_tol_ok
+
+            assert bound_tol_ok(specs, tolerance)
 
     def test_topk_certificate_matches_full_scan(self, rng):
         """top=3: when certified, every audio reaching the 3rd-best
@@ -717,3 +733,166 @@ class TestPrefilterBandBypass:
                 if cert[b] and votes_full[b].max() > 0:
                     assert votes_p[b].argmax() == votes_full[b].argmax()
                     assert votes_p[b].max() == votes_full[b].max()
+
+
+class TestBagPrefilter:
+    """Certified two-stage STRICT-BAG search (round 5, VERDICT r4 #6):
+    the same lattice bound certifies the bag score a fortiori
+    (bag <= min-coef bound is the MIDDLE term of the aligned chain);
+    stage 2 rescores candidates with the bag kernel. This is the fast
+    path for the reference's own strict coefs=2/no-truncation library
+    configuration (fp_handler.c:247-250,321)."""
+
+    def _db(self, rng, n_audios, t=128, c=2):
+        db = rng.uniform(-40, 30, size=(n_audios, t, c)).astype(np.float32)
+        n_frames = rng.integers(96, t + 1, size=n_audios)
+        mask = np.arange(t)[None, :] < n_frames[:, None]
+        db = np.where(mask[:, :, None], db, PAD_VALUE).astype(np.float32)
+        return db, mask
+
+    def test_matches_full_bag_when_certified(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=64)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = np.stack([db[7, 10:42, :], db[31, 40:72, :]]).astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 0.05, specs=specs, coefs=2, k=8,
+            interpret=True, aligned=False,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=0.05, trunc_coef1=False,
+            aligned=False,
+        )
+        votes_p, votes_full = np.asarray(votes_p), np.asarray(votes_full)
+        for b in range(2):
+            assert votes_p[b].argmax() == votes_full[b].argmax()
+            assert votes_p[b].max() == votes_full[b].max()
+
+    def test_k_covering_all_matches_bag_scan_exactly(self, rng):
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import build_bound_maps
+        from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
+
+        db, mask = self._db(rng, n_audios=12)
+        specs, maps = build_bound_maps(jnp.asarray(db), jnp.asarray(mask))
+        q = rng.uniform(-40, 30, size=(1, 24, 2)).astype(np.float32)
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        votes_p, cert = aligned_prefiltered_votes(
+            db, maps, qj, active, use2, 1.0, specs=specs, coefs=2, k=64,
+            interpret=True, aligned=False,
+        )
+        assert np.asarray(cert).all()
+        _, _, votes_full = match_jax.search_batch(
+            db, mask, q, None, coefs=2, tolerance=1.0, trunc_coef1=False,
+            aligned=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(votes_p), np.asarray(votes_full)
+        )
+
+    @pytest.mark.parametrize("coefs", [1, 2, 4])
+    def test_bound_dominates_true_bag_score(self, rng, coefs):
+        """Soundness of reusing the aligned bound for bag rescoring:
+        bound >= bag score for EVERY audio (not just the winner)."""
+        import jax.numpy as jnp
+
+        from tiresias_tpu.ops.match_lattice import (
+            bound_votes,
+            build_bound_maps,
+        )
+
+        db, mask = self._db(rng, n_audios=24, c=max(2, coefs))
+        specs, maps = build_bound_maps(
+            jnp.asarray(db), jnp.asarray(mask), coefs
+        )
+        q = rng.uniform(-40, 30, size=(3, 20, max(2, coefs))).astype(
+            np.float32
+        )
+        qj, active, use2 = match_jax.prepare_query(q, None, trunc_coef1=False)
+        for tol in (0.05, 0.3, 1.0):
+            bound = np.asarray(
+                bound_votes(specs, maps, qj, active, use2, tol)
+            )
+            _, _, bag = match_jax.search_batch(
+                db, mask, q, None, coefs=coefs, tolerance=tol,
+                trunc_coef1=False, aligned=False,
+            )
+            assert (bound >= np.asarray(bag)).all(), (
+                f"bound under-states bag votes at tol={tol}"
+            )
+
+    def test_engine_strict_config_takes_bag_prefilter(self, tmp_path,
+                                                      monkeypatch):
+        """The strict coefs=2 search on a mesh engine (the CPU-reachable
+        fused path) must dispatch the certified bag prefilter and agree
+        with an unsharded full scan."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from tiresias_tpu.api import Tiresias
+        from tiresias_tpu.config import TiresiasConfig
+        from tiresias_tpu.parallel import make_mesh
+        from tiresias_tpu.ops import match_pallas as mp
+
+        rng2 = np.random.default_rng(5)
+        mesh = make_mesh(4, 2)
+        # ONE corpus, added to both engines (per-engine draws would make
+        # the oracle compare different databases)
+        fps = []
+        for i in range(10240):  # >2*PREFILTER_K rows per db shard
+            mu = rng2.uniform(-25, 20, (1, 2)).astype(np.float32)
+            fps.append(mu + rng2.normal(0, 1.5, (32, 2)).astype(np.float32))
+        engines = []
+        for sub, m in (("a", mesh), ("b", None)):
+            eng = Tiresias(
+                TiresiasConfig(data_dir=str(tmp_path / sub)),
+                restore=False, mesh=m,
+            )
+            eng.create_context("c")
+            for i, fp in enumerate(fps):
+                eng.store.add_audio(f"t{i}", "c", fp, f"h{sub}{i:06d}")
+            engines.append(eng)
+        meshed, single = engines
+        calls = {"n": 0}
+        orig = mp.aligned_prefiltered_votes
+
+        def spy(*a, **kw):
+            if not kw.get("aligned", True):
+                calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(mp, "aligned_prefiltered_votes", spy)
+        target = meshed.store.get_fingerprint(
+            meshed.get_audios("c")[17].uuid
+        )
+        q = target[4:28] + rng2.normal(0, 0.002, (24, 2)).astype(np.float32)
+        # drive _votes_for_view directly (search_pcm is DSP-coupled) and
+        # compare against an unsharded full scan
+        qj, active, use2 = match_jax.prepare_query(
+            q[None], None, trunc_coef1=False
+        )
+        view_m = meshed.store.search_views()[0]
+        votes_m = meshed._votes_for_view(
+            view_m, qj, np.array([24]), 24, 2, 0.05, -1, -1, False, False,
+            True, False, False, "interpret",
+        )
+        assert calls["n"] >= 1, "strict config never took the bag prefilter"
+        view_s = single.store.search_views()[0]
+        _, _, votes_s = match_jax.search_batch(
+            view_s.db, view_s.mask, q[None], None, coefs=2, tolerance=0.05,
+            trunc_coef1=False, aligned=False,
+        )
+        vm = np.asarray(votes_m)[0, : view_m.n_audios]
+        vs = np.asarray(votes_s)[0, : view_s.n_audios]
+        assert vm.argmax() == vs.argmax()
+        assert vm.max() == vs.max()
+        meshed.close()
+        single.close()

@@ -248,6 +248,102 @@ def _fused_lattice_fn(
     return run
 
 
+@_functools.lru_cache(maxsize=16)
+def _fused_strict_fn(
+    dsp: DspConfig, samplerate: int, law: str | None, coefs: int,
+    aligned: bool, k: int, lo: int, hi: int, specs: tuple,
+    prefilter: bool = True, interpret: bool = False,
+):
+    """One-dispatch STRICT (no-truncation) multicoef search: fingerprint
+    → certified two-stage prefilter (lattice bounds → exact Pallas
+    rescore, bag or aligned) → top-1, with a ``lax.cond`` full fused
+    scan when any certificate fails — all inside one jit program.
+
+    ``prefilter=False`` builds the same one-dispatch program WITHOUT the
+    bound stage (fingerprint → full fused scan → top-1): small stores,
+    bound-saturating tolerances, and never-certifying corpora (adaptive
+    gate closed) still collapse the staged path's 3-4 transport round
+    trips into one.
+
+    The strict config is the reference's own coefs=2 library
+    configuration (/root/reference/src/fp_handler.c:247-250,321); the
+    staged path paid one transport round-trip per DISPATCH over the dev
+    tunnel (~30 ms each, 3-4 per search — BENCH_r04's 164.84 ms @100k,
+    VERDICT r4 #6). Single-tier stores only (row index == insertion
+    order, same tiebreak argument as :func:`_fused_lattice_fn`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops import match_jax as mj
+    from tiresias_tpu.ops.match_pallas import (
+        aligned_prefiltered_votes,
+        match_votes_pallas,
+        match_votes_pallas_aligned,
+    )
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    rescore_full = match_votes_pallas_aligned if aligned else match_votes_pallas
+
+    def _top1_rows(votes):
+        # among max-vote rows, the lowest row index == insertion order
+        m = jnp.max(votes, axis=1)
+        big = jnp.int32(2**30)
+        cand = jnp.where(votes == m[:, None], jnp.arange(votes.shape[1]), big)
+        best = jnp.where(m > 0, jnp.min(cand, axis=1), -1).astype(jnp.int32)
+        return best, m
+
+    def _prep(pcm, n_frames, n_valid):
+        qfp = fingerprint_padded_batch(
+            pcm, samplerate, dsp, law=law, n_valid=n_valid
+        )
+        return mj.prepare_query(qfp, n_frames, lo, hi, trunc_coef1=False)
+
+    def _full_votes(db, q, active, use2, tol, ci, cid):
+        votes = rescore_full(
+            db, q, active, use2, tol, coefs=coefs, interpret=interpret
+        )
+        if ci is not None:
+            votes = jnp.where((ci == cid)[None, :], votes, 0)
+        return votes
+
+    if not prefilter:
+        @jax.jit
+        def run_full(pcm, n_frames, db, tol, ci=None, cid=None,
+                     n_valid=None):
+            q, active, use2 = _prep(pcm, n_frames, n_valid)
+            best, m = _top1_rows(
+                _full_votes(db, q, active, use2, tol, ci, cid)
+            )
+            return best, m
+
+        return run_full
+
+    @jax.jit
+    def run(pcm, n_frames, db, maps, tol, ci=None, cid=None, n_valid=None):
+        q, active, use2 = _prep(pcm, n_frames, n_valid)
+        votes_pf, cert = aligned_prefiltered_votes(
+            db, maps, q, active, use2, tol, specs=specs, coefs=coefs,
+            k=k, aligned=aligned, interpret=interpret,
+            ctx_ids=ci, ctx_id=cid,
+        )
+        certified = cert.all()
+
+        def pre(_):
+            return _top1_rows(votes_pf)
+
+        def full(_):
+            return _top1_rows(
+                _full_votes(db, q, active, use2, tol, ci, cid)
+            )
+
+        best, m = jax.lax.cond(certified, pre, full, operand=None)
+        # the certificate rides the same readback: the engine's adaptive
+        # gate (_pf_note) needs the outcome
+        return best, m, certified
+
+    return run
+
+
 def _top1_scored(votes, seq, ctx_ids=None, ctx_id=None):
     """Per-view device top-1 with the D5 tiebreak: maximize votes, tie →
     lowest global insertion seq.
@@ -800,6 +896,13 @@ class Tiresias:
         )
         if fast is not None:
             return fast
+        fast = self._fused_strict_batch(
+            context, pcms, samplerate, coefs, tolerance,
+            freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+            aligned, wire_law,
+        )
+        if fast is not None:
+            return fast
         fast = self._device_ranked_batch(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -886,18 +989,31 @@ class Tiresias:
         ctx_id: int | None = None,
         top: int = 1,
         interpret: bool | None = None,
+        aligned: bool = True,
+        defer_cert: bool = False,
     ):
         """Certified prefiltered aligned votes (device array) for one
         view, or None when any query's exactness certificate fails
-        (→ caller full-scans). ``ctx_id`` restricts candidate selection
+        (→ caller full-scans). ``defer_cert=True`` skips the blocking
+        certificate readback and returns ``(votes_d, cert_d)`` device
+        arrays instead — the device-ranked path folds the certificate
+        into its ONE combined readback (each blocking device_get costs a
+        full transport round-trip; deferral turns the staged strict path
+        from ~3 RTTs into ~1) and reports the outcome to _pf_note
+        itself. ``ctx_id`` restricts candidate selection
         and certification to one context's rows (filter_context);
         ``top`` > 1 certifies an exact top-k listing instead of top-1.
+        ``aligned=False`` rescores with the BAG matcher — the strict
+        multi-coef config's fast path (the reference's own coefs=2
+        library configuration, fp_handler.c:247-250; the same bound
+        certifies it a fortiori — match_pallas docstring).
         On a meshed store the two-stage search runs PER DB SHARD under
         shard_map — every shard must certify or the view full-scans."""
         import jax
 
         from tiresias_tpu.ops.match_pallas import aligned_prefiltered_votes
 
+        mode = "aligned" if aligned else "bag"
         if view.segments:
             # auto-split audios sum per-segment scores (D15); per-ROW
             # bounds can't certify the summed winner — full-scan instead
@@ -929,23 +1045,28 @@ class Tiresias:
                 use2 = jnp.pad(use2, ((0, pad), (0, 0)))
             votes_d, certs_d = sharded_aligned_prefiltered(
                 self.mesh, view.db, maps, q, active, use2, tolerance,
-                specs, coefs, interpret=interpret,
+                specs, coefs, interpret=interpret, aligned=aligned,
                 ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
             )
+            if defer_cert:
+                return votes_d[:b], certs_d
             certified = bool(jax.device_get(certs_d).all())
-            self._pf_note(view, "aligned", certified)
+            self._pf_note(view, mode, certified)
             if not certified:
                 return None
             return votes_d[:b]
         votes_d, cert_d = aligned_prefiltered_votes(
             view.db, maps, q, active, use2, tolerance, specs=specs,
-            coefs=coefs, ctx_ids=ctx_ids, ctx_id=ctx_id, top=top,
+            coefs=coefs, aligned=aligned, ctx_ids=ctx_ids, ctx_id=ctx_id,
+            top=top,
         )
+        if defer_cert:
+            return votes_d, cert_d
         # only the [B] certificate crosses the link here; the [B, A] votes
         # stay on device (the device-ranked path reduces them there, the
         # host-ranked path reads them back itself)
         certified = bool(jax.device_get(cert_d).all())
-        self._pf_note(view, "aligned", certified)
+        self._pf_note(view, mode, certified)
         return votes_d if certified else None
 
     def _lattice_pf_ok(self, view, tolerance, top: int = 1) -> bool:
@@ -1221,6 +1342,126 @@ class Tiresias:
                 )
         return results
 
+    def _fused_strict_batch(
+        self,
+        context: str | None,
+        pcms: list[np.ndarray],
+        samplerate: int,
+        coefs: int | None,
+        tolerance: float | None,
+        freq_ignore_low: int,
+        freq_ignore_high: int,
+        filter_context: bool,
+        trunc_coef1: bool | None,
+        aligned: bool | None,
+        wire_law: str | None = None,
+    ) -> list[SearchResult] | None:
+        """Single-dispatch fast path for the STRICT (no-truncation)
+        multicoef configurations — bag (the reference's own coefs=2
+        library config, fp_handler.c:247-250) and aligned (the
+        recommended accuracy mode) — against a large single-tier store
+        on TPU: :func:`_fused_strict_fn`'s fused prefilter + top-1.
+        Returns None when the staged path must run instead (small
+        stores, multi-tier, mesh, kernel-unfit shapes, gated-out
+        prefilter)."""
+        (coefs, tolerance, lo, hi, trunc_coef1, aligned) = \
+            self._resolve_search(coefs, tolerance, freq_ignore_low,
+                                 freq_ignore_high, trunc_coef1, aligned)
+        if trunc_coef1:
+            return None  # truncation configs take the lattice paths
+        if self.mesh is not None or not _on_tpu():
+            return None
+        views = self.store.search_views()
+        if len(views) != 1 or views[0].segments:
+            return None
+        view = views[0]
+        from tiresias_tpu.ops.match_lattice import bound_tol_ok
+        from tiresias_tpu.ops.match_pallas import (
+            PALLAS_TOL_MAX,
+            PREFILTER_K,
+            aligned_kernel_fits,
+            bag_kernel_fits,
+        )
+
+        mode = "aligned" if aligned else "bag"
+        a_rows = int(view.db.shape[0])
+        if tolerance >= PALLAS_TOL_MAX:
+            return None  # value-encoded kernels need tol < sentinel gap
+        # prefilter only when the bound stage can pay off; otherwise the
+        # ONE-dispatch program still runs, just without the bound stage
+        # (small stores, saturating tolerances, or an adaptively-gated
+        # never-certifying corpus — its in-dispatch full scan already
+        # beats the staged path by 2-3 transport round-trips)
+        use_pf = (
+            a_rows > 2 * PREFILTER_K
+            and bound_tol_ok(coefs, tolerance)
+            and self._pf_allowed(view, mode)
+        )
+        ctx_id = self._ctx_filter_id(context, filter_context)
+        import jax
+        import jax.numpy as jnp
+
+        pcms, samplerate, wire_law = self._resample_queries(
+            [np.asarray(p) for p in pcms], samplerate, wire_law
+        )
+        from tiresias_tpu.ops.mfcc_jax import pad_frames_bucket
+
+        with phase("search.match"):
+            padded, n_frames = pad_frames_bucket(
+                pcms, self.config.dsp.hop_size, law=wire_law
+            )
+            f_q = padded.shape[1] // self.config.dsp.hop_size
+            fits = (
+                aligned_kernel_fits if aligned else bag_kernel_fits
+            )(view.tier_frames, f_q, coefs, a_rows)
+            if not fits:
+                return None  # fallback branch would compile an unfit kernel
+            n_valid = (
+                jnp.asarray([len(p) for p in pcms], jnp.int32)
+                if wire_law is not None else None
+            )
+            ci = None if ctx_id is None else self.store.ctx_ids_for(view)
+            from tiresias_tpu.utils.platform import is_tpu
+
+            interp = not is_tpu()  # real probe: mocked-TPU tests interpret
+            if use_pf:
+                specs, maps = self.store.bound_maps_for(view, coefs)
+                run = _fused_strict_fn(
+                    self.config.dsp, samplerate, wire_law, coefs, aligned,
+                    PREFILTER_K, lo, hi, specs, interpret=interp,
+                )
+                out = run(
+                    padded, jnp.asarray(n_frames), view.db, maps,
+                    jnp.float32(tolerance), ci, ctx_id, n_valid=n_valid,
+                )
+                # one transfer for all outputs (best, count, certificate)
+                got = jax.device_get(out)
+                best, count, certified = got[0], got[1], bool(got[2])
+                self._pf_note(view, mode, certified)
+            else:
+                run = _fused_strict_fn(
+                    self.config.dsp, samplerate, wire_law, coefs, aligned,
+                    0, lo, hi, (), prefilter=False, interpret=interp,
+                )
+                out = run(
+                    padded, jnp.asarray(n_frames), view.db,
+                    jnp.float32(tolerance), ci, ctx_id, n_valid=n_valid,
+                )
+                got = jax.device_get(out)
+                best, count = got[0], got[1]
+        metrics.add("search.queries", len(pcms))
+        results: list[SearchResult] = []
+        for i in range(len(pcms)):
+            fc = int(n_frames[i])
+            b = int(best[i])
+            if b < 0 or b >= view.n_audios:
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+            else:
+                results.append(
+                    self._found(view.entries[b], fc, int(count[i]))
+                )
+        return results
+
     def _ctx_filter_id(
         self, context: str | None, filter_context: bool
     ) -> int | None:
@@ -1383,10 +1624,18 @@ class Tiresias:
         prefilter, use_lattice, on_tpu, sharded_mode,
         ctx_id: int | None = None,
         prefilter_top: int = 1,
+        certs_out: list | None = None,
     ):
         """Device votes ``[B, A_pad]`` for one view — the kernel-dispatch
         rules shared by the staged host-ranked path (:meth:`_compute_votes`)
         and the device-ranked path (:meth:`_device_ranked_batch`).
+
+        ``certs_out``: when given, a prefiltered view's exactness
+        certificate is NOT read back here — ``(view, mode, cert_d)`` is
+        appended and the votes are returned unchecked; the caller must
+        fold the cert arrays into its own single readback, report each
+        via _pf_note, and re-run with ``prefilter=False`` if any failed
+        (saves one blocking transport round-trip per search).
 
         with_top1=False everywhere: the engine ranks with the D5
         insertion tiebreak itself, so the wrappers' device argmax+gather
@@ -1448,25 +1697,34 @@ class Tiresias:
 
             votes = None
             if (
-                use_pallas_aligned
-                and prefilter
+                prefilter
                 and view.db.shape[0] > 2 * PREFILTER_K
                 and prefilter_top <= PREFILTER_K
                 # past uint8 saturation the bound maps stop informing:
                 # the certificate can never hold, so skip the pipeline
                 and bound_tol_ok(coefs, tolerance)
-                and self._pf_allowed(view, "aligned")
+                and self._pf_allowed(
+                    view, "aligned" if aligned else "bag"
+                )
             ):
-                # certified two-stage accuracy mode: lattice bound
-                # (shared with the dialplan path's distance map) →
-                # exact aligned rescore of the top-K candidates;
-                # provably identical to the full scan when the
-                # certificate holds, full scan otherwise
+                # certified two-stage search: lattice bound (shared
+                # with the dialplan path's distance map) → exact
+                # rescore of the top-K candidates with the requested
+                # matcher — aligned (accuracy mode) or bag (the strict
+                # multi-coef config, VERDICT r4 #6); provably identical
+                # to the full scan when the certificate holds, full
+                # scan otherwise
                 votes = self._aligned_prefiltered(
                     view, qfp, n_frames, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
-                    ctx_id=ctx_id, top=prefilter_top,
+                    ctx_id=ctx_id, top=prefilter_top, aligned=aligned,
+                    defer_cert=certs_out is not None,
                 )
+                if certs_out is not None and votes is not None:
+                    votes, cert_d = votes
+                    certs_out.append(
+                        (view, "aligned" if aligned else "bag", cert_d)
+                    )
             if votes is None:
                 _, _, votes = search_batch_pallas(
                     view.db,
@@ -1493,22 +1751,30 @@ class Tiresias:
             votes = None
             n_db = int(self.mesh.shape.get("db", 1))
             if (
-                aligned
-                and prefilter
+                prefilter
                 and prefilter_top <= PREFILTER_K
                 and view.db.shape[0] % n_db == 0
                 and view.db.shape[0] // n_db > 2 * PREFILTER_K
                 and bound_tol_ok(coefs, tolerance)
-                and self._pf_allowed(view, "aligned")
+                and self._pf_allowed(
+                    view, "aligned" if aligned else "bag"
+                )
             ):
-                # certified two-stage accuracy mode, per DB shard (the
-                # same gates as the single-device path, per shard)
+                # certified two-stage search (aligned or strict-bag),
+                # per DB shard (the same gates as the single-device
+                # path, per shard)
                 votes = self._aligned_prefiltered(
                     view, qfp, n_frames, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
-                    ctx_id=ctx_id, top=prefilter_top,
+                    ctx_id=ctx_id, top=prefilter_top, aligned=aligned,
                     interpret=sharded_mode == "interpret",
+                    defer_cert=certs_out is not None,
                 )
+                if certs_out is not None and votes is not None:
+                    votes, cert_d = votes
+                    certs_out.append(
+                        (view, "aligned" if aligned else "bag", cert_d)
+                    )
             if votes is not None:
                 return votes
             _, _, votes = sharded_search(
@@ -1622,13 +1888,14 @@ class Tiresias:
         views, qfp, n_frames = setup["views"], setup["qfp"], setup["n_frames"]
         use_lattice, on_tpu, sharded_mode = setup["dispatch"]
         ctx_id = setup["ctx_id"]
-        per_view = []
-        with phase("search.match"):
+
+        def rank_views(prefilter: bool, certs_out):
+            per_view = []
             for view in views:
                 votes = self._votes_for_view(
                     view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
-                    True, use_lattice, on_tpu, sharded_mode,
-                    ctx_id=ctx_id,
+                    prefilter, use_lattice, on_tpu, sharded_mode,
+                    ctx_id=ctx_id, certs_out=certs_out,
                 )
                 per_view.append(
                     _top1_scored(
@@ -1638,9 +1905,30 @@ class Tiresias:
                         ctx_id,
                     )
                 )
-            import jax
+            return per_view
 
-            got = jax.device_get(per_view)
+        import jax
+
+        with phase("search.match"):
+            # deferred certificates: the prefiltered views' cert arrays
+            # ride the SAME readback as the top-1 reductions — over a
+            # dispatch-bound transport each extra blocking device_get
+            # costs a full round-trip (~28 ms on the dev tunnel)
+            certs_out: list = []
+            per_view = rank_views(True, certs_out)
+            got, certs_got = jax.device_get(
+                (per_view, [c for _, _, c in certs_out])
+            )
+            all_certified = True
+            for (view, mode, _), cval in zip(certs_out, certs_got):
+                certified = bool(np.all(cval))
+                self._pf_note(view, mode, certified)
+                all_certified &= certified
+            if not all_certified:
+                # rare (certificate refused — near-duplicate corpus):
+                # the prefiltered votes are not exact; redo every view
+                # as a full scan, same as the blocking path's fallback
+                got = jax.device_get(rank_views(False, None))
         metrics.add("search.queries", setup["n"])
         n_frames = np.asarray(n_frames)
         # cross-view lexicographic combine in host int64: maximize votes,

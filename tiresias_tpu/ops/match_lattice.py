@@ -193,11 +193,15 @@ def bound_coef_indices(n_coefs: int) -> tuple[int, ...]:
     condition does not test would be unsound (an aligned hit need not
     pass it). Within that set: coef 0 tracks total energy and matches
     almost anything (the reference's own weakness); coefs 1-2
-    discriminate, so prefer them."""
+    discriminate, so prefer them. The 2-coef case (the reference's own
+    strict library configuration, fp_handler.c:247-250) ANDs BOTH
+    available coefs: min over more valid bounds is strictly tighter,
+    and with only coef 1 available the bound could not separate
+    wide-spectrum corpora (round-5 strict-bag fast path)."""
     if n_coefs >= 3:
         return (1, 2)
     if n_coefs == 2:
-        return (1,)
+        return (0, 1)
     return (0,)
 
 
@@ -532,7 +536,11 @@ def bound_tol_ok(specs_or_coefs, tolerance: float) -> bool:
         scales = tuple(s[1] for s in bound_specs(specs_or_coefs))
     else:
         scales = tuple(s[1] for s in specs_or_coefs)
-    return all(
+    # ANY unsaturated coef keeps the min() bound informative: a
+    # saturated coef contributes the active-frame count, which the min
+    # simply ignores next to a tighter term (2-coef specs mix s=4 and
+    # s=8, so their saturation tolerances differ — round 5)
+    return any(
         (s * tolerance + 1.0) * BOUND_Q < BOUND_FAR for s in scales
     ) if scales else False
 

@@ -456,7 +456,8 @@ PREFILTER_K = 1024  # candidates rescored exactly by the aligned kernel
 
 
 @functools.partial(
-    jax.jit, static_argnames=("specs", "coefs", "k", "interpret", "top")
+    jax.jit,
+    static_argnames=("specs", "coefs", "k", "interpret", "top", "aligned"),
 )
 def aligned_prefiltered_votes(
     db: jax.Array,
@@ -472,9 +473,11 @@ def aligned_prefiltered_votes(
     ctx_ids: jax.Array | None = None,
     ctx_id: jax.Array | int | None = None,
     top: int = 1,
+    aligned: bool = True,
 ):
-    """Aligned votes via a CERTIFIED two-stage search: MXU lattice bounds →
-    top-k candidate gather → exact aligned rescoring of the candidates.
+    """Aligned (or strict BAG) votes via a CERTIFIED two-stage search:
+    MXU lattice bounds → top-k candidate gather → exact rescoring of the
+    candidates with the requested matcher.
 
     The key inequalities (hold per audio, for any inputs):
 
@@ -484,6 +487,13 @@ def aligned_prefiltered_votes(
         passes EVERY coef's tolerance test, and each coef's clipped-scaled
         distance map at s·tol+1 upper-bounds that coef's test
         (match_lattice.bound_votes) — a couple of MXU matmuls.
+
+    ``aligned=False`` rescores candidates with the BAG matcher instead
+    (the reference's own strict multi-coef configuration — coefs=2, no
+    truncation, fp_handler.c:247-250,321): the chain's middle term IS
+    the bag score, so the same bound certifies it a fortiori. This is
+    what turns the strict config's O(B·F·A·T·C) full scan into the same
+    ~A/k two-stage cost the accuracy mode gets (VERDICT r4 #6).
 
     So rescoring only the top-k audios BY BOUND is provably exact whenever
     ``best_rescored > max unselected bound`` (every unselected audio's
@@ -553,10 +563,12 @@ def aligned_prefiltered_votes(
     rows = jnp.arange(b)[:, None]
     unselected_max = bound.at[rows, idx].set(-1).max(axis=1)
 
+    rescore = match_votes_pallas_aligned if aligned else match_votes_pallas
+
     def per_query(args):
         qb, ab, ub, idxb = args
         db_k = db[idxb]  # [K, T, C] candidate gather
-        votes_k = match_votes_pallas_aligned(
+        votes_k = rescore(
             db_k, qb[None], ab[None], ub[None], tol, coefs=coefs,
             interpret=interpret,
         )

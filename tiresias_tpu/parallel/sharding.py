@@ -290,8 +290,10 @@ def sharded_aligned_prefiltered(
     ctx_id: int | None = None,
     top: int = 1,
     k: int | None = None,
+    aligned: bool = True,
 ):
-    """Certified two-stage aligned search per DB shard under shard_map
+    """Certified two-stage aligned (or strict-bag, ``aligned=False``)
+    search per DB shard under shard_map
     (:func:`tiresias_tpu.ops.match_pallas.aligned_prefiltered_votes` run
     on each chip's slice of the audio axis).
 
@@ -314,7 +316,7 @@ def sharded_aligned_prefiltered(
         interpret = not mesh_is_tpu(mesh)
     fn = _sharded_prefiltered_fn(
         mesh, specs, coefs, bool(interpret), len(maps),
-        ctx_ids is not None, top, k,
+        ctx_ids is not None, top, k, bool(aligned),
     )
     args = (db, *maps, q, active, use2, jnp.float32(tolerance))
     if ctx_ids is not None:
@@ -326,6 +328,7 @@ def sharded_aligned_prefiltered(
 def _sharded_prefiltered_fn(
     mesh: Mesh, specs: tuple, coefs: int, interpret: bool,
     n_maps: int, has_ctx: bool, top: int, k: int | None = None,
+    aligned: bool = True,
 ):
     """Jitted shard_map program for :func:`sharded_aligned_prefiltered`,
     cached per parameterization (per-request path — see
@@ -340,7 +343,7 @@ def _sharded_prefiltered_fn(
         kw = {} if k is None else {"k": k}
         votes_s, cert_s = aligned_prefiltered_votes(
             db_s, maps_s, q_s, act_s, u2_s, tol, specs=specs,
-            coefs=coefs, interpret=interpret,
+            coefs=coefs, interpret=interpret, aligned=aligned,
             ctx_ids=ci_s, ctx_id=cid, top=top, **kw,
         )
         # one cert column per shard; the caller ANDs across shards
