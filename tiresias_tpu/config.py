@@ -37,6 +37,17 @@ DEF_DURATION_MS = 3000
 
 GLOBAL_SECTION = "global"
 
+# Measured 20 dB-SNR fingerprint deviation profile (|delta| p90 per coef
+# over speech-like audio, mean-normalized — tools/margin_study.py): the
+# recommended ``DspConfig.coef_weights`` for noisy-telephony deployments
+# at n_coefs=8. In this space, aligned@8 tol 0.2 with min_margin 0.2
+# scored 66/100 noisy-20 dB recall at 0/50 false accepts vs 38/100 for
+# the best unweighted operating point (10k distractors; see
+# docs/performance.md for the at-scale numbers).
+NOISE20_COEF_WEIGHTS = (
+    1.032, 0.369, 0.743, 0.635, 0.624, 0.737, 1.554, 2.308,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class DspConfig:
@@ -52,6 +63,23 @@ class DspConfig:
     samplerate: int = DEF_SAMPLERATE  # 0 = native rate of the file
     n_filters: int = DEF_N_FILTERS
     n_coefs: int = DEF_N_COEFS
+    # Per-coefficient fingerprint scaling (round-5 noise extension; None
+    # = reference parity). When set (len == n_coefs, all > 0), every
+    # fingerprint — ingest AND query — is divided per coef by these
+    # weights, so one scalar search tolerance ``t`` means a per-coef
+    # tolerance ``t * w_c``: |q/w - d/w| <= t  <=>  |q - d| <= t*w.
+    # Additive noise moves the high-order MFCC coefficients ~6x more
+    # than coef 1 (measured 20 dB-SNR profile: NOISE20_COEF_WEIGHTS), so
+    # a scalar tolerance either over-trusts fragile coefs or wastes the
+    # stable ones; weighting the space fixes the tolerance SHAPE.
+    # Applied to the LOG-domain values at every fingerprint entry point
+    # (ops.mfcc_jax.coef_scale_for — one fused elementwise multiply; a
+    # DCT-matrix scale would only SHIFT the log values), so every kernel
+    # — XLA, fused Pallas, sharded — inherits it at zero per-query cost.
+    # Stored fingerprints live in the weighted space: the checkpoint
+    # records the weights and an engine restore with different weights
+    # is rejected (stale values).
+    coef_weights: tuple | None = None
 
     def __post_init__(self) -> None:
         if self.hop_size < 1:
@@ -60,6 +88,18 @@ class DspConfig:
             raise ValueError("buf_size must be a multiple of hop_size")
         if self.n_coefs < 1 or self.n_coefs > self.n_filters:
             raise ValueError("n_coefs must be in [1, n_filters]")
+        if self.coef_weights is not None:
+            w = tuple(float(x) for x in self.coef_weights)
+            if len(w) != self.n_coefs:
+                raise ValueError(
+                    f"coef_weights needs n_coefs={self.n_coefs} entries, "
+                    f"got {len(w)}"
+                )
+            if any(x <= 0 for x in w):
+                raise ValueError("coef_weights must all be positive")
+            # frozen dataclass: normalize through __setattr__ like
+            # dataclasses' own __init__ does
+            object.__setattr__(self, "coef_weights", w)
 
     @property
     def n_bins(self) -> int:
@@ -86,6 +126,14 @@ class MatchConfig:
     # instead of the reference's bag-of-frames ∃-any-frame vote. Dramatically
     # more discriminative on similar-sounding corpora.
     aligned: bool = False
+    # Extension (round 5, noise operating point): margin-based
+    # acceptance. A result is only FOUND when the winner's votes beat
+    # the runner-up AUDIO's votes by this fraction of the winner's:
+    # (v1 - v2) >= min_margin * v1. True matches win by a wide margin
+    # while impostor queries near-tie many rows — at a widened
+    # tolerance this separates them where absolute confidence cannot
+    # (docs/performance.md §noise; 0 = reference parity, no gate).
+    min_margin: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)
@@ -156,9 +204,20 @@ def config_from_mapping(sections: Mapping[str, Mapping[str, str]]) -> TiresiasCo
                     )
             if "data_dir" in items:
                 data_dir = items["data_dir"]
+            if "min_margin" in items:
+                match_kwargs["min_margin"] = float(items["min_margin"])
             for key in ("hop_size", "buf_size", "samplerate", "n_filters", "n_coefs"):
                 if key in items:
                     dsp_kwargs[key] = int(items[key])
+            if "coef_weights" in items:
+                raw = items["coef_weights"].strip()
+                if raw.lower() in ("noise20", "noise"):
+                    # the measured 20 dB profile (requires n_coefs=8)
+                    dsp_kwargs["coef_weights"] = NOISE20_COEF_WEIGHTS
+                else:
+                    dsp_kwargs["coef_weights"] = tuple(
+                        float(x) for x in raw.replace(",", " ").split()
+                    )
             continue
         directory = items.get("directory")
         if directory is None:

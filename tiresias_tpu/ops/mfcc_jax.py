@@ -70,6 +70,23 @@ def dsp_constants(dsp: DspConfig, samplerate: int) -> tuple[np.ndarray, np.ndarr
     return window, mel_t, dct_t
 
 
+def coef_scale_for(dsp: DspConfig) -> np.ndarray | None:
+    """``1 / coef_weights`` as a ``[n_coefs]`` f32 row, or None.
+
+    The stored value space is LOG-domain (``10*log10|mfcc|``), so the
+    round-5 per-coef noise weighting must SCALE the log values — a DCT
+    column scale would only shift them additively, leaving |q - d|
+    untouched. Every fingerprint entry point multiplies its output by
+    this row (one fused elementwise op; None = reference parity), which
+    puts ingest and queries in the weighted space where a scalar search
+    tolerance ``t`` means the per-coef tolerance ``t * w_c``."""
+    if dsp.coef_weights is None:
+        return None
+    return (
+        1.0 / np.asarray(dsp.coef_weights, np.float32)
+    ).astype(np.float32)
+
+
 _device_consts_lock = threading.Lock()
 
 
@@ -258,18 +275,21 @@ def fingerprint_padded_batch(
     dsp = dsp or DspConfig()
     if n_valid is not None:
         n_valid = jnp.asarray(n_valid, jnp.int32)
+    scale = coef_scale_for(dsp)  # round-5 noise weighting (None = parity)
     if _use_pallas():
         from tiresias_tpu.ops.mfcc_pallas import fingerprint_padded_batch_pallas
 
-        return fingerprint_padded_batch_pallas(
+        out = fingerprint_padded_batch_pallas(
             pcm, samplerate, dsp, law=law, n_valid=n_valid
         )
+        return out if scale is None else out * jnp.asarray(scale)
     window, mel_t, dct_t = _device_dsp_constants(dsp, int(samplerate))
     pcm = jnp.asarray(pcm)  # int16/uint8 stays raw (converted on device)
-    return _fingerprint_padded(
+    out = _fingerprint_padded(
         pcm, window, mel_t, dct_t, dsp.hop_size, dsp.buf_size, law=law,
         n_valid=n_valid,
     )
+    return out if scale is None else out * jnp.asarray(scale)
 
 
 def bucket_frames(

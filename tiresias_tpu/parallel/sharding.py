@@ -532,9 +532,11 @@ def sharded_fingerprint_long(
         frames = jnp.concatenate(parts, axis=-1)  # [1, F_loc, win]
         # the shared parity-sensitive chain — drift vs the single-device
         # fingerprint is impossible by construction
-        from tiresias_tpu.ops.mfcc_jax import spectral_chain
+        from tiresias_tpu.ops.mfcc_jax import coef_scale_for, spectral_chain
 
-        return spectral_chain(frames, w, m, d)
+        out = spectral_chain(frames, w, m, d)
+        cw = coef_scale_for(dsp)  # round-5 noise weighting
+        return out if cw is None else out * jnp.asarray(cw)
 
     out = shard_map(
         shard_fn,
@@ -573,6 +575,7 @@ def sharded_fingerprint(
     """
     from tiresias_tpu.ops.mfcc_jax import (
         _fingerprint_padded,
+        coef_scale_for,
         mask_valid_samples,
         to_float_pcm,
     )
@@ -598,9 +601,12 @@ def sharded_fingerprint(
         else jnp.full((pcm.shape[0],), pcm.shape[1], jnp.int32)
     )
 
+    cw = coef_scale_for(dsp)  # round-5 noise weighting (None = parity)
+
     def shard_fn(pcm_s, nv_s, w, m, d):
         x = mask_valid_samples(to_float_pcm(pcm_s, law), nv_s)
-        return _fingerprint_padded(x, w, m, d, dsp.hop_size, dsp.buf_size)
+        out = _fingerprint_padded(x, w, m, d, dsp.hop_size, dsp.buf_size)
+        return out if cw is None else out * jnp.asarray(cw)
 
     flat = P((DB_AXIS, BATCH_AXIS), None)
     return shard_map(

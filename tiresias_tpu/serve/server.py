@@ -40,6 +40,7 @@ import asyncio
 import base64
 import contextlib
 import json
+import time
 
 import numpy as np
 
@@ -838,7 +839,7 @@ class RecognitionServer:
                 for k in (
                     "coefs", "tolerance", "freq_ignore_low",
                     "freq_ignore_high", "trunc_coef1", "aligned",
-                    "filter_context",
+                    "filter_context", "min_margin",
                 )
                 if k in msg
             }
@@ -955,15 +956,25 @@ def run_server(
     async def main():
         import signal
 
-        for b in warmup_batch_sizes(max_channels):
-            # warm_laws: G.711 wire formats this deployment expects
-            # (jit keys on dtype, so uint8 graphs compile separately;
-            # un-warmed laws still work — the first window pays the
-            # compile, like any new shape)
-            engine.warmup(
-                samplerate=samplerate, batch_sizes=(b,), laws=warm_laws
-            )
-            log.info("warmed search batch %d", b)
+        # readiness-tiered warmup (round 5): only the int16 bucket
+        # programs — the TCP wire format — block the accept loop; f32
+        # buckets and warm_laws' G.711 device-decode programs compile on
+        # a background thread while the scorer host-expands law windows
+        # to int16 (bit-identical, PARITY D18 / engine.law_device_ready).
+        # Cold start to READY is ~a third of the full warm bill.
+        t0 = time.monotonic()
+        warm_thread = engine.warmup_async(
+            samplerate=samplerate,
+            batch_sizes=warmup_batch_sizes(max_channels),
+            laws=warm_laws,
+        )
+        log.info(
+            "ready: int16 search buckets warmed in %.1fs "
+            "(f32%s warming in background)",
+            time.monotonic() - t0,
+            " + laws " + ",".join(warm_laws) if warm_laws else "",
+        )
+        del warm_thread  # daemon; readiness does not wait for it
         server = RecognitionServer(
             engine, host, port, samplerate, admin=admin,
             watch_interval=watch_interval, max_channels=max_channels,

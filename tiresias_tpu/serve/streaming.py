@@ -133,6 +133,7 @@ class ChannelState:
     freq_ignore_high: int
     trunc_coef1: bool | None
     aligned: bool | None
+    min_margin: float | None  # round-5 margin acceptance (None = config)
     filter_context: bool
     continuous: bool
     law: str | None  # G.711 wire law ("ulaw"/"alaw"); None = linear PCM
@@ -190,6 +191,7 @@ class StreamingRecognizer:
         continuous: bool = False,
         law: str | None = None,
         hop_ms: int | None = None,
+        min_margin: float | None = None,
         on_result: Callable[[str, SearchResult], None] | None = None,
     ) -> None:
         """Start recognizing a channel — the ``Tiresias(context,duration,
@@ -219,6 +221,10 @@ class StreamingRecognizer:
                 raise ValueError("hop_ms must be positive")
         if tolerance is not None:
             tolerance = float(tolerance)
+        if min_margin is not None:
+            min_margin = float(min_margin)
+            if not 0.0 <= min_margin < 1.0:
+                raise ValueError("min_margin must be in [0, 1)")
         if coefs is not None:
             coefs = int(coefs)
             n_coefs = self.engine.config.dsp.n_coefs
@@ -250,6 +256,7 @@ class StreamingRecognizer:
             freq_ignore_high=freq_ignore_high,
             trunc_coef1=trunc_coef1,
             aligned=aligned,
+            min_margin=min_margin,
             filter_context=filter_context,
             continuous=continuous,
             law=law,
@@ -379,6 +386,7 @@ class StreamingRecognizer:
                         trunc_coef1=state.trunc_coef1,
                         aligned=state.aligned,
                         wire_law=state.law,
+                        min_margin=state.min_margin,
                     )
             except Exception:  # noqa: BLE001 - same degradation as a tick
                 log.exception("hangup flush search failed for %s", channel_id)
@@ -483,19 +491,33 @@ class StreamingRecognizer:
                 state.aligned,
                 state.filter_context,
                 state.law,
+                state.min_margin,
             )
             groups.setdefault(key, []).append((state, pcm, window))
 
         results: dict[str, SearchResult] = {}
         for key, items in groups.items():
             (context, tolerance, coefs, lo, hi, trunc, aligned, filt,
-             law) = key
+             law, min_margin) = key
             # pad the batch to the next power of two with silence queries so
             # XLA compiles at most log2(max_channels) batch shapes instead of
             # one per concurrent-channel count (results sliced back below).
             # G.711 groups pad with the law's silence CODE — a zero byte
             # decodes to full-scale linear (utils/g711.SILENCE_BYTE).
             pcms = [pcm for _, pcm, _ in items]
+            if law is not None and not self.engine.law_device_ready(law):
+                # warmup_async is still compiling this law's device
+                # programs: expand the wire bytes on HOST to int16 and
+                # ride the already-warm int16 bucket programs. EXACT:
+                # the device's uint8 table is this int16 expansion
+                # divided by 32768 (PARITY D18), so results are
+                # bit-identical — a cold serving process answers trunk
+                # traffic immediately instead of stalling on compiles.
+                from tiresias_tpu.utils.g711 import decode_table
+
+                table = decode_table(law)
+                pcms = [table[p] for p in pcms]
+                law = None
             if law is not None:
                 from tiresias_tpu.utils.g711 import SILENCE_BYTE
 
@@ -518,6 +540,7 @@ class StreamingRecognizer:
                         trunc_coef1=trunc,
                         aligned=aligned,
                         wire_law=law,
+                        min_margin=min_margin,
                     )[: len(items)]
             except Exception:  # noqa: BLE001
                 # per-group error isolation: a failing search degrades those

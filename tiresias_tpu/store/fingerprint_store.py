@@ -536,11 +536,20 @@ class FingerprintStore:
     (/root/reference/src/db_ctx_handler.c:122-140) without the retry loop.
     """
 
-    def __init__(self, n_coefs: int = DEF_N_COEFS, mesh=None) -> None:
+    def __init__(self, n_coefs: int = DEF_N_COEFS, mesh=None,
+                 coef_weights=None) -> None:
         """``mesh``: optional ``jax.sharding.Mesh`` with a ``db`` axis; when
         set, device views are placed with a ``P('db')`` NamedSharding so
-        every jitted consumer auto-partitions the audio axis via GSPMD."""
+        every jitted consumer auto-partitions the audio axis via GSPMD.
+
+        ``coef_weights``: the DSP chain's per-coef noise weighting
+        (DspConfig.coef_weights) — recorded in the checkpoint catalog;
+        a restore under DIFFERENT weights is rejected (the stored
+        fingerprints live in the old weighted space)."""
         self.n_coefs = int(n_coefs)
+        self.coef_weights = (
+            tuple(float(x) for x in coef_weights) if coef_weights else None
+        )
         self.mesh = mesh
         self._lock = threading.RLock()
         # serializes whole checkpoint saves; the store-wide _lock is held
@@ -1425,6 +1434,9 @@ class FingerprintStore:
             catalog = {
                 "version": CHECKPOINT_VERSION,
                 "n_coefs": self.n_coefs,
+                "coef_weights": (
+                    list(self.coef_weights) if self.coef_weights else None
+                ),
                 "gen": gen,
                 "contexts": contexts_snap,
                 "entries": [e.to_dict() for e in entries_snap],
@@ -1542,7 +1554,8 @@ class FingerprintStore:
 
     @staticmethod
     def load(
-        directory: str, n_coefs: int = DEF_N_COEFS, mesh=None
+        directory: str, n_coefs: int = DEF_N_COEFS, mesh=None,
+        coef_weights=None,
     ) -> "FingerprintStore":
         """Restore from a checkpoint; empty store when none exists — the
         restore-on-load path (/root/reference/src/fp_handler.c:80-87).
@@ -1551,7 +1564,8 @@ class FingerprintStore:
         :class:`CheckpointUnreadable` instead of returning an empty store
         (whose next save would rotate + GC the existing data away —
         a transient read error must never become permanent data loss)."""
-        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
+        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh,
+                                 coef_weights=coef_weights)
         errors: list[str] = []
         for suffix in ("", ".bak"):
             cat_path = os.path.join(directory, CATALOG_FILE + suffix)
@@ -1559,7 +1573,8 @@ class FingerprintStore:
                 continue
             try:
                 loaded = FingerprintStore._load_catalog(
-                    directory, cat_path, suffix, n_coefs, mesh
+                    directory, cat_path, suffix, n_coefs, mesh,
+                    coef_weights,
                 )
                 loaded._seen_gen = loaded._restored_gen
                 if suffix:
@@ -1625,9 +1640,10 @@ class FingerprintStore:
 
     @staticmethod
     def _load_catalog(
-        directory, cat_path, suffix, n_coefs, mesh
+        directory, cat_path, suffix, n_coefs, mesh, coef_weights=None
     ) -> "FingerprintStore":
-        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh)
+        store = FingerprintStore(n_coefs=n_coefs, mesh=mesh,
+                                 coef_weights=coef_weights)
         with open(cat_path) as f:
             catalog = json.load(f)
         version = catalog.get("version")
@@ -1638,6 +1654,14 @@ class FingerprintStore:
         if int(catalog["n_coefs"]) != store.n_coefs:
             raise CheckpointIncompatible(
                 f"checkpoint has n_coefs={catalog['n_coefs']}, store wants {n_coefs}"
+            )
+        ckpt_w = catalog.get("coef_weights")
+        ckpt_w = tuple(float(x) for x in ckpt_w) if ckpt_w else None
+        if ckpt_w != store.coef_weights:
+            raise CheckpointIncompatible(
+                f"checkpoint fingerprints live in coef_weights={ckpt_w} "
+                f"space, config wants {store.coef_weights} — stored "
+                "values would be stale; rebuild with a fresh data_dir"
             )
         entries = [AudioEntry.from_dict(d) for d in catalog["entries"]]
         store.contexts = dict(catalog["contexts"])
