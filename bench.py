@@ -2137,20 +2137,20 @@ SECTIONS = {
 SECONDARY = (
     ("search", 300),
     ("lattice_prefiltered", 240),
+    ("engine_search", 240),       # the <10 ms north-star decomposition
+    ("accuracy", 420),
+    ("accuracy_scale", 420),      # round 5: noise point @102k distractors
+    ("device_rank", 300),         # round 5: fused strict path @100k
+    ("hostfeed", 300),            # round 5: G.711 wire + link floors
     ("aligned_scale", 420),
     ("server", 300),
     ("streams", 330),
-    ("accuracy", 420),
-    ("accuracy_scale", 420),
-    ("fallback_regime", 330),
+    ("coldstart", 300),           # round 5: readiness-tiered warmup
     ("db_build", 300),
-    ("search_scale", 330),
-    ("coldstart", 300),
     # trailing tier: first to be trimmed under budget pressure (their
-    # stories are mostly told by earlier lines)
-    ("hostfeed", 240),
-    ("engine_search", 240),
-    ("device_rank", 180),
+    # stories are told in docs + earlier rounds' artifacts)
+    ("fallback_regime", 330),
+    ("search_scale", 330),
 )
 
 
@@ -2306,6 +2306,12 @@ def _orchestrate() -> None:
             )
             continue
         _run_child(name, min(nominal, remaining), state, summaries)
+        # re-print the running summary after EVERY section: if anything
+        # kills this orchestrator mid-run (driver timeout at an unknown
+        # bound — the round-3 failure), the output tail still ends with
+        # a parseable sections line + headline for everything that DID
+        # complete, not with whatever marker happened to print last
+        _print_final(headline, summaries)
     mark("bench complete (rc=0)")
     _print_final(headline, summaries)
 
