@@ -1069,10 +1069,20 @@ class Tiresias:
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
         wire_law: str | None = None,
+        min_margin: float | None = None,
     ) -> list[SearchResult]:
         """Ranked top-k candidates for one query (documented extension —
         the reference returns only the top-1 row, fp_handler.c:367-373).
-        Only audios with at least one vote appear."""
+        Only audios with at least one vote appear. ``min_margin`` does
+        not apply — a ranked listing SHOWS the margins; rejecting it
+        here keeps a gate-configured caller from silently assuming the
+        table was filtered."""
+        if min_margin:
+            raise ValueError(
+                "min_margin does not apply to ranked listings (the table "
+                "shows every candidate; apply acceptance to the top-1 "
+                "search instead)"
+            )
         fast = self._device_ranked_topk(
             context, np.asarray(pcm), samplerate, k, coefs, tolerance,
             freq_ignore_low, freq_ignore_high, filter_context, trunc_coef1,
@@ -1377,6 +1387,7 @@ class Tiresias:
             context, [np.asarray(p) for p in pcms], samplerate, coefs,
             tolerance, freq_ignore_low, freq_ignore_high, filter_context,
             trunc_coef1, aligned, wire_law=wire_law,
+            prefilter_top=2,  # the runner-up must be certified too
         )
         results: list[SearchResult] = []
         if not votes_all.shape[1]:
@@ -1701,12 +1712,15 @@ class Tiresias:
         aligned: bool | None = None,
         prefilter: bool = True,
         wire_law: str | None = None,
+        prefilter_top: int = 1,
     ) -> tuple[np.ndarray, list[AudioEntry], np.ndarray]:
         """(votes [B, A], view-ordered entries, n_frames [B]).
 
         ``prefilter=False`` disables the certified two-stage aligned path
         (top-k listings need every audio's true score, not just the
-        certified winner's)."""
+        certified winner's); ``prefilter_top`` widens the certificate to
+        an exact top-N (the margin path needs a certified RUNNER-UP —
+        a candidate-only second-best would understate v2 and over-accept)."""
         (coefs, tolerance, freq_ignore_low, freq_ignore_high, trunc_coef1,
          aligned) = self._resolve_search(
             coefs, tolerance, freq_ignore_low, freq_ignore_high,
@@ -1751,7 +1765,7 @@ class Tiresias:
                     view, qfp, n_frames, f_q, coefs, tolerance,
                     freq_ignore_low, freq_ignore_high, trunc_coef1,
                     aligned, prefilter, use_lattice, on_tpu, sharded_mode,
-                    ctx_id=ctx_id,
+                    ctx_id=ctx_id, prefilter_top=prefilter_top,
                 )
                 vote_parts.append(np.asarray(votes)[:, : view.n_audios])
                 entries.extend(view.entries)
@@ -2199,6 +2213,7 @@ class Tiresias:
         filter_context: bool = False,
         trunc_coef1: bool | None = None,
         aligned: bool | None = None,
+        min_margin: float | None = None,
     ) -> SearchResult:
         """fp_search_fingerprint_info over a file on disk
         (/root/reference/src/fp_handler.h:27-34)."""
@@ -2214,6 +2229,7 @@ class Tiresias:
             filter_context=filter_context,
             trunc_coef1=trunc_coef1,
             aligned=aligned,
+            min_margin=min_margin,
         )
 
     # ------------------------------------------------------------------ #

@@ -304,6 +304,7 @@ def cmd_search(args) -> int:
         freq_ignore_high=args.freq_ignore_high,
         filter_context=args.filter_context,
         trunc_coef1=None if args.exact is None else not args.exact,
+        min_margin=getattr(args, "min_margin", None),
     )
     files = args.file if isinstance(args.file, list) else [args.file]
     if len(files) > 1:
@@ -943,6 +944,15 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         help="disable the reference's integer truncation of max1 for "
         "small-tolerance recognition (PARITY.md D8)",
+    )
+    se.add_argument(
+        "--min-margin",
+        type=float,
+        default=None,
+        metavar="M",
+        help="accept only when the winner's votes beat the runner-up "
+        "audio's by this fraction (the round-5 noise operating point; "
+        "docs/performance.md)",
     )
     se.set_defaults(func=cmd_search)
 
