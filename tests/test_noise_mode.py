@@ -159,3 +159,60 @@ class TestMinMargin:
         r2 = eng.search_pcm("c", tone, SR, min_margin=0)  # explicit off
         assert r2.found
         eng.close()
+
+
+class TestFusedMarginPath:
+    def test_fused_and_host_margin_paths_agree(self, tmp_path, rng,
+                                               monkeypatch):
+        """min_margin routed through the one-dispatch fused strict path
+        (mocked-TPU; kernels run interpret mode) must answer exactly
+        like the host-ranked margin path — acceptance and rejection."""
+        import tiresias_tpu.api.engine as engine_mod
+
+        eng = Tiresias(
+            TiresiasConfig(dsp=DspConfig(n_coefs=2),
+                           data_dir=str(tmp_path)),
+            restore=False,
+        )
+        eng.create_context("c")
+        # clustered corpus big enough for the prefilter gate, plus a
+        # near-duplicate pair and a unique target
+        mu = rng.uniform(-25, 20, (2200, 1, 2)).astype(np.float32)
+        fps = (mu + 0.5 * rng.standard_normal((2200, 48, 2))).astype(
+            np.float32
+        )
+        for i in range(2200):
+            eng.store.add_audio(f"t{i}", "c", fps[i], f"h{i:06d}")
+        tone = synth_tone(440, 1.0, SR)
+        chirp = synth_chirp(200, 900, 1.0, SR)
+        eng.add_audio_pcm("c", "dupA", tone, SR)
+        eng.add_audio_pcm("c", "dupB", tone * 0.9999, SR)
+        eng.add_audio_pcm("c", "solo", chirp, SR)
+        kw = dict(coefs=2, tolerance=0.1, trunc_coef1=False,
+                  min_margin=0.2)
+
+        def run_both(q):
+            monkeypatch.setattr(engine_mod, "_on_tpu", lambda: True)
+            calls = {"n": 0}
+            orig = eng._fused_strict_batch
+
+            def spy(*a, **k):
+                out = orig(*a, **k)
+                if out is not None:
+                    calls["n"] += 1
+                return out
+
+            monkeypatch.setattr(eng, "_fused_strict_batch", spy)
+            fused = eng.search_pcm("c", q, SR, **kw)
+            assert calls["n"] == 1, "fused margin path not taken"
+            monkeypatch.setattr(engine_mod, "_on_tpu", lambda: False)
+            host = eng.search_pcm("c", q, SR, **kw)
+            return fused, host
+
+        f1, h1 = run_both(tone)  # duplicate pair: margin rejects
+        assert f1.status == h1.status == "NOTFOUND"
+        f2, h2 = run_both(chirp)  # unique winner: accepted
+        assert f2.found and h2.found
+        assert f2.name == h2.name == "solo"
+        assert f2.match_count == h2.match_count
+        eng.close()

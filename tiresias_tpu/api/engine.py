@@ -252,7 +252,7 @@ def _fused_lattice_fn(
 def _fused_strict_fn(
     dsp: DspConfig, samplerate: int, law: str | None, coefs: int,
     aligned: bool, k: int, lo: int, hi: int, specs: tuple,
-    prefilter: bool = True, interpret: bool = False,
+    prefilter: bool = True, interpret: bool = False, top2: bool = False,
 ):
     """One-dispatch STRICT (no-truncation) multicoef search: fingerprint
     → certified two-stage prefilter (lattice bounds → exact Pallas
@@ -290,7 +290,17 @@ def _fused_strict_fn(
         big = jnp.int32(2**30)
         cand = jnp.where(votes == m[:, None], jnp.arange(votes.shape[1]), big)
         best = jnp.where(m > 0, jnp.min(cand, axis=1), -1).astype(jnp.int32)
-        return best, m
+        if not top2:
+            return best, m
+        # runner-up AUDIO's votes (margin acceptance): max outside the
+        # winning row. With the prefilter this is exact because the
+        # certificate is taken at top=2 (every audio reaching the
+        # 2nd-best score is a candidate with its exact score)
+        rows = jnp.arange(votes.shape[1])[None, :]
+        m2 = jnp.max(
+            jnp.where(rows == best[:, None], jnp.int32(-1), votes), axis=1
+        )
+        return best, m, jnp.maximum(m2, 0)
 
     def _prep(pcm, n_frames, n_valid):
         qfp = fingerprint_padded_batch(
@@ -311,10 +321,9 @@ def _fused_strict_fn(
         def run_full(pcm, n_frames, db, tol, ci=None, cid=None,
                      n_valid=None):
             q, active, use2 = _prep(pcm, n_frames, n_valid)
-            best, m = _top1_rows(
+            return _top1_rows(
                 _full_votes(db, q, active, use2, tol, ci, cid)
             )
-            return best, m
 
         return run_full
 
@@ -324,7 +333,7 @@ def _fused_strict_fn(
         votes_pf, cert = aligned_prefiltered_votes(
             db, maps, q, active, use2, tol, specs=specs, coefs=coefs,
             k=k, aligned=aligned, interpret=interpret,
-            ctx_ids=ci, ctx_id=cid,
+            ctx_ids=ci, ctx_id=cid, top=2 if top2 else 1,
         )
         certified = cert.all()
 
@@ -336,10 +345,10 @@ def _fused_strict_fn(
                 _full_votes(db, q, active, use2, tol, ci, cid)
             )
 
-        best, m = jax.lax.cond(certified, pre, full, operand=None)
+        outs = jax.lax.cond(certified, pre, full, operand=None)
         # the certificate rides the same readback: the engine's adaptive
         # gate (_pf_note) needs the outcome
-        return best, m, certified
+        return (*outs, certified)
 
     return run
 
@@ -998,6 +1007,13 @@ class Tiresias:
             if min_margin is None else float(min_margin)
         )
         if mm > 0.0:
+            fast = self._fused_strict_batch(
+                context, pcms, samplerate, coefs, tolerance,
+                freq_ignore_low, freq_ignore_high, filter_context,
+                trunc_coef1, aligned, wire_law, min_margin=mm,
+            )
+            if fast is not None:
+                return fast
             return self._margin_search_batch(
                 context, pcms, samplerate, coefs, tolerance,
                 freq_ignore_low, freq_ignore_high, filter_context,
@@ -1520,6 +1536,7 @@ class Tiresias:
         trunc_coef1: bool | None,
         aligned: bool | None,
         wire_law: str | None = None,
+        min_margin: float = 0.0,
     ) -> list[SearchResult] | None:
         """Single-dispatch fast path for the STRICT (no-truncation)
         multicoef configurations — bag (the reference's own coefs=2
@@ -1589,24 +1606,32 @@ class Tiresias:
             from tiresias_tpu.utils.platform import is_tpu
 
             interp = not is_tpu()  # real probe: mocked-TPU tests interpret
+            top2 = min_margin > 0.0  # margin needs the runner-up audio
+            count2 = None
             if use_pf:
                 specs, maps = self.store.bound_maps_for(view, coefs)
                 run = _fused_strict_fn(
                     self.config.dsp, samplerate, wire_law, coefs, aligned,
                     PREFILTER_K, lo, hi, specs, interpret=interp,
+                    top2=top2,
                 )
                 out = run(
                     padded, jnp.asarray(n_frames), view.db, maps,
                     jnp.float32(tolerance), ci, ctx_id, n_valid=n_valid,
                 )
-                # one transfer for all outputs (best, count, certificate)
+                # one transfer for all outputs (best, count[, runner-up],
+                # certificate)
                 got = jax.device_get(out)
-                best, count, certified = got[0], got[1], bool(got[2])
+                best, count = got[0], got[1]
+                if top2:
+                    count2 = got[2]
+                certified = bool(got[-1])
                 self._pf_note(view, mode, certified)
             else:
                 run = _fused_strict_fn(
                     self.config.dsp, samplerate, wire_law, coefs, aligned,
                     0, lo, hi, (), prefilter=False, interpret=interp,
+                    top2=top2,
                 )
                 out = run(
                     padded, jnp.asarray(n_frames), view.db,
@@ -1614,6 +1639,8 @@ class Tiresias:
                 )
                 got = jax.device_get(out)
                 best, count = got[0], got[1]
+                if top2:
+                    count2 = got[2]
         metrics.add("search.queries", len(pcms))
         results: list[SearchResult] = []
         for i in range(len(pcms)):
@@ -1621,10 +1648,16 @@ class Tiresias:
             b = int(best[i])
             if b < 0 or b >= view.n_audios:
                 results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
-            else:
-                results.append(
-                    self._found(view.entries[b], fc, int(count[i]))
-                )
+                continue
+            v1 = int(count[i])
+            if count2 is not None and (
+                v1 - int(count2[i])
+            ) < min_margin * v1:
+                # margin acceptance: runner-up too close (the runner-up
+                # votes are exact — top-2 certificate or full scan)
+                results.append(SearchResult(STATUS_NOTFOUND, fc, 0))
+                continue
+            results.append(self._found(view.entries[b], fc, v1))
         return results
 
     def _ctx_filter_id(
