@@ -1438,6 +1438,113 @@ def _speechlike_batch(
     return out.astype(np.float32)
 
 
+
+def _build_synth_corpus(
+    eng, dsp, n_tracks: int, n_queries: int, rng, sr: int = 8000,
+    clip_s: float = 2.0, tag: str = "acc", budget_label: str | None = None,
+):
+    """Shared device-synthesized speech-like corpus builder for the
+    accuracy sections: harmonic-stack clips synthesized AND fingerprinted
+    on device in fixed [512, n] batches (ONE compile), injected into the
+    engine's store; the query targets' PCM rows are read back.
+
+    Returns (n_tracks_actually_built, targets, kept{idx: pcm}) —
+    ``budget_label`` enables the over_budget early stop (the count may
+    come back smaller in a degraded window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
+
+    bs = 512
+    n_clip = int(clip_s * sr)
+    n_clip -= n_clip % 256
+
+    def synth_batch(params, key):
+        t = jnp.arange(n_clip, dtype=jnp.float32)[None, None, :] / sr
+        f0, vibf, amp, modf, phase = params
+        vib = 1.0 + 0.03 * jnp.sin(2 * jnp.pi * vibf[:, None, :] * t)
+        h = jnp.arange(1, 9, dtype=jnp.float32)[None, :, None]
+        mod = 1.0 + 0.5 * jnp.sin(2 * jnp.pi * modf * t + phase)
+        out = (
+            amp * mod * jnp.sin(2 * jnp.pi * f0[:, None, :] * h * vib * t)
+        ).sum(axis=1)
+        out += 0.02 * jax.random.normal(key, out.shape, jnp.float32)
+        out *= 0.3 / jnp.maximum(
+            1e-9, jnp.abs(out).max(axis=1, keepdims=True)
+        )
+        i16 = jnp.clip(
+            jnp.round(out * 32768.0), -32768, 32767
+        ).astype(jnp.int16)
+        return i16, fingerprint_padded_batch(i16, sr, dsp)
+
+    synth_batch_j = jax.jit(synth_batch)
+
+    def draw_params(nb):
+        return (
+            jnp.asarray(rng.uniform(90, 220, (nb, 1)), jnp.float32),
+            jnp.asarray(rng.uniform(3, 7, (nb, 1)), jnp.float32),
+            jnp.asarray(
+                rng.uniform(0.2, 1.0, (nb, 8, 1))
+                / np.arange(1, 9)[None, :, None], jnp.float32,
+            ),
+            jnp.asarray(rng.uniform(0.5, 3.0, (nb, 8, 1)), jnp.float32),
+            jnp.asarray(rng.uniform(0, 6.28, (nb, 8, 1)), jnp.float32),
+        )
+
+    kept: dict[int, np.ndarray] = {}
+    targets = list(range(0, n_tracks, max(1, n_tracks // n_queries)))
+    targets = targets[:n_queries]
+    tset = set(targets)
+    done = 0
+    batch_no = 0
+    while done < n_tracks:
+        if budget_label and over_budget(budget_label):
+            mark(f"{budget_label}: stopping corpus at {done} tracks")
+            n_tracks = done
+            targets = [i for i in targets if i < done]
+            break
+        nb = min(bs, n_tracks - done)
+        i16_d, fps_d = synth_batch_j(
+            draw_params(nb), jax.random.PRNGKey(1000 + batch_no)
+        )
+        batch_no += 1
+        fps = np.asarray(fps_d)
+        rows = [j for j in range(nb) if done + j in tset]
+        if rows:
+            pcm_rows = np.asarray(i16_d[jnp.asarray(rows)])
+            for j, pr in zip(rows, pcm_rows):
+                kept[done + j] = pr.astype(np.float32) / 32768.0
+        for j in range(nb):
+            eng.store.add_audio(
+                f"clip{done + j}", "c", fps[j], f"{tag}{done + j:08d}"
+            )
+        done += nb
+    return n_tracks, targets, kept
+
+
+def _corpus_queries(kept, targets, rng, sr=8000, clip_s=2.0, query_s=1.5):
+    """Frame-aligned excerpt queries + truth names for the built corpus."""
+    qn = int(query_s * sr)
+    qn -= qn % 256
+    excerpts, truth = [], []
+    for i in targets:
+        off = int(rng.integers(0, int((clip_s - query_s) * sr)))
+        off -= off % 256
+        excerpts.append(kept[i][off : off + qn])
+        truth.append(f"clip{i}")
+    return excerpts, truth
+
+
+def _noise_at(rng, pcm, snr_db):
+    sig = float((pcm**2).mean())
+    noise = rng.standard_normal(len(pcm)).astype(np.float32)
+    noise *= np.sqrt(
+        sig / (10 ** (snr_db / 10)) / float((noise**2).mean())
+    )
+    return (pcm + noise).astype(np.float32)
+
+
 def bench_accuracy(
     n_tracks: int = 10_240, n_queries: int = 100, n_impostors: int = 50
 ) -> None:
@@ -1474,93 +1581,13 @@ def bench_accuracy(
     eng.create_context("c")
 
     mark(f"accuracy: synthesizing + fingerprinting {n_tracks} tracks")
-    bs = 512  # n_tracks stays a multiple: ONE device batch shape, ONE
-    # compile (a 272-row remainder batch cost a second multi-minute
-    # compile in a degraded remote-compile window)
-    n_clip = int(clip_s * sr)
-    n_clip -= n_clip % 256
-
-    # corpus synthesized ON DEVICE (the host variant _speechlike_batch
-    # cost ~190 s of host sin + PCM uploads for 10k tracks; here only
-    # tiny parameter vectors go up and only fingerprints + the target
-    # rows come back). The int16 round-trip mirrors the telephony path.
-    def synth_batch(params, key):
-        t = jnp.arange(n_clip, dtype=jnp.float32)[None, None, :] / sr
-        f0, vibf, amp, modf, phase = params
-        vib = 1.0 + 0.03 * jnp.sin(
-            2 * jnp.pi * vibf[:, None, :] * t
-        )  # [nb, 1, n]
-        h = jnp.arange(1, 9, dtype=jnp.float32)[None, :, None]
-        mod = 1.0 + 0.5 * jnp.sin(2 * jnp.pi * modf * t + phase)
-        out = (
-            amp * mod * jnp.sin(2 * jnp.pi * f0[:, None, :] * h * vib * t)
-        ).sum(axis=1)
-        out += 0.02 * jax.random.normal(key, out.shape, jnp.float32)
-        out *= 0.3 / jnp.maximum(
-            1e-9, jnp.abs(out).max(axis=1, keepdims=True)
-        )
-        i16 = jnp.clip(
-            jnp.round(out * 32768.0), -32768, 32767
-        ).astype(jnp.int16)
-        return i16, fingerprint_padded_batch(i16, sr, dsp)
-
-    synth_batch_j = jax.jit(synth_batch)
-
-    def draw_params(nb):
-        return (
-            jnp.asarray(rng.uniform(90, 220, (nb, 1)), jnp.float32),
-            jnp.asarray(rng.uniform(3, 7, (nb, 1)), jnp.float32),
-            jnp.asarray(
-                rng.uniform(0.2, 1.0, (nb, 8, 1))
-                / np.arange(1, 9)[None, :, None], jnp.float32,
-            ),
-            jnp.asarray(rng.uniform(0.5, 3.0, (nb, 8, 1)), jnp.float32),
-            jnp.asarray(rng.uniform(0, 6.28, (nb, 8, 1)), jnp.float32),
-        )
-
-    kept: dict[int, np.ndarray] = {}  # track idx -> pcm (query targets)
-    targets = list(range(0, n_tracks, max(1, n_tracks // n_queries)))
-    targets = targets[:n_queries]
-    tset = set(targets)
-    done = 0
-    batch_no = 0
-    while done < n_tracks:
-        nb = min(bs, n_tracks - done)
-        i16_d, fps_d = synth_batch_j(
-            draw_params(nb), jax.random.PRNGKey(1000 + batch_no)
-        )
-        batch_no += 1
-        fps = np.asarray(fps_d)
-        rows = [j for j in range(nb) if done + j in tset]
-        if rows:
-            pcm_rows = np.asarray(i16_d[jnp.asarray(rows)])
-            for j, pr in zip(rows, pcm_rows):
-                kept[done + j] = pr.astype(np.float32) / 32768.0
-        for j in range(nb):
-            eng.store.add_audio(
-                f"clip{done + j}", "c", fps[j], f"acc{done + j:08d}"
-            )
-        done += nb
-    mark(f"accuracy: corpus ready ({done} tracks); building query sets")
-
-    qn = int(query_s * sr)
-    qn -= qn % 256
-    excerpts, truth = [], []
-    for i in targets:
-        off = int(rng.integers(0, int((clip_s - query_s) * sr)))
-        off -= off % 256
-        excerpts.append(kept[i][off : off + qn])
-        truth.append(f"clip{i}")
-
-    def add_noise(pcm, snr_db):
-        sig = float((pcm**2).mean())
-        noise = rng.standard_normal(len(pcm)).astype(np.float32)
-        noise *= np.sqrt(
-            sig / (10 ** (snr_db / 10)) / float((noise**2).mean())
-        )
-        return (pcm + noise).astype(np.float32)
-
-    noisy = [add_noise(q, 20.0) for q in excerpts]
+    n_tracks, targets, kept = _build_synth_corpus(
+        eng, dsp, n_tracks, n_queries, rng, sr, clip_s, tag="acc"
+    )
+    mark(f"accuracy: corpus ready ({n_tracks} tracks); building query sets")
+    excerpts, truth = _corpus_queries(kept, targets, rng, sr, clip_s,
+                                      query_s)
+    noisy = [_noise_at(rng, q, 20.0) for q in excerpts]
     impostors = list(_speechlike_batch(rng, n_impostors, query_s, sr))
     wire = [encode(float_to_i16(q), "ulaw") for q in excerpts]
 
@@ -1700,7 +1727,6 @@ def bench_accuracy_scale(
         DspConfig,
         TiresiasConfig,
     )
-    from tiresias_tpu.ops.mfcc_jax import fingerprint_padded_batch
 
     sr = 8000
     clip_s, query_s = 2.0, 1.5
@@ -1715,93 +1741,14 @@ def bench_accuracy_scale(
         f"accuracy-scale: synthesizing + fingerprinting {n_tracks} "
         "tracks (noise-weighted space)"
     )
-    bs = 512
-    n_clip = int(clip_s * sr)
-    n_clip -= n_clip % 256
-
-    def synth_batch(params, key):
-        t = jnp.arange(n_clip, dtype=jnp.float32)[None, None, :] / sr
-        f0, vibf, amp, modf, phase = params
-        vib = 1.0 + 0.03 * jnp.sin(2 * jnp.pi * vibf[:, None, :] * t)
-        h = jnp.arange(1, 9, dtype=jnp.float32)[None, :, None]
-        mod = 1.0 + 0.5 * jnp.sin(2 * jnp.pi * modf * t + phase)
-        out = (
-            amp * mod * jnp.sin(2 * jnp.pi * f0[:, None, :] * h * vib * t)
-        ).sum(axis=1)
-        out += 0.02 * jax.random.normal(key, out.shape, jnp.float32)
-        out *= 0.3 / jnp.maximum(
-            1e-9, jnp.abs(out).max(axis=1, keepdims=True)
-        )
-        i16 = jnp.clip(
-            jnp.round(out * 32768.0), -32768, 32767
-        ).astype(jnp.int16)
-        return i16, fingerprint_padded_batch(i16, sr, dsp)
-
-    synth_batch_j = jax.jit(synth_batch)
-
-    def draw_params(nb):
-        return (
-            jnp.asarray(rng.uniform(90, 220, (nb, 1)), jnp.float32),
-            jnp.asarray(rng.uniform(3, 7, (nb, 1)), jnp.float32),
-            jnp.asarray(
-                rng.uniform(0.2, 1.0, (nb, 8, 1))
-                / np.arange(1, 9)[None, :, None], jnp.float32,
-            ),
-            jnp.asarray(rng.uniform(0.5, 3.0, (nb, 8, 1)), jnp.float32),
-            jnp.asarray(rng.uniform(0, 6.28, (nb, 8, 1)), jnp.float32),
-        )
-
-    kept: dict[int, np.ndarray] = {}
-    targets = list(range(0, n_tracks, max(1, n_tracks // n_queries)))
-    targets = targets[:n_queries]
-    tset = set(targets)
-    done = 0
-    batch_no = 0
-    while done < n_tracks:
-        if over_budget("accuracy-scale corpus build"):
-            mark(
-                f"accuracy-scale: stopping corpus at {done} tracks "
-                "(budget)"
-            )
-            n_tracks = done
-            targets = [i for i in targets if i < done]
-            break
-        nb = min(bs, n_tracks - done)
-        i16_d, fps_d = synth_batch_j(
-            draw_params(nb), jax.random.PRNGKey(1000 + batch_no)
-        )
-        batch_no += 1
-        fps = np.asarray(fps_d)
-        rows = [j for j in range(nb) if done + j in tset]
-        if rows:
-            pcm_rows = np.asarray(i16_d[jnp.asarray(rows)])
-            for j, pr in zip(rows, pcm_rows):
-                kept[done + j] = pr.astype(np.float32) / 32768.0
-        for j in range(nb):
-            eng.store.add_audio(
-                f"clip{done + j}", "c", fps[j], f"as{done + j:08d}"
-            )
-        done += nb
-    mark(f"accuracy-scale: corpus ready ({done} tracks); scoring")
-
-    qn = int(query_s * sr)
-    qn -= qn % 256
-    excerpts, truth = [], []
-    for i in targets:
-        off = int(rng.integers(0, int((clip_s - query_s) * sr)))
-        off -= off % 256
-        excerpts.append(kept[i][off : off + qn])
-        truth.append(f"clip{i}")
-
-    def add_noise(pcm, snr_db):
-        sig = float((pcm**2).mean())
-        noise = rng.standard_normal(len(pcm)).astype(np.float32)
-        noise *= np.sqrt(
-            sig / (10 ** (snr_db / 10)) / float((noise**2).mean())
-        )
-        return (pcm + noise).astype(np.float32)
-
-    noisy = [add_noise(q, 20.0) for q in excerpts]
+    n_tracks, targets, kept = _build_synth_corpus(
+        eng, dsp, n_tracks, n_queries, rng, sr, clip_s, tag="as",
+        budget_label="accuracy-scale corpus build",
+    )
+    mark(f"accuracy-scale: corpus ready ({n_tracks} tracks); scoring")
+    excerpts, truth = _corpus_queries(kept, targets, rng, sr, clip_s,
+                                      query_s)
+    noisy = [_noise_at(rng, q, 20.0) for q in excerpts]
     impostors = list(_speechlike_batch(rng, n_impostors, query_s, sr))
     kw = dict(coefs=8, tolerance=0.2, trunc_coef1=False, aligned=True,
               min_margin=0.1)
@@ -2303,6 +2250,7 @@ def _orchestrate() -> None:
         _print_final(headline, summaries)
         return
     headline_degraded = "fallback" in headline or "unmeasurable" in headline
+    headline_retried = False
     for name, nominal in SECONDARY:
         remaining = budget - _t()
         if remaining < 45:
@@ -2312,15 +2260,29 @@ def _orchestrate() -> None:
             )
             continue
         out = _run_child(name, min(nominal, remaining), state, summaries)
-        if headline_degraded and out is not None and budget - _t() > 180:
+        if (
+            headline_degraded
+            and not headline_retried
+            and out is not None
+            and budget - _t() > 180
+        ):
             # the degraded-compile window that killed the TPU headline
-            # attempts has RECOVERED (a real section just completed).
-            # The headline is the artifact's most important number —
-            # retry it now instead of shipping the CPU fallback.
-            mark("retrying TPU headline (window recovered)")
+            # attempts may have RECOVERED (a section just produced
+            # output). The headline is the artifact's most important
+            # number — retry it ONCE (a permanently-degraded window
+            # must not pay a doomed retry after every section), at full
+            # size when the budget still affords it.
+            headline_retried = True
+            big = budget - _t() > 300
+            # the CPU-fallback note was exported for fingerprint_cpu;
+            # the retry child would inherit and mislabel a real
+            # TPU measurement with it
+            os.environ.pop("TIRESIAS_BENCH_HEADLINE_NOTE", None)
+            mark("retrying TPU headline (window may have recovered)")
             retry = _extract_headline(
                 _run_child(
-                    "fingerprint_reduced", min(150.0, budget - _t()),
+                    "fingerprint" if big else "fingerprint_reduced",
+                    min(200.0 if big else 150.0, budget - _t()),
                     state, summaries,
                 )
             )

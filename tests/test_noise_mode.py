@@ -162,12 +162,18 @@ class TestMinMargin:
 
 
 class TestFusedMarginPath:
-    def test_fused_and_host_margin_paths_agree(self, tmp_path, rng,
+    def test_fused_and_host_margin_paths_agree(self, tmp_path,
                                                monkeypatch):
         """min_margin routed through the one-dispatch fused strict path
         (mocked-TPU; kernels run interpret mode) must answer exactly
         like the host-ranked margin path — acceptance and rejection."""
         import tiresias_tpu.api.engine as engine_mod
+
+        # LOCAL rng, not the session fixture: the margin assertions are
+        # data-marginal (a random clustered row landing near the tone
+        # changes the gate's decision), so the corpus must not depend on
+        # how much rng state earlier tests consumed
+        rng = np.random.default_rng(11)
 
         eng = Tiresias(
             TiresiasConfig(dsp=DspConfig(n_coefs=2),
@@ -175,9 +181,11 @@ class TestFusedMarginPath:
             restore=False,
         )
         eng.create_context("c")
-        # clustered corpus big enough for the prefilter gate, plus a
-        # near-duplicate pair and a unique target
-        mu = rng.uniform(-25, 20, (2200, 1, 2)).astype(np.float32)
+        # clustered corpus big enough for the prefilter gate, placed in
+        # a value range far BELOW real audio (the margin assertions are
+        # about the dup pair and the solo clip, not a random distractor
+        # that happens to land near the tone)
+        mu = rng.uniform(-110, -60, (2200, 1, 2)).astype(np.float32)
         fps = (mu + 0.5 * rng.standard_normal((2200, 48, 2))).astype(
             np.float32
         )

@@ -81,6 +81,49 @@ class TestWarmupAsync:
         assert engine.law_device_ready("ulaw")
         assert engine.law_device_ready("alaw")
 
+    def test_overlapping_warms_keep_law_parked(self, engine,
+                                               monkeypatch):
+        """A second warmup_async for the same law must keep the law
+        host-decoding until BOTH background phases finish — the first
+        thread's cleanup must not un-park the second's registration
+        (per-law counters, not a set)."""
+        gates = [threading.Event(), threading.Event()]
+        started = []
+        orig = engine.search_pcm_batch
+
+        def slow_batch(context, pcms, sr, **kw):
+            if kw.get("wire_law"):
+                i = len(started)
+                started.append(i)
+                gates[min(i, 1)].wait(30)
+            return orig(context, pcms, sr, **kw)
+
+        monkeypatch.setattr(engine, "search_pcm_batch", slow_batch)
+        t1 = engine.warmup_async(samplerate=SR, batch_sizes=(1,),
+                                 laws=("ulaw",))
+        t2 = engine.warmup_async(samplerate=SR, batch_sizes=(1,),
+                                 laws=("ulaw",))
+        try:
+            import time as _time
+
+            assert not engine.law_device_ready("ulaw")
+            gates[0].set()  # let ONE thread's law compile finish
+            deadline = _time.time() + 30
+            while (
+                _time.time() < deadline
+                and engine._laws_warming.get("ulaw", 0) > 1
+            ):
+                _time.sleep(0.02)
+            # exactly one registration released: still parked
+            assert engine._laws_warming.get("ulaw", 0) == 1
+            assert not engine.law_device_ready("ulaw")
+        finally:
+            for g in gates:
+                g.set()
+        t1.join(60)
+        t2.join(60)
+        assert engine.law_device_ready("ulaw")
+
 
 class TestScorerHostDecodeFallback:
     @pytest.mark.parametrize("law", ["ulaw", "alaw"])

@@ -450,11 +450,14 @@ class Tiresias:
         self._pf_misses: dict = {}
         self._pf_lock = threading.Lock()
         # G.711 laws whose device programs warmup_async is still
-        # compiling (law_device_ready; the scorer host-decodes those)
-        self._laws_warming: set = set()
+        # compiling, COUNTED per law (law_device_ready; the scorer
+        # host-decodes those). Counters, not a set: overlapping
+        # warmup_async calls must not let the first thread's cleanup
+        # un-park a law the second call just re-registered.
+        self._laws_warming: dict = {}
         self._warm_lock = threading.Lock()
         self._warm_stop = threading.Event()
-        self._warm_thread: threading.Thread | None = None
+        self._warm_threads: list = []
         self.lock = DataDirLock(self.config.expanded_data_dir)
         if exclusive is not False:
             try:
@@ -727,9 +730,19 @@ class Tiresias:
                 self.search_pcm_batch(None, [silence_i16] * b, samplerate)
         self.warm_search_maps()
         with self._warm_lock:
-            self._laws_warming |= set(laws)
+            for law in laws:
+                self._laws_warming[law] = self._laws_warming.get(law, 0) + 1
+
+        def _unpark(law):
+            with self._warm_lock:
+                left = self._laws_warming.get(law, 0) - 1
+                if left <= 0:
+                    self._laws_warming.pop(law, None)
+                else:
+                    self._laws_warming[law] = left
 
         def _background():
+            pending = list(laws)  # this call's registrations still held
             try:
                 silence_f32 = np.zeros(n, dtype=np.float32)
                 for b in batch_sizes:
@@ -751,18 +764,23 @@ class Tiresias:
                                 None, [silence] * b, samplerate,
                                 wire_law=law,
                             )
-                    with self._warm_lock:
-                        self._laws_warming.discard(law)
+                    _unpark(law)
+                    pending.remove(law)
             finally:
                 # a failed/aborted background warm must not leave a law
-                # parked on the host-decode path forever
-                with self._warm_lock:
-                    self._laws_warming.difference_update(laws)
+                # parked on the host-decode path forever — release only
+                # THIS call's remaining registrations
+                for law in pending:
+                    _unpark(law)
 
         t = threading.Thread(
             target=_background, name="tiresias-warmup", daemon=True
         )
-        self._warm_thread = t
+        with self._warm_lock:
+            self._warm_threads = [
+                x for x in self._warm_threads if x.is_alive()
+            ]
+            self._warm_threads.append(t)
         t.start()
         return t
 
@@ -851,9 +869,11 @@ class Tiresias:
         # the middle of an XLA dispatch during interpreter teardown
         # aborts the process (observed as SIGABRT under SIGTERM)
         self._warm_stop.set()
-        t = self._warm_thread
-        if t is not None and t.is_alive():
-            t.join(timeout=30)
+        with self._warm_lock:
+            threads = list(self._warm_threads)
+        for t in threads:
+            if t.is_alive():
+                t.join(timeout=30)
         try:
             if self.lock.held:
                 self.save()
@@ -1006,6 +1026,8 @@ class Tiresias:
             float(self.config.match.min_margin)
             if min_margin is None else float(min_margin)
         )
+        if not 0.0 <= mm < 1.0:
+            raise ValueError(f"min_margin must be in [0, 1), got {mm}")
         if mm > 0.0:
             fast = self._fused_strict_batch(
                 context, pcms, samplerate, coefs, tolerance,
@@ -2090,23 +2112,18 @@ class Tiresias:
         use_lattice, on_tpu, sharded_mode = setup["dispatch"]
         ctx_id = setup["ctx_id"]
 
-        def rank_views(prefilter: bool, certs_out):
-            per_view = []
-            for view in views:
-                votes = self._votes_for_view(
-                    view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
-                    prefilter, use_lattice, on_tpu, sharded_mode,
-                    ctx_id=ctx_id, certs_out=certs_out,
-                )
-                per_view.append(
-                    _top1_scored(
-                        votes, self.store.seq_for(view),
-                        None if ctx_id is None
-                        else self.store.ctx_ids_for(view),
-                        ctx_id,
-                    )
-                )
-            return per_view
+        def rank_one(view, prefilter: bool, certs_out):
+            votes = self._votes_for_view(
+                view, qfp, n_frames, setup["f_q"], *setup["vote_args"],
+                prefilter, use_lattice, on_tpu, sharded_mode,
+                ctx_id=ctx_id, certs_out=certs_out,
+            )
+            return _top1_scored(
+                votes, self.store.seq_for(view),
+                None if ctx_id is None
+                else self.store.ctx_ids_for(view),
+                ctx_id,
+            )
 
         import jax
 
@@ -2116,20 +2133,31 @@ class Tiresias:
             # dispatch-bound transport each extra blocking device_get
             # costs a full round-trip (~28 ms on the dev tunnel)
             certs_out: list = []
-            per_view = rank_views(True, certs_out)
+            per_view = [rank_one(v, True, certs_out) for v in views]
             got, certs_got = jax.device_get(
                 (per_view, [c for _, _, c in certs_out])
             )
-            all_certified = True
+            failed = set()
             for (view, mode, _), cval in zip(certs_out, certs_got):
                 certified = bool(np.all(cval))
                 self._pf_note(view, mode, certified)
-                all_certified &= certified
-            if not all_certified:
+                if not certified:
+                    failed.add(id(view))
+            if failed:
                 # rare (certificate refused — near-duplicate corpus):
-                # the prefiltered votes are not exact; redo every view
-                # as a full scan, same as the blocking path's fallback
-                got = jax.device_get(rank_views(False, None))
+                # ONLY the refusing views' prefiltered votes are
+                # inexact; full-scan those and keep every other view's
+                # already-exact reduction (certified prefilters and
+                # non-prefiltered views alike)
+                redo = [
+                    (i, v) for i, v in enumerate(views)
+                    if id(v) in failed
+                ]
+                redone = jax.device_get(
+                    [rank_one(v, False, None) for _, v in redo]
+                )
+                for (i, _), r in zip(redo, redone):
+                    got[i] = r
         metrics.add("search.queries", setup["n"])
         n_frames = np.asarray(n_frames)
         # cross-view lexicographic combine in host int64: maximize votes,

@@ -135,6 +135,16 @@ class MatchConfig:
     # (docs/performance.md §noise; 0 = reference parity, no gate).
     min_margin: float = 0.0
 
+    def __post_init__(self) -> None:
+        if not 0.0 <= self.min_margin < 1.0:
+            # >= 1 would silently reject EVERY match, exact self-matches
+            # included ((v1 - v2) < m*v1 holds at v2=0); negative would
+            # silently disable the gate. One rule for every entry point
+            # (config file, CLI, API, protocol).
+            raise ValueError(
+                f"min_margin must be in [0, 1), got {self.min_margin}"
+            )
+
 
 @dataclasses.dataclass(frozen=True)
 class ContextConfig:

@@ -140,13 +140,17 @@ def main() -> None:
     noisy = [add_noise(q, args.snr) for q in excerpts]
     impostors = list(bench._speechlike_batch(rng, args.impostors, query_s, sr))
 
-    # full votes via the engine's staged host-ranked path (margin needs
-    # v2; prefilter=False gives the exact full scan)
+    # full votes via the engine's staged host-ranked path. The margin
+    # analysis needs the EXACT runner-up: the prefilter stays on for
+    # speed but its certificate is taken at top=2 (a top-1-certified
+    # candidate set can understate v2 and overstate margins — the same
+    # rule the engine's _margin_search_batch uses)
     def votes_of(queries, **kw):
         votes, entries, n_frames = eng._compute_votes(
             "c", [np.asarray(p) for p in queries], sr,
             kw.get("coefs"), kw.get("tolerance"), -1, -1, False,
             kw.get("trunc_coef1"), kw.get("aligned"), prefilter=True,
+            prefilter_top=2,
         )
         return votes, entries, n_frames
 
@@ -395,6 +399,7 @@ def weighted_study(tracks: int = 10_240) -> None:
             view, jnp.asarray(qf), nf, int(qf.shape[1]), 8, float(tol),
             -1, -1, False, True, True, False,
             bool(jax.devices()[0].platform == "tpu"), None,
+            prefilter_top=2,  # the margin analysis needs an exact v2
         )
         return np.asarray(v)[:, : view.n_audios]
 
