@@ -2082,20 +2082,23 @@ SECTIONS = {
 # accuracy lines. Warm-cache runs finish each far under the deadline;
 # the deadline only bites in degraded remote-compile windows.
 SECONDARY = (
+    # priority order: a degraded-compile window can exhaust the budget
+    # (round-5 run 1: two watchdog kills burned 356s), so the sections
+    # that carry the CURRENT round's claims run first and the ones whose
+    # stories are already told in docs + earlier artifacts trail
     ("search", 300),
-    ("lattice_prefiltered", 240),
     ("engine_search", 240),       # the <10 ms north-star decomposition
     ("accuracy", 420),
     ("accuracy_scale", 420),      # round 5: noise point @102k distractors
     ("device_rank", 300),         # round 5: fused strict path @100k
     ("hostfeed", 300),            # round 5: G.711 wire + link floors
+    ("coldstart", 300),           # round 5: readiness-tiered warmup
+    ("lattice_prefiltered", 240),
     ("aligned_scale", 420),
     ("server", 300),
     ("streams", 330),
-    ("coldstart", 300),           # round 5: readiness-tiered warmup
     ("db_build", 300),
-    # trailing tier: first to be trimmed under budget pressure (their
-    # stories are told in docs + earlier rounds' artifacts)
+    # trailing tier: first to be trimmed under budget pressure
     ("fallback_regime", 330),
     ("search_scale", 330),
 )
